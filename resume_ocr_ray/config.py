@@ -1,0 +1,65 @@
+"""Engine constants.
+
+Behavioral constants replicate the reference exactly (citations into
+/root/reference); execution knobs are ours (Ray-Data-first design).
+"""
+
+# ---- behavioral constants (reference parity) -------------------------------
+
+#: Direct-text length above which a PDF is treated as a text PDF rather than
+#: scanned (reference: app/services/ocr_service.py:61).
+TEXT_PDF_THRESHOLD = 200
+
+#: Page-stitch marker for multi-page scanned PDFs; {i} is the 1-based page
+#: number (reference: app/services/ocr_service.py:117).
+PAGE_MARKER = "\n--- Página {i} ---\n"
+
+#: Text-content validation sees only the first N chars
+#: (reference: app/utils/validation_service.py:149).
+VALIDATION_TEXT_TRUNC = 3000
+
+#: Application-level retry budget for OCR / scorer calls
+#: (reference: app/config/constants.py:12, llm_service.py:13).
+MAX_RETRIES = 3
+
+#: Retry backoff base in seconds: sleep 0.5*(attempt+1)
+#: (reference: app/services/analyze_service.py:66). The sandbox stand-in
+#: engines are deterministic so this is never actually slept in tests, but
+#: the loop shape is preserved.
+RETRY_BACKOFF = 0.5
+
+#: Query-mode result truncation (reference: app/routers/analysis.py:543-545).
+TOP_K = 5
+
+#: Allowed media kinds; anything else is the reference's unsupported-type
+#: error (app/services/ocr_service.py:126-127 maps extensions the same way).
+MEDIA_KIND_IMAGE = "image"
+MEDIA_KIND_PDF = "pdf"
+ALLOWED_MEDIA_KINDS = (MEDIA_KIND_IMAGE, MEDIA_KIND_PDF)
+
+# Error message templates (reference parity; Portuguese strings preserved).
+ERR_NOT_RESUME = "Arquivo {name} rejeitado, não é um currículo."
+ERR_NOT_RESUME_TEXT = "Arquivo {name} rejeitado, não é um currículo"
+ERR_NOT_RESUME_TEXT_WITH = "Arquivo {name} rejeitado, não é um currículo: {err}"
+ERR_PAGE_VALIDATION = "Erro na validação da página {i}/{n} - {name}: {err}"
+ERR_OCR_EMPTY = (
+    "Alerta: O PDF parece ser uma imagem, mas o OCR não conseguiu extrair texto."
+)
+ERR_IMAGE_PROCESS = "Erro ao processar imagem {name} com OCR: {err}"
+ERR_PDF_CRITICAL = "Erro crítico no fallback de OCR para PDF: {err}"
+ERR_UNSUPPORTED = "Erro: Tipo de arquivo não suportado. Use PDF, PNG, JPG ou JPEG."
+ERR_EMPTY_FILE = "Arquivo {name} está vazio."
+ERR_BAD_REF = "Erro: referência de mídia inválida ou não resolvida: {ref}"
+
+# ---- execution knobs (ours) ------------------------------------------------
+
+#: Rows per batch through the OCR actor pool. Media payloads are the large
+#: column; at 100 TB scale with multi-MB payloads this should drop (the
+#: object store holds batch_size × concurrency payloads in flight).
+OCR_BATCH_SIZE = 256
+
+#: Default OCR actor pool size; bench/pipeline override from num_cpus.
+OCR_CONCURRENCY = 4
+
+#: Default number of output partitions for the checkpointed write.
+DEFAULT_NUM_PARTITIONS = 8

@@ -1,0 +1,222 @@
+"""Deterministic media codec + stand-in OCR / validation engines.
+
+The sandbox has no Tesseract, no poppler, no network (SURVEY §7.4 risk 4), so
+media payloads are synthetic "scanned pages" that encode recoverable text
+deterministically: an XOR-obfuscated byte stream with a noise prefix. The
+stand-in engines keep the *pipeline shape* of the reference honest:
+
+- ``preprocess_page`` mirrors the reference preprocessing chain
+  (gray→blur→threshold, app/services/ocr_service.py:129-161): it strips the
+  noise section; on ANY failure it returns the original bytes unmodified
+  (the reference's fallback-to-original semantics, ocr_service.py:159-161).
+- ``OcrEngine`` mirrors pytesseract (ocr_service.py:42,116): init-once state
+  (the decode table — stand-in for loading the por+eng language packs) that
+  actor pools amortize; ``image_to_string`` decodes per page and raises on
+  undecodable input.
+- the validators mirror the Groq vision/text validators
+  (app/utils/validation_service.py:20-187): tri-state verdict
+  True / False / ValidationError, deterministic functions of content.
+
+Everything here is pure and seed-free at call time: the single-process oracle
+(core/extract.py) and the Ray UDFs (engine/pipeline.py) call the SAME
+functions, so span-sequence equality is by construction of semantics and
+verified by tests of execution.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+MAGIC_MEDIA = b"SMED1\n"
+MAGIC_PAGE = b"SIMG"
+MAGIC_CLEAN = b"CIMG"
+
+#: Fixed obfuscation keystream — public, position-derived (stand-in for the
+#: "rendering" of text into pixels; reversing it is the stand-in "OCR").
+_KEY = bytes(((i * 31 + 7) ^ 0x5A) & 0xFF for i in range(256))
+_KEY_ARR = np.frombuffer(_KEY, dtype=np.uint8)
+
+#: Content markers driving the deterministic validator verdicts.
+RESUME_MARKER = "CURRICULUM VITAE"
+VALERR_MARKER = "@@VALERR@@"
+
+
+class OcrDecodeError(Exception):
+    """Stand-in for a tesseract failure on undecodable input."""
+
+
+@dataclass
+class ValidationError:
+    """Tri-state validator 'error' arm (reference validation_service.py:17-18)."""
+
+    error: str
+
+
+# ---------------------------------------------------------------------------
+# page image codec
+# ---------------------------------------------------------------------------
+
+def _xor(data: bytes) -> bytes:
+    arr = np.frombuffer(data, dtype=np.uint8)
+    key = np.resize(_KEY_ARR, arr.shape[0])
+    return (arr ^ key).tobytes()
+
+
+def render_page(text: str, noise_seed: int) -> bytes:
+    """Render text into a synthetic 'scanned page' (deterministic)."""
+    rng = np.random.default_rng(noise_seed & 0xFFFFFFFF)
+    noise = rng.integers(0, 256, size=48, dtype=np.uint8).tobytes()
+    obf = _xor(text.encode("utf-8"))
+    return MAGIC_PAGE + struct.pack("<I", len(noise)) + noise + obf
+
+
+def preprocess_page(page: bytes) -> bytes:
+    """Denoise a page image; on any failure return the ORIGINAL unmodified.
+
+    Reference parity: preprocess_image fallback (ocr_service.py:159-161).
+    """
+    try:
+        if not page.startswith(MAGIC_PAGE):
+            raise ValueError("not a raw page image")
+        (noise_len,) = struct.unpack("<I", page[4:8])
+        body = page[8 + noise_len:]
+        return MAGIC_CLEAN + body
+    except Exception:
+        return page
+
+
+def decode_page_text(page: bytes) -> str:
+    """Decode a (raw or preprocessed) page image back to text."""
+    if page.startswith(MAGIC_CLEAN):
+        obf = page[4:]
+    elif page.startswith(MAGIC_PAGE):
+        (noise_len,) = struct.unpack("<I", page[4:8])
+        obf = page[8 + noise_len:]
+    else:
+        raise OcrDecodeError("unrecognized page image format")
+    try:
+        return _xor(obf).decode("utf-8")
+    except UnicodeDecodeError as e:  # corrupted payload
+        raise OcrDecodeError(f"undecodable page: {e}") from None
+
+
+class OcrEngine:
+    """Stateful stand-in OCR engine (tesseract analog, ocr_service.py:42).
+
+    Holding it in an actor's ``__init__`` amortizes 'engine init' across
+    batches — the axis-B pattern. Init builds the inverse decode table (the
+    stand-in for loading language packs).
+    """
+
+    def __init__(self, lang: str = "por+eng"):
+        self.lang = lang
+        # Simulated engine bring-up: materialize the decode keystream at a
+        # useful length once so per-call XORs reuse it.
+        self._key = np.resize(_KEY_ARR, 1 << 16)
+
+    def image_to_string(self, page: bytes) -> str:
+        return decode_page_text(page)
+
+
+# ---------------------------------------------------------------------------
+# media payload codec (the media_ref → bytes resolution target)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class MediaDoc:
+    media_kind: str
+    n_pages: int
+    direct_text: str
+    pages: list  # list[bytes]
+
+
+def encode_media(media_kind: str, pages: list, direct_text: str = "") -> bytes:
+    """Pack pages + header into one opaque payload (what media_ref resolves to)."""
+    header = json.dumps(
+        {"media_kind": media_kind, "n_pages": len(pages), "direct_text": direct_text},
+        ensure_ascii=False,
+    ).encode("utf-8")
+    out = [MAGIC_MEDIA, struct.pack("<I", len(header)), header]
+    for pg in pages:
+        out.append(struct.pack("<I", len(pg)))
+        out.append(pg)
+    return b"".join(out)
+
+
+def decode_media_header(payload: bytes) -> dict:
+    """Cheap header peek (used by the explode stage to learn n_pages)."""
+    if not payload.startswith(MAGIC_MEDIA):
+        raise ValueError("not a media payload")
+    (hlen,) = struct.unpack("<I", payload[6:10])
+    return json.loads(payload[10 : 10 + hlen].decode("utf-8"))
+
+
+def decode_media(payload: bytes) -> MediaDoc:
+    header = decode_media_header(payload)
+    (hlen,) = struct.unpack("<I", payload[6:10])
+    pos = 10 + hlen
+    pages = []
+    for _ in range(header["n_pages"]):
+        (plen,) = struct.unpack("<I", payload[pos : pos + 4])
+        pos += 4
+        pages.append(payload[pos : pos + plen])
+        pos += plen
+    return MediaDoc(
+        media_kind=header["media_kind"],
+        n_pages=header["n_pages"],
+        direct_text=header.get("direct_text", ""),
+        pages=pages,
+    )
+
+
+def get_media_page(payload: bytes, page_no: int) -> bytes:
+    """Slice out one page without decoding the rest (per-page explosion path)."""
+    (hlen,) = struct.unpack("<I", payload[6:10])
+    header = json.loads(payload[10 : 10 + hlen].decode("utf-8"))
+    if page_no >= header["n_pages"]:
+        raise IndexError(f"page {page_no} out of range")
+    pos = 10 + hlen
+    for i in range(page_no + 1):
+        (plen,) = struct.unpack("<I", payload[pos : pos + 4])
+        pos += 4
+        if i == page_no:
+            return payload[pos : pos + plen]
+        pos += plen
+    raise IndexError(f"page {page_no} out of range")
+
+
+# ---------------------------------------------------------------------------
+# stand-in validators (Groq vision/text analogs, validation_service.py)
+# ---------------------------------------------------------------------------
+
+def _verdict_from_text(text: str, name: str):
+    if VALERR_MARKER in text:
+        return ValidationError(error=f"erro simulado do validador para {name}")
+    return RESUME_MARKER in text
+
+
+def validate_image_content(page: bytes, name: str):
+    """'Is this image a resume?' — True / False / ValidationError.
+
+    Reference: validate_image_content (validation_service.py:20-113). The
+    stand-in 'vision model' decodes the synthetic page and inspects content;
+    an undecodable page is a model failure → ValidationError (the reference
+    maps exhausted/errored calls the same way, :111-113).
+    """
+    try:
+        text = decode_page_text(page)
+    except OcrDecodeError as e:
+        return ValidationError(error=str(e))
+    return _verdict_from_text(text, name)
+
+
+def validate_text_content(text: str, name: str):
+    """Text-mode resume validation over the first 3000 chars
+    (validation_service.py:115-187, truncation at :149)."""
+    from .. import config
+
+    return _verdict_from_text(text[: config.VALIDATION_TEXT_TRUNC], name)

@@ -1,0 +1,89 @@
+"""Unit tests: media codec, preprocessing fallback, stand-in engines, parser."""
+
+import pytest
+
+from resume_ocr_ray import config as C
+from resume_ocr_ray.core import llm as L
+from resume_ocr_ray.core import media as M
+
+
+def test_page_roundtrip():
+    txt = "CURRICULUM VITAE\nNome: Alice\npython spark ray áçé 中文"
+    page = M.render_page(txt, 123)
+    assert M.decode_page_text(page) == txt
+    # deterministic across calls
+    assert M.render_page(txt, 123) == page
+    # preprocessing strips noise but preserves decodability
+    clean = M.preprocess_page(page)
+    assert clean.startswith(M.MAGIC_CLEAN)
+    assert M.decode_page_text(clean) == txt
+
+
+def test_preprocess_fallback_returns_original():
+    # reference parity: preprocess failure → original unmodified (M7)
+    garbage = b"\x00\x01notanimage"
+    assert M.preprocess_page(garbage) == garbage
+
+
+def test_ocr_engine_decodes_and_raises():
+    eng = M.OcrEngine()
+    page = M.render_page("hello ocr", 7)
+    assert eng.image_to_string(page) == "hello ocr"
+    with pytest.raises(M.OcrDecodeError):
+        eng.image_to_string(b"garbage-bytes")
+
+
+def test_media_payload_roundtrip_and_page_slice():
+    pages = [M.render_page(f"page {i}", i) for i in range(4)]
+    payload = M.encode_media("pdf", pages, direct_text="layer")
+    hdr = M.decode_media_header(payload)
+    assert hdr == {"media_kind": "pdf", "n_pages": 4, "direct_text": "layer"}
+    doc = M.decode_media(payload)
+    assert doc.pages == pages
+    for i in range(4):
+        assert M.get_media_page(payload, i) == pages[i]
+    with pytest.raises(IndexError):
+        M.get_media_page(payload, 4)
+
+
+def test_validators_tristate():
+    ok = M.render_page("CURRICULUM VITAE ok", 1)
+    bad = M.render_page("RECEITA DE BOLO", 2)
+    err = M.render_page(f"CURRICULUM VITAE {M.VALERR_MARKER}", 3)
+    assert M.validate_image_content(ok, "a") is True
+    assert M.validate_image_content(bad, "a") is False
+    assert isinstance(M.validate_image_content(err, "a"), M.ValidationError)
+    # undecodable page → ValidationError (model failure arm)
+    assert isinstance(M.validate_image_content(b"xx", "a"), M.ValidationError)
+    assert M.validate_text_content("CURRICULUM VITAE text", "a") is True
+    assert M.validate_text_content("bolo", "a") is False
+    # truncation: marker beyond 3000 chars is invisible to the validator
+    far = "x" * C.VALIDATION_TEXT_TRUNC + M.RESUME_MARKER
+    assert M.validate_text_content(far, "a") is False
+
+
+def test_llm_parser_reference_rules():
+    raw = (
+        "**Feedback:**\n  Score: 7.5/10\n  Resumo: Bom candidato com experiência\n"
+        "Extra_comments:\n nada\n"
+    )
+    res = L.parse_response(raw, query="backend")
+    assert res.score == 7.5
+    assert res.summary == "Bom candidato com experiência"
+    # no-query mode: seniority string
+    raw2 = "Feedback:\n Score: Pleno\n Resumo: Perfil consistente e detalhado\nExtra comments:\n-"
+    res2 = L.parse_response(raw2, query=None)
+    assert res2.seniority == "Pleno"
+    # short summary → retry signal
+    with pytest.raises(ValueError):
+        L.parse_response("Feedback:\nScore: 1\nResumo: curto\nExtra_comments:", "q")
+
+
+def test_llm_analyze_deterministic():
+    text = "CURRICULUM VITAE python spark ray backend docker " * 10
+    a = L.analyze(text, "python backend docker")
+    b = L.analyze(text, "python backend docker")
+    assert a == b
+    assert a.score is not None and 0.0 <= a.score <= 10.0
+    s = L.analyze(text, None)
+    assert s.seniority in ("Júnior", "Pleno", "Sênior")
