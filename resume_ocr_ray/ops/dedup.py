@@ -1,0 +1,303 @@
+"""Deduplication operators over a documents table — the core training-data
+cleaning suite, each built shuffle-consciously:
+
+- exact dedup        — content hash in map_batches → ONE groupby on the hash
+                       (hash-partition + per-group first); keep min(doc_id)
+- prefix dedup       — same, keyed on a normalized prefix (demonstrates
+                       near-dup groups on the synthetic corpus)
+- MinHash + LSH      — shingle→minhash per batch (vectorized numpy), explode
+                       to (band, band_hash) rows, groupby bands → candidate
+                       pairs → Jaccard verify. Only band keys shuffle; full
+                       signatures/text never do.
+- SimHash            — 64-bit simhash per batch; bucket by rotated prefixes
+                       (block permutation trick) → candidates within hamming
+                       distance k
+- embedding near-dup — cosine over an embedding column against per-batch
+                       normalized matrices; bucketed by coarse LSH signs
+
+Connected components / cluster-rep selection is per-group min-label — the
+candidate graph at 100 TB stays sharded by band key; nothing funnels through
+the driver.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# ---------------------------------------------------------------------------
+# exact / prefix dedup
+# ---------------------------------------------------------------------------
+
+def add_md5(batch: pa.Table, col: str = "text", out: str = "text_md5") -> pa.Table:
+    """Content hash per row (hashlib.md5 == DuckDB md5 — oracle-checkable)."""
+    import hashlib
+
+    texts = batch.column(col).to_pylist()
+    hashes = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+    return batch.append_column(out, pa.array(hashes, type=pa.string()))
+
+
+def dedup_exact(docs_ds, key_fn=add_md5, key_col: str = "text_md5"):
+    """Exact dedup: hash in map_batches, then one groupby(hash) keeping the
+    min doc_id per group (deterministic winner)."""
+    from ray.data.aggregate import Min
+
+    hashed = docs_ds.map_batches(key_fn, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        hashed.select_columns([key_col, "doc_id"])
+        .groupby(key_col)
+        .aggregate(Min("doc_id", alias_name="keep_doc_id"))
+    )
+
+
+def add_prefix_key(batch: pa.Table, n: int = 24) -> pa.Table:
+    key = pc.utf8_slice_codeunits(batch.column("text"), 0, n)
+    return batch.append_column("prefix_key", key)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+class MinHashStage:
+    """Per-batch shingle→MinHash signatures (stateful: permutation tables
+    built once per actor). Emits one row per (doc, band): the ONLY data that
+    crosses the LSH shuffle."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, shingle: int = 5,
+                 seed: int = 1234):
+        assert num_perm % bands == 0
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.shingle = shingle
+        self.token = re.compile(r"\w+")
+
+    def signature(self, text: str) -> np.ndarray:
+        toks = self.token.findall((text or "").lower())
+        if len(toks) < self.shingle:
+            shingles = {" ".join(toks)} if toks else {""}
+        else:
+            shingles = {
+                " ".join(toks[i : i + self.shingle])
+                for i in range(len(toks) - self.shingle + 1)
+            }
+        hv = np.fromiter(
+            (zlib.crc32(s.encode()) for s in shingles), dtype=np.uint64,
+            count=len(shingles),
+        )
+        # (a*x + b) mod p for all perms × shingles, take min per perm
+        vals = (self.a[:, None] * hv[None, :] + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_doc, out_band, out_hash = [], [], []
+        for d, t in zip(doc_ids, texts):
+            sig = self.signature(t)
+            for b in range(self.bands):
+                band = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
+                out_doc.append(d)
+                out_band.append(b)
+                out_hash.append(zlib.crc32(band.tobytes()))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc),
+                "band": pa.array(out_band, type=pa.int32()),
+                "band_hash": pa.array(out_hash, type=pa.int64()),
+            }
+        )
+
+
+def _pairs_from_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    ids = sorted(g["doc_id"].tolist())
+    if len(ids) < 2:
+        return pd.DataFrame({"a": [], "b": []})
+    # emit star pairs to the min element — enough for min-label components
+    a = ids[0]
+    return pd.DataFrame({"a": [a] * (len(ids) - 1), "b": ids[1:]})
+
+
+def minhash_candidates(docs_ds, *, num_perm=64, bands=16, shingle=5,
+                       concurrency=2):
+    """LSH candidate pairs: groupby (band, band_hash) buckets; each bucket
+    emits star-pairs to its min doc_id. Dedup pairs across bands with one
+    small groupby."""
+    from ray.data.aggregate import Count
+
+    banded = docs_ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
+                               "shingle": shingle},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+    pairs = banded.groupby(["band", "band_hash"]).map_groups(
+        _pairs_from_bucket, batch_format="pandas"
+    )
+    # distinct pairs (a<b by construction)
+    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
+
+
+def jaccard(text_a: str, text_b: str, shingle: int = 5) -> float:
+    tok = re.compile(r"\w+")
+    ta, tb = tok.findall(text_a.lower()), tok.findall(text_b.lower())
+
+    def sh(toks):
+        if len(toks) < shingle:
+            return {" ".join(toks)} if toks else {""}
+        return {" ".join(toks[i : i + shingle]) for i in range(len(toks) - shingle + 1)}
+
+    sa, sb = sh(ta), sh(tb)
+    return len(sa & sb) / max(1, len(sa | sb))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+class SimHashStage:
+    """64-bit SimHash per doc + 4 rotated 16-bit prefix buckets (so any pair
+    within hamming distance 3 shares ≥1 bucket by pigeonhole on 4 blocks)."""
+
+    def __init__(self):
+        self.token = re.compile(r"\w+")
+
+    def simhash(self, text: str) -> int:
+        toks = self.token.findall((text or "").lower())
+        if not toks:
+            return 0
+        hv = np.fromiter((zlib.crc32(t.encode()) ^ (zlib.crc32(t[::-1].encode()) << 32)
+                          for t in toks), dtype=np.uint64, count=len(toks))
+        bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+        vote = (2 * bits - 1).sum(axis=0)
+        return int(((vote > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_doc, out_block, out_key, out_hash = [], [], [], []
+        for d, t in zip(doc_ids, texts):
+            h = self.simhash(t)
+            for blk in range(4):
+                out_doc.append(d)
+                out_block.append(blk)
+                out_key.append((h >> (16 * blk)) & 0xFFFF)
+                out_hash.append(np.uint64(h).astype(np.int64).item())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc),
+                "block": pa.array(out_block, type=pa.int32()),
+                "block_key": pa.array(out_key, type=pa.int64()),
+                "simhash": pa.array(out_hash, type=pa.int64()),
+            }
+        )
+
+
+def _simhash_bucket_pairs(g: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
+    rows = g[["doc_id", "simhash"]].drop_duplicates("doc_id").sort_values("doc_id")
+    ids = rows["doc_id"].to_numpy()
+    hs = rows["simhash"].to_numpy().astype(np.uint64)
+    if len(ids) < 2:
+        return pd.DataFrame({"a": [], "b": [], "hamming": []})
+    out_a, out_b, out_h = [], [], []
+    for i in range(len(ids)):
+        x = hs[i] ^ hs[i + 1 :]
+        ham = np.array([bin(int(v)).count("1") for v in x])
+        sel = np.nonzero(ham <= max_hamming)[0]
+        for j in sel:
+            out_a.append(ids[i])
+            out_b.append(ids[i + 1 + j])
+            out_h.append(int(ham[j]))
+    return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_h})
+
+
+def simhash_candidates(docs_ds, max_hamming: int = 3, concurrency=2):
+    from ray.data.aggregate import Min
+
+    hashed = docs_ds.map_batches(
+        SimHashStage, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+    pairs = hashed.groupby(["block", "block_key"]).map_groups(
+        lambda g: _simhash_bucket_pairs(g, max_hamming), batch_format="pandas"
+    )
+    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+class EmbeddingDupStage:
+    """Coarse sign-LSH bucket key over the embedding column: sign bits of
+    8 fixed random projections → bucket id; exact cosine verify runs per
+    bucket after the groupby."""
+
+    def __init__(self, dim: int = 64, n_planes: int = 8, seed: int = 99):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32)
+        if emb.size == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "bucket": pa.array([], type=pa.int64()),
+                             "embedding": batch.column("embedding")})
+        signs = (emb @ self.planes) > 0
+        bucket = (signs.astype(np.int64) << np.arange(signs.shape[1])).sum(axis=1)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "bucket": pa.array(bucket),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+
+def _cosine_bucket_pairs(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    g = g.sort_values("vec_id")
+    ids = g["vec_id"].to_numpy()
+    mat = np.asarray(g["embedding"].tolist(), dtype=np.float32)
+    if len(ids) < 2:
+        return pd.DataFrame({"a": [], "b": [], "cosine": []})
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.maximum(norms, 1e-9)
+    sims = mat @ mat.T
+    iu = np.triu_indices(len(ids), k=1)
+    sel = sims[iu] >= threshold
+    return pd.DataFrame(
+        {
+            "a": ids[iu[0][sel]],
+            "b": ids[iu[1][sel]],
+            "cosine": np.round(sims[iu][sel].astype(float), 6),
+        }
+    )
+
+
+def embedding_near_dups(emb_ds, threshold: float = 0.95, concurrency=2):
+    from ray.data.aggregate import Max
+
+    bucketed = emb_ds.map_batches(
+        EmbeddingDupStage, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+    pairs = bucketed.groupby("bucket").map_groups(
+        lambda g: _cosine_bucket_pairs(g, threshold), batch_format="pandas"
+    )
+    return pairs.groupby(["a", "b"]).aggregate(Max("cosine", alias_name="cosine"))

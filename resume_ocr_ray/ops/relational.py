@@ -1,0 +1,173 @@
+"""Relational operators over the testdata tables, shuffle-consciously built:
+
+- ``lineitem_agg``    — TPC-H-Q1-style grouped aggregate with PARTIAL
+                        pre-aggregation inside map_batches (one row per key
+                        per batch crosses the shuffle, not one per input row)
+- ``orders_by_segment`` — broadcast hash join (customer side is ray.put once
+                        and probed per batch; no shuffle join)
+- ``events_hourly``   — tumbling-window aggregate (event-time floor to hour;
+                        the window key is data, so this is one groupby)
+- ``top_docs``        — global sort + limit (range-partitioned shuffle, tiny)
+- ``short_docs_by_lang`` — filter-at-read + grouped count (M5-threshold analog)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _partial_lineitem(batch: pa.Table) -> pa.Table:
+    """Combiner: per-batch partial sums keyed by (returnflag, linestatus)."""
+    disc_price = pc.multiply(
+        batch.column("l_extendedprice"),
+        pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+    )
+    t = batch.append_column("disc_price", disc_price)
+    df = t.select(
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "disc_price"]
+    ).to_pandas()
+    g = (
+        df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+        .agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+    )
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def lineitem_agg(lineitem_ds):
+    """Q1-style: partial agg per batch → small groupby over partials."""
+    from ray.data.aggregate import Sum
+
+    partials = lineitem_ds.map_batches(
+        _partial_lineitem, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )
+    return (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
+        )
+        .map_batches(_round_money, batch_format="pandas")
+    )
+
+
+def _round_money(df: pd.DataFrame) -> pd.DataFrame:
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        df[c] = df[c].round(2)
+    df["count_order"] = df["count_order"].astype("int64")
+    return df
+
+
+class SegmentJoinStage:
+    """Broadcast join: the small customer dim is fetched once per actor and
+    probed with a vectorized pandas merge per batch."""
+
+    def __init__(self, cust_ref):
+        import ray
+
+        cust = ray.get(cust_ref) if hasattr(cust_ref, "hex") else cust_ref
+        self.cust = cust  # pandas DataFrame (c_custkey, c_mktsegment)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.select(["o_custkey", "o_totalprice"]).to_pandas()
+        j = df.merge(self.cust, left_on="o_custkey", right_on="c_custkey", how="inner")
+        g = j.groupby("c_mktsegment", as_index=False).agg(
+            total_price=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def orders_by_segment(orders_ds, customer_df: pd.DataFrame):
+    """Revenue per market segment via broadcast join + partial agg."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust_ref = ray.put(customer_df[["c_custkey", "c_mktsegment"]])
+    partials = orders_ds.map_batches(
+        SegmentJoinStage,
+        fn_constructor_args=(cust_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=65536,
+        concurrency=2,
+    )
+    return (
+        partials.groupby("c_mktsegment")
+        .aggregate(
+            Sum("total_price", alias_name="total_price"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+        .map_batches(_round_seg, batch_format="pandas")
+    )
+
+
+def _round_seg(df: pd.DataFrame) -> pd.DataFrame:
+    df["total_price"] = df["total_price"].round(2)
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return df
+
+
+def _window_partial(batch: pa.Table) -> pa.Table:
+    """Tumbling 1-hour window partials: floor ts to hour inside the batch."""
+    df = batch.select(["ts", "event_type", "value"]).to_pandas()
+    df["window_start"] = df["ts"].dt.floor("h")
+    g = df.groupby(["event_type", "window_start"], as_index=False).agg(
+        n_events=("value", "size"), sum_value=("value", "sum")
+    )
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def events_hourly(events_ds):
+    """Tumbling-window aggregate: window key derived from event time (data,
+    not arrival order), partial per batch, one small groupby."""
+    from ray.data.aggregate import Sum
+
+    partials = events_ds.map_batches(
+        _window_partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )
+    return (
+        partials.groupby(["event_type", "window_start"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"),
+        )
+        .map_batches(_round_window, batch_format="pandas")
+    )
+
+
+def _round_window(df: pd.DataFrame) -> pd.DataFrame:
+    df["n_events"] = df["n_events"].astype("int64")
+    df["sum_value"] = df["sum_value"].round(4)
+    return df
+
+
+def top_docs(docs_ds, k: int = 5):
+    """Longest docs: sort desc + deterministic tiebreak + limit (G2/G3)."""
+    return (
+        docs_ds.select_columns(["doc_id", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def short_docs_by_lang(docs_ds, threshold: int = 200):
+    """Docs under the reference's 200-char text threshold, counted per lang."""
+    from ray.data.aggregate import Count
+
+    short = docs_ds.map_batches(
+        lambda t: t.filter(pc.less(t["n_chars"], threshold)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return short.groupby("lang").aggregate(Count(alias_name="n_short"))

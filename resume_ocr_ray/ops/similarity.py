@@ -1,0 +1,151 @@
+"""Similarity search over an embedding column (vec_id, embedding: list<float>).
+
+- ``brute_force_topk`` — the exactness baseline: the query matrix is
+  broadcast (ray.put once, fetched per worker, never re-shipped per batch);
+  each batch computes cosine scores with one numpy matmul; per-batch top-k
+  partials are merged by one tiny final sort (no full-dataset shuffle).
+- ``ivf_topk`` — the scale path: k-means-lite centroids (deterministic init,
+  few Lloyd iterations over a sample), vectors assigned to nearest centroid
+  in a map_batches pass; queries probe only ``nprobe`` nearest cells.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _as_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch.column(col)
+    if arr.num_chunks == 1:
+        chunk = arr.chunk(0)
+        flat = chunk.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(len(chunk), -1).astype(np.float32, copy=False)
+    return np.asarray(arr.to_pylist(), dtype=np.float32)
+
+
+def query_vector(dim: int = 64, seed: int = 7) -> np.ndarray:
+    """Deterministic unit query vector (tests/oracle bake the same literal)."""
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(dim).astype(np.float32)
+    return v / np.linalg.norm(v)
+
+
+class CosineScoreStage:
+    """Per-batch cosine scores vs a broadcast query vector; emits per-batch
+    top-k partials only (combiner before the global merge)."""
+
+    def __init__(self, qvec_ref, k: int):
+        import ray
+
+        self.q = (
+            ray.get(qvec_ref) if hasattr(qvec_ref, "hex") else np.asarray(qvec_ref)
+        ).astype(np.float32)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _as_matrix(batch)
+        if mat.size == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "cosine": pa.array([], type=pa.float64())})
+        norms = np.linalg.norm(mat, axis=1)
+        sims = (mat @ self.q) / np.maximum(norms, 1e-9)
+        k = min(self.k, sims.shape[0])
+        top = np.argpartition(-sims, k - 1)[:k]
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id").take(pa.array(top)),
+                "cosine": pa.array(np.round(sims[top].astype(np.float64), 6)),
+            }
+        )
+
+
+def brute_force_topk(emb_ds, qvec: np.ndarray, k: int = 10):
+    """Exact cosine top-k: batch-local partials → tiny global sort+limit."""
+    import ray
+
+    qref = ray.put(np.asarray(qvec, dtype=np.float32))
+    partials = emb_ds.map_batches(
+        CosineScoreStage,
+        fn_constructor_args=(qref, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+        concurrency=2,
+    )
+    return partials.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) variant — the 100 TB path
+# ---------------------------------------------------------------------------
+
+def train_centroids(sample: np.ndarray, n_cells: int, iters: int = 5,
+                    seed: int = 5) -> np.ndarray:
+    """Deterministic k-means-lite over a driver-side SAMPLE (the sample is
+    small; the full dataset never leaves the cluster)."""
+    rng = np.random.default_rng(seed)
+    n = sample.shape[0]
+    cents = sample[rng.choice(n, size=min(n_cells, n), replace=False)].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(cents.shape[0]):
+            sel = assign == c
+            if sel.any():
+                cents[c] = sample[sel].mean(0)
+    return cents.astype(np.float32)
+
+
+class IvfAssignStage:
+    """Assign each vector to its nearest centroid cell (broadcast centroids)."""
+
+    def __init__(self, cents_ref):
+        import ray
+
+        self.cents = (
+            ray.get(cents_ref) if hasattr(cents_ref, "hex") else np.asarray(cents_ref)
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _as_matrix(batch)
+        if mat.size == 0:
+            return batch.append_column("cell", pa.array([], type=pa.int32()))
+        d = ((mat[:, None, :] - self.cents[None, :, :]) ** 2).sum(-1)
+        return batch.append_column("cell", pa.array(d.argmin(1).astype(np.int32)))
+
+
+def ivf_topk(emb_ds, qvec: np.ndarray, k: int = 10, n_cells: int = 16,
+             nprobe: int = 4, sample_n: int = 2048):
+    """ANN top-k: probe only the ``nprobe`` cells nearest the query.
+
+    At 100 TB the assignment is computed once and WRITTEN (partitioned by
+    cell); queries then read only their probed partitions — here the filter
+    stands in for that partition pruning.
+    """
+    import ray
+
+    sample = np.asarray(
+        emb_ds.limit(sample_n).to_pandas()["embedding"].tolist(), dtype=np.float32
+    )
+    cents = train_centroids(sample, n_cells)
+    q = np.asarray(qvec, dtype=np.float32)
+    probe = np.argsort(((cents - q) ** 2).sum(1))[:nprobe].astype(np.int32)
+    probe_set = set(int(x) for x in probe)
+
+    assigned = emb_ds.map_batches(
+        IvfAssignStage,
+        fn_constructor_args=(ray.put(cents),),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+        concurrency=2,
+    )
+    probed = assigned.map_batches(
+        lambda t: t.filter(
+            pa.compute.is_in(t["cell"], value_set=pa.array(sorted(probe_set), pa.int32()))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return brute_force_topk(probed, q, k)

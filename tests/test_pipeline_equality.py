@@ -1,0 +1,118 @@
+"""The correctness gate: Ray pipeline output == single-process oracle output,
+per-document span-sequence equality on (kind, text, media_ref, order).
+"""
+
+import pyarrow as pa
+import pytest
+
+from resume_ocr_ray.core import corpus, extract
+from resume_ocr_ray.engine import io as EIO
+from resume_ocr_ray.engine import pipeline as P
+
+
+def _span_key(spans):
+    # equality on (kind, text, media_ref) in ORDER (offset-sorted output)
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+
+
+def _by_doc(tbl: pa.Table) -> dict:
+    return {r["doc_id"]: r for r in tbl.to_pylist()}
+
+
+@pytest.fixture(scope="module")
+def fixture_corpus():
+    docs, media = corpus.generate_corpus(63, seed=11)  # 7 of each family + skew
+    lookup = dict(
+        zip(media.column("media_ref").to_pylist(), media.column("payload").to_pylist())
+    )
+    return docs, media, lookup
+
+
+def _run_pipeline(docs, media, analyzed=False, query=None):
+    import ray.data as rd
+
+    store = EIO.MediaStore.from_table(media)
+    docs_ds = rd.from_arrow(docs).repartition(8)
+    ds = P.extraction_pipeline(
+        docs_ds, store, batch_size=32, ocr_concurrency=2,
+        analyzed=analyzed, query=query, scorer_concurrency=1,
+    )
+    return pa.concat_tables(
+        [b for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow")]
+    )
+
+
+def test_span_sequence_equality(ray_session, fixture_corpus):
+    docs, media, lookup = fixture_corpus
+    expected = extract.extract_table(docs, lookup)
+    actual = _run_pipeline(docs, media)
+    assert actual.num_rows == expected.num_rows == docs.num_rows
+    exp, act = _by_doc(expected), _by_doc(actual)
+    for doc_id, e in exp.items():
+        a = act[doc_id]
+        assert a["error"] == e["error"], (doc_id, a["error"], e["error"])
+        assert _span_key(a["spans_out"]) == _span_key(e["spans_out"]), doc_id
+
+
+def test_analyzed_equality_query_mode(ray_session, fixture_corpus):
+    docs, media, lookup = fixture_corpus
+    q = "python spark backend docker kubernetes"
+    expected = extract.extract_table(docs, lookup, query=q, analyzed=True)
+    actual = _run_pipeline(docs, media, analyzed=True, query=q)
+    exp, act = _by_doc(expected), _by_doc(actual)
+    for doc_id, e in exp.items():
+        a = act[doc_id]
+        assert (a["score"], a["seniority"], a["summary"], a["error"]) == (
+            e["score"], e["seniority"], e["summary"], e["error"]
+        ), doc_id
+
+
+def test_analyzed_equality_noquery_mode(ray_session, fixture_corpus):
+    docs, media, lookup = fixture_corpus
+    expected = extract.extract_table(docs, lookup, query=None, analyzed=True)
+    actual = _run_pipeline(docs, media, analyzed=True, query=None)
+    exp, act = _by_doc(expected), _by_doc(actual)
+    for doc_id, e in exp.items():
+        assert act[doc_id]["seniority"] == e["seniority"], doc_id
+
+
+def test_rank_topk(ray_session, fixture_corpus):
+    import ray.data as rd
+
+    docs, media, lookup = fixture_corpus
+    q = "python spark backend"
+    store = EIO.MediaStore.from_table(media)
+    ds = P.extraction_pipeline(
+        rd.from_arrow(docs), store, batch_size=32, ocr_concurrency=2,
+        analyzed=True, query=q, scorer_concurrency=1,
+    )
+    top = P.rank_topk(ds, k=5).to_pandas()
+    assert len(top) == 5
+    assert list(top["score"]) == sorted(top["score"], reverse=True)
+    # oracle top-k (same deterministic tiebreak)
+    exp = extract.extract_table(docs, lookup, query=q, analyzed=True).to_pylist()
+    ok = sorted(
+        (r for r in exp if r["error"] is None),
+        key=lambda r: (-r["score"], r["doc_id"]),
+    )[:5]
+    assert list(top["doc_id"]) == [r["doc_id"] for r in ok]
+
+
+def test_pipeline_from_documents_table(ray_session):
+    """Derived-corpus path used by bench/queries: everything extracts clean."""
+    import ray.data as rd
+
+    src = pa.table(
+        {"doc_id": list(range(12)), "text": [f"palavra{i} dados spark " * 20 for i in range(12)]}
+    )
+    docs, media = corpus.corpus_from_documents(src, repeat=2)
+    lookup = dict(
+        zip(media.column("media_ref").to_pylist(), media.column("payload").to_pylist())
+    )
+    expected = extract.extract_table(docs, lookup)
+    actual = _run_pipeline(docs, media)
+    exp, act = _by_doc(expected), _by_doc(actual)
+    assert set(exp) == set(act)
+    for doc_id in exp:
+        assert exp[doc_id]["error"] is None
+        assert _span_key(act[doc_id]["spans_out"]) == _span_key(exp[doc_id]["spans_out"])
