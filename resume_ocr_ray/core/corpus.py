@@ -104,9 +104,12 @@ def _build_doc(doc_id: str, family: str, rng: np.random.Generator, text_material
 
     def salad(n_words: int, resume=True):
         if text_material:
-            # derive from provided material deterministically
+            # derive from provided material deterministically; repeat the
+            # material so the slice always reaches the requested length
+            want = n_words * 6
+            reps = max(3, want // max(1, len(text_material)) + 2)
             start = int(rng.integers(0, max(1, len(text_material) // 2)))
-            body = (text_material * 3)[start : start + n_words * 6]
+            body = (text_material * reps)[start : start + want]
             head = f"{M.RESUME_MARKER}\nNome: Candidato {rng.integers(0, 9999)}\n"
             return (head + body) if resume else ("RECEITA DE BOLO\n" + body)
         return _salad(rng, n_words, resume)

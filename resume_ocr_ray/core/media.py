@@ -217,6 +217,12 @@ def validate_image_content(page: bytes, name: str):
 def validate_text_content(text: str, name: str):
     """Text-mode resume validation over the first 3000 chars
     (validation_service.py:115-187, truncation at :149)."""
-    from .. import config
+    return _verdict_from_text(text[:_VALIDATION_TEXT_TRUNC], name)
 
-    return _verdict_from_text(text[: config.VALIDATION_TEXT_TRUNC], name)
+
+# module-level (not a call-time relative import): worker-side code must not
+# trigger package imports at call time — cloudpickle by-value closures ship
+# only what is bound at pickle time.
+from .. import config as _config  # noqa: E402
+
+_VALIDATION_TEXT_TRUNC = _config.VALIDATION_TEXT_TRUNC

@@ -1,0 +1,160 @@
+"""Per-partition checkpoint/resume with lineage + metrics (north rule).
+
+The resume unit is an INPUT SHARD (one parquet/lance file of the documents
+table — write_corpus lays these out). Each shard is processed as its own
+streaming pipeline and committed atomically:
+
+    out_dir/part=<shard>/....parquet     (written to a tmp dir, then rename)
+    out_dir/_manifest/<shard>.json       (tmp + rename after the data rename)
+
+The manifest row is the lineage + metrics record: input path + content
+fingerprint, row counts in/out, error-row count, wall seconds, docs/sec.
+On restart, shards whose manifest exists AND whose input fingerprint still
+matches are skipped — a killed job resumes from the last committed partition.
+Writing data before manifest makes the commit idempotent: a crash between the
+two renames re-runs the shard and re-renames over the same target.
+
+Reference contrast: the reference has NO checkpointing — a crashed request is
+lost (Mongo log written only at request end, app/routers/analysis.py:569).
+The manifest also subsumes the reference's audit-log record
+(request_id/user_id/counters/processing_time, analysis.py:558-567).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import zlib
+
+import pyarrow.parquet as pq
+
+from . import pipeline as P
+from .io import MediaStore
+
+
+def _fingerprint(path: str) -> str:
+    """Cheap content fingerprint: size + crc32 of the first 1 MiB."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        head = f.read(1 << 20)
+    return f"{size}-{zlib.crc32(head):08x}"
+
+
+def _manifest_path(out_dir: str, part_id: str) -> str:
+    return os.path.join(out_dir, "_manifest", f"{part_id}.json")
+
+
+def load_manifest(out_dir: str, part_id: str):
+    try:
+        with open(_manifest_path(out_dir, part_id)) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+
+
+def list_committed(out_dir: str) -> list:
+    mdir = os.path.join(out_dir, "_manifest")
+    if not os.path.isdir(mdir):
+        return []
+    return sorted(p[:-5] for p in os.listdir(mdir) if p.endswith(".json"))
+
+
+def run_checkpointed(
+    docs_dir: str,
+    store: MediaStore,
+    out_dir: str,
+    *,
+    analyzed: bool = False,
+    query=None,
+    ocr_concurrency=4,
+    batch_size=256,
+    max_parts: int | None = None,
+):
+    """Process every input shard not yet committed; return run summary.
+
+    ``max_parts`` limits how many UNCOMMITTED shards to process this call
+    (used by the kill-and-resume test to simulate a mid-job crash).
+    """
+    import ray.data as rd
+
+    os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+    shards = sorted(
+        f for f in os.listdir(docs_dir) if f.endswith((".parquet", ".lance"))
+    )
+    summary = {"processed": [], "skipped": [], "total_docs": 0, "total_errors": 0}
+    done = 0
+    for shard in shards:
+        part_id = os.path.splitext(shard)[0]
+        in_path = os.path.join(docs_dir, shard)
+        fp = _fingerprint(in_path)
+        m = load_manifest(out_dir, part_id)
+        if m is not None and m.get("input_fingerprint") == fp:
+            summary["skipped"].append(part_id)
+            continue
+        if max_parts is not None and done >= max_parts:
+            continue
+        t0 = time.monotonic()
+        ds = rd.read_parquet(in_path)
+        rows_in = ds.count()
+        out = P.extraction_pipeline(
+            ds, store, analyzed=analyzed, query=query,
+            ocr_concurrency=ocr_concurrency, batch_size=batch_size,
+        )
+        final_dir = os.path.join(out_dir, f"part={part_id}")
+        tmp_dir = final_dir + ".__tmp__"
+        if os.path.isdir(tmp_dir):
+            import shutil
+
+            shutil.rmtree(tmp_dir)
+        out.write_parquet(tmp_dir)
+        # derive output metrics from the written files (no re-execution)
+        rows_out = 0
+        n_errors = 0
+        for f in os.listdir(tmp_dir):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(tmp_dir, f), columns=["error"])
+            rows_out += t.num_rows
+            n_errors += t.num_rows - t.column("error").null_count
+        if os.path.isdir(final_dir):
+            import shutil
+
+            shutil.rmtree(final_dir)
+        os.replace(tmp_dir, final_dir)
+        wall = time.monotonic() - t0
+        manifest = {
+            "part_id": part_id,
+            "input_path": in_path,
+            "input_fingerprint": fp,
+            "rows_in": rows_in,
+            "rows_out": rows_out,
+            "n_errors": n_errors,
+            "wall_sec": round(wall, 3),
+            "docs_per_sec": round(rows_out / wall, 2) if wall > 0 else None,
+            "analyzed": analyzed,
+            "query": query,
+        }
+        mp = _manifest_path(out_dir, part_id)
+        with open(mp + ".__tmp__", "w") as f:
+            json.dump(manifest, f)
+        os.replace(mp + ".__tmp__", mp)
+        summary["processed"].append(part_id)
+        summary["total_docs"] += rows_out
+        summary["total_errors"] += n_errors
+        done += 1
+    return summary
+
+
+def read_output(out_dir: str):
+    """Dataset over all committed partitions (skips tmp dirs / manifest)."""
+    import ray.data as rd
+
+    files = sorted(
+        os.path.join(out_dir, d, f)
+        for d in os.listdir(out_dir)
+        if d.startswith("part=") and not d.endswith(".__tmp__")
+        for f in os.listdir(os.path.join(out_dir, d))
+        if f.endswith(".parquet")
+    )
+    return rd.read_parquet(files)

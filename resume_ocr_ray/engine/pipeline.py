@@ -53,18 +53,7 @@ U_EMPTY_PAYLOAD = "empty_payload"
 U_UNSUPPORTED = "unsupported"
 
 
-_BROADCAST_CACHE: dict = {}
-
-
-def _cached_broadcast(obj_ref):
-    """Fetch a ray.put broadcast once per WORKER PROCESS (module cache keyed
-    by object-ref hex) — never re-shipped or re-deserialized per batch."""
-    import ray
-
-    key = obj_ref.hex()
-    if key not in _BROADCAST_CACHE:
-        _BROADCAST_CACHE[key] = ray.get(obj_ref)
-    return _BROADCAST_CACHE[key]
+from ..common import cached_broadcast as _cached_broadcast
 
 
 def make_explode_fn(store: MediaStore):

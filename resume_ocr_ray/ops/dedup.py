@@ -123,20 +123,27 @@ class MinHashStage:
         )
 
 
-def _pairs_from_bucket(g: pd.DataFrame) -> pd.DataFrame:
-    ids = sorted(g["doc_id"].tolist())
-    if len(ids) < 2:
-        return pd.DataFrame({"a": [], "b": []})
-    # emit star pairs to the min element — enough for min-label components
-    a = ids[0]
-    return pd.DataFrame({"a": [a] * (len(ids) - 1), "b": ids[1:]})
+def _pairs_from_salt_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized star-pair emission for ALL buckets in one salted group:
+    within each (band, band_hash) bucket, pair every doc with the bucket's
+    min doc_id (sufficient for min-label connected components)."""
+    first = g.groupby(["band", "band_hash"])["doc_id"].transform("min")
+    sel = g["doc_id"] != first
+    return pd.DataFrame({"a": first[sel].to_numpy(), "b": g.loc[sel, "doc_id"].to_numpy()})
+
+
+#: Salt fan-out for bucket groupbys: bounds group size at scale (a group is
+#: ~n_rows/SALT rows) while keeping the per-group Python call count tiny.
+PAIR_SALT = 64
 
 
 def minhash_candidates(docs_ds, *, num_perm=64, bands=16, shingle=5,
                        concurrency=2):
-    """LSH candidate pairs: groupby (band, band_hash) buckets; each bucket
-    emits star-pairs to its min doc_id. Dedup pairs across bands with one
-    small groupby."""
+    """LSH candidate pairs via SALTED bucket groupby: the shuffle key is
+    (band, band_hash % SALT) so there are O(bands×SALT) groups — each
+    map_groups call handles many buckets with vectorized pandas, instead of
+    one Python call per tiny bucket. Bucket membership itself still uses the
+    exact band_hash, so candidates are identical."""
     from ray.data.aggregate import Count
 
     banded = docs_ds.map_batches(
@@ -147,10 +154,17 @@ def minhash_candidates(docs_ds, *, num_perm=64, bands=16, shingle=5,
         zero_copy_batch=True,
         concurrency=concurrency,
     )
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(
-        _pairs_from_bucket, batch_format="pandas"
+    salted = banded.map_batches(
+        lambda t: t.append_column(
+            "salt", pc.cast(pc.bit_wise_and(t["band_hash"], PAIR_SALT - 1), pa.int32())
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
-    # distinct pairs (a<b by construction)
+    pairs = salted.groupby(["band", "salt"]).map_groups(
+        _pairs_from_salt_group, batch_format="pandas"
+    )
+    # distinct pairs (a<b by construction); n_bands = LSH vote count
     return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
 
 
@@ -209,33 +223,64 @@ class SimHashStage:
         )
 
 
-def _simhash_bucket_pairs(g: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
-    rows = g[["doc_id", "simhash"]].drop_duplicates("doc_id").sort_values("doc_id")
-    ids = rows["doc_id"].to_numpy()
-    hs = rows["simhash"].to_numpy().astype(np.uint64)
-    if len(ids) < 2:
-        return pd.DataFrame({"a": [], "b": [], "hamming": []})
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64)
+    c = np.zeros(x.shape, dtype=np.int64)
+    for shift in range(0, 64, 8):
+        c += _POP8[(x >> np.uint64(shift)).astype(np.uint64) & np.uint64(0xFF)]
+    return c
+
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+def _simhash_salt_pairs(g: pd.DataFrame, max_hamming: int,
+                        max_bucket: int = 1000) -> pd.DataFrame:
+    """All buckets of one salted group: full pairwise hamming check within
+    each exact block_key bucket (vectorized popcount on the xor matrix).
+    A pathological bucket larger than ``max_bucket`` falls back to star
+    comparison against its min doc (documented skew cap — k² would blow up)."""
+    g = g.drop_duplicates(["doc_id", "block"]).sort_values(["block_key", "doc_id"])
     out_a, out_b, out_h = [], [], []
-    for i in range(len(ids)):
-        x = hs[i] ^ hs[i + 1 :]
-        ham = np.array([bin(int(v)).count("1") for v in x])
-        sel = np.nonzero(ham <= max_hamming)[0]
-        for j in sel:
-            out_a.append(ids[i])
-            out_b.append(ids[i + 1 + j])
-            out_h.append(int(ham[j]))
+    for _, b in g.groupby("block_key", sort=False):
+        if len(b) < 2:
+            continue
+        ids = b["doc_id"].to_numpy()
+        hs = b["simhash"].to_numpy().astype(np.uint64)
+        if len(b) > max_bucket:
+            ham = _popcount64(hs[1:] ^ hs[0])
+            keep = ham <= max_hamming
+            out_a.extend([ids[0]] * int(keep.sum()))
+            out_b.extend(ids[1:][keep])
+            out_h.extend(ham[keep])
+            continue
+        iu = np.triu_indices(len(ids), k=1)
+        ham = _popcount64(hs[iu[0]] ^ hs[iu[1]])
+        keep = ham <= max_hamming
+        out_a.extend(ids[iu[0][keep]])
+        out_b.extend(ids[iu[1][keep]])
+        out_h.extend(ham[keep])
     return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_h})
 
 
 def simhash_candidates(docs_ds, max_hamming: int = 3, concurrency=2):
+    """SimHash near-dup candidates via salted block-key groupby (same salting
+    rationale as minhash_candidates: bounded groups, vectorized inner work)."""
     from ray.data.aggregate import Min
 
     hashed = docs_ds.map_batches(
         SimHashStage, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency,
     )
-    pairs = hashed.groupby(["block", "block_key"]).map_groups(
-        lambda g: _simhash_bucket_pairs(g, max_hamming), batch_format="pandas"
+    salted = hashed.map_batches(
+        lambda t: t.append_column(
+            "salt", pc.cast(pc.bit_wise_and(t["block_key"], PAIR_SALT - 1), pa.int32())
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pairs = salted.groupby(["block", "salt"]).map_groups(
+        lambda g: _simhash_salt_pairs(g, max_hamming), batch_format="pandas"
     )
     return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
 

@@ -1,0 +1,144 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+
+The real decode libraries (PIL/cv2/ffmpeg) are not in this container, so the
+DECODE KERNELS are stubbed behind an import-try (NotImplementedError when the
+lib is absent, or the deterministic synthetic codec for our own payloads) —
+but the Ray-side plumbing is real and tested: schema, actor-pool signature,
+batch sizing for large binary rows, and output layout.
+
+Stages:
+- ``MediaProbeStage``  — header-only metadata extraction (kind, n_pages,
+  payload bytes) — cheap, no full decode
+- ``ImageDecodeStage`` — decode + feature-extract; real impl for the
+  synthetic codec, guarded stub for true image bytes
+- ``frame_sample``     — select every k-th page/frame of multi-page payloads
+
+Batch-size guidance encoded here: binary payloads make rows wide — callers
+pass small ``batch_size`` (32–128) so batch × concurrency fits worker heaps;
+blocks of binary columns stay in Arrow (never pandas object dtype).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..core import media as M
+
+try:  # the real-image path; absent in this container
+    import PIL.Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+
+class MediaProbeStage:
+    """Header-only probe of binary media payloads (no page decode)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        kinds, n_pages, sizes = [], [], []
+        for p in payloads:
+            sizes.append(len(p))
+            try:
+                hdr = M.decode_media_header(p)
+                kinds.append(hdr["media_kind"])
+                n_pages.append(hdr["n_pages"])
+            except Exception:
+                kinds.append("unknown")
+                n_pages.append(0)
+        return pa.table(
+            {
+                "media_ref": batch.column("media_ref"),
+                "media_kind": pa.array(kinds),
+                "n_pages": pa.array(n_pages, type=pa.int32()),
+                "payload_bytes": pa.array(sizes, type=pa.int64()),
+            }
+        )
+
+
+class ImageDecodeStage:
+    """Decode pages → per-page features. Stateful (decoder init once).
+
+    For synthetic payloads: decodes via the deterministic codec and emits
+    text-length / byte-entropy features. For real image bytes: requires PIL —
+    raises NotImplementedError when unavailable (clearly-marked stub)."""
+
+    def __init__(self, real_images: bool = False):
+        if real_images and not HAVE_PIL:
+            raise NotImplementedError(
+                "real image decode requires PIL, which is not installed in "
+                "this container — synthetic codec path only"
+            )
+        self.real_images = real_images
+        self.engine = M.OcrEngine()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, pages_out, feat_len, feat_entropy = [], [], [], []
+        for ref, payload in zip(
+            batch.column("media_ref").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            try:
+                doc = M.decode_media(payload)
+            except Exception:
+                continue
+            for i, page in enumerate(doc.pages):
+                refs.append(ref)
+                pages_out.append(i)
+                try:
+                    text = self.engine.image_to_string(page)
+                    feat_len.append(len(text))
+                except M.OcrDecodeError:
+                    feat_len.append(-1)
+                arr = np.frombuffer(page, dtype=np.uint8)
+                counts = np.bincount(arr, minlength=256).astype(np.float64)
+                probs = counts[counts > 0] / max(1, arr.size)
+                feat_entropy.append(float(np.round(-(probs * np.log2(probs)).sum(), 4)))
+        return pa.table(
+            {
+                "media_ref": pa.array(refs),
+                "page_no": pa.array(pages_out, type=pa.int32()),
+                "text_len": pa.array(feat_len, type=pa.int64()),
+                "byte_entropy": pa.array(feat_entropy, type=pa.float64()),
+            }
+        )
+
+
+def probe_media(media_ds, concurrency: int = 2):
+    return media_ds.map_batches(
+        MediaProbeStage, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=64, concurrency=concurrency,
+    )
+
+
+def decode_features(media_ds, concurrency: int = 2):
+    return media_ds.map_batches(
+        ImageDecodeStage, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=32, concurrency=concurrency,
+    )
+
+
+def frame_sample(media_ds, every_k: int = 2, concurrency: int = 2):
+    """Every k-th page of each payload, re-encoded as a smaller payload."""
+
+    def sample(batch: pa.Table) -> pa.Table:
+        refs, payloads = [], []
+        for ref, payload in zip(
+            batch.column("media_ref").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            try:
+                doc = M.decode_media(payload)
+            except Exception:
+                continue
+            kept = doc.pages[::every_k]
+            refs.append(ref)
+            payloads.append(M.encode_media(doc.media_kind, kept, doc.direct_text))
+        return pa.table(
+            {"media_ref": pa.array(refs, type=pa.string()),
+             "payload": pa.array(payloads, type=pa.binary())}
+        )
+
+    return media_ds.map_batches(
+        sample, batch_format="pyarrow", zero_copy_batch=True, batch_size=32,
+    )

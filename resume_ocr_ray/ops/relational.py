@@ -68,38 +68,31 @@ def _round_money(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-class SegmentJoinStage:
-    """Broadcast join: the small customer dim is fetched once per actor and
-    probed with a vectorized pandas merge per batch."""
-
-    def __init__(self, cust_ref):
-        import ray
-
-        cust = ray.get(cust_ref) if hasattr(cust_ref, "hex") else cust_ref
-        self.cust = cust  # pandas DataFrame (c_custkey, c_mktsegment)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        df = batch.select(["o_custkey", "o_totalprice"]).to_pandas()
-        j = df.merge(self.cust, left_on="o_custkey", right_on="c_custkey", how="inner")
-        g = j.groupby("c_mktsegment", as_index=False).agg(
-            total_price=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+def _segment_join_batch(batch: pa.Table, cust: pd.DataFrame) -> pa.Table:
+    """Broadcast-join probe: vectorized pandas merge per batch + partial agg."""
+    df = batch.select(["o_custkey", "o_totalprice"]).to_pandas()
+    j = df.merge(cust, left_on="o_custkey", right_on="c_custkey", how="inner")
+    g = j.groupby("c_mktsegment", as_index=False).agg(
+        total_price=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+    )
+    return pa.Table.from_pandas(g, preserve_index=False)
 
 
 def orders_by_segment(orders_ds, customer_df: pd.DataFrame):
-    """Revenue per market segment via broadcast join + partial agg."""
+    """Revenue per market segment via broadcast join + partial agg: the small
+    customer dim is ray.put once and fetched per worker (stateless tasks)."""
     import ray
     from ray.data.aggregate import Sum
 
+    from ..common import cached_broadcast
+
     cust_ref = ray.put(customer_df[["c_custkey", "c_mktsegment"]])
+
+    def join(batch: pa.Table) -> pa.Table:
+        return _segment_join_batch(batch, cached_broadcast(cust_ref))
+
     partials = orders_ds.map_batches(
-        SegmentJoinStage,
-        fn_constructor_args=(cust_ref,),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=65536,
-        concurrency=2,
+        join, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536,
     )
     return (
         partials.groupby("c_mktsegment")

@@ -31,47 +31,41 @@ def query_vector(dim: int = 64, seed: int = 7) -> np.ndarray:
     return v / np.linalg.norm(v)
 
 
-class CosineScoreStage:
-    """Per-batch cosine scores vs a broadcast query vector; emits per-batch
-    top-k partials only (combiner before the global merge)."""
-
-    def __init__(self, qvec_ref, k: int):
-        import ray
-
-        self.q = (
-            ray.get(qvec_ref) if hasattr(qvec_ref, "hex") else np.asarray(qvec_ref)
-        ).astype(np.float32)
-        self.k = k
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = _as_matrix(batch)
-        if mat.size == 0:
-            return pa.table({"vec_id": pa.array([], type=pa.int64()),
-                             "cosine": pa.array([], type=pa.float64())})
-        norms = np.linalg.norm(mat, axis=1)
-        sims = (mat @ self.q) / np.maximum(norms, 1e-9)
-        k = min(self.k, sims.shape[0])
-        top = np.argpartition(-sims, k - 1)[:k]
-        return pa.table(
-            {
-                "vec_id": batch.column("vec_id").take(pa.array(top)),
-                "cosine": pa.array(np.round(sims[top].astype(np.float64), 6)),
-            }
-        )
+def _cosine_topk_batch(batch: pa.Table, q: np.ndarray, k: int) -> pa.Table:
+    """Per-batch cosine scores vs the query + batch-local top-k partial
+    (combiner before the global merge)."""
+    mat = _as_matrix(batch)
+    if mat.size == 0:
+        return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                         "cosine": pa.array([], type=pa.float64())})
+    norms = np.linalg.norm(mat, axis=1)
+    sims = (mat @ q) / np.maximum(norms, 1e-9)
+    k = min(k, sims.shape[0])
+    top = np.argpartition(-sims, k - 1)[:k]
+    return pa.table(
+        {
+            "vec_id": batch.column("vec_id").take(pa.array(top)),
+            "cosine": pa.array(np.round(sims[top].astype(np.float64), 6)),
+        }
+    )
 
 
 def brute_force_topk(emb_ds, qvec: np.ndarray, k: int = 10):
-    """Exact cosine top-k: batch-local partials → tiny global sort+limit."""
+    """Exact cosine top-k: batch-local partials → tiny global sort+limit.
+
+    The query matrix is broadcast via ray.put and looked up per worker
+    process (stateless tasks — broadcast-only state never needs a pool)."""
     import ray
 
+    from ..common import cached_broadcast
+
     qref = ray.put(np.asarray(qvec, dtype=np.float32))
+
+    def score(batch: pa.Table) -> pa.Table:
+        return _cosine_topk_batch(batch, cached_broadcast(qref), k)
+
     partials = emb_ds.map_batches(
-        CosineScoreStage,
-        fn_constructor_args=(qref, k),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=4096,
-        concurrency=2,
+        score, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096,
     )
     return partials.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
 
@@ -97,22 +91,13 @@ def train_centroids(sample: np.ndarray, n_cells: int, iters: int = 5,
     return cents.astype(np.float32)
 
 
-class IvfAssignStage:
-    """Assign each vector to its nearest centroid cell (broadcast centroids)."""
-
-    def __init__(self, cents_ref):
-        import ray
-
-        self.cents = (
-            ray.get(cents_ref) if hasattr(cents_ref, "hex") else np.asarray(cents_ref)
-        )
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = _as_matrix(batch)
-        if mat.size == 0:
-            return batch.append_column("cell", pa.array([], type=pa.int32()))
-        d = ((mat[:, None, :] - self.cents[None, :, :]) ** 2).sum(-1)
-        return batch.append_column("cell", pa.array(d.argmin(1).astype(np.int32)))
+def _assign_cells(batch: pa.Table, cents: np.ndarray) -> pa.Table:
+    """Assign each vector to its nearest centroid cell."""
+    mat = _as_matrix(batch)
+    if mat.size == 0:
+        return batch.append_column("cell", pa.array([], type=pa.int32()))
+    d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    return batch.append_column("cell", pa.array(d.argmin(1).astype(np.int32)))
 
 
 def ivf_topk(emb_ds, qvec: np.ndarray, k: int = 10, n_cells: int = 16,
@@ -133,13 +118,15 @@ def ivf_topk(emb_ds, qvec: np.ndarray, k: int = 10, n_cells: int = 16,
     probe = np.argsort(((cents - q) ** 2).sum(1))[:nprobe].astype(np.int32)
     probe_set = set(int(x) for x in probe)
 
+    from ..common import cached_broadcast
+
+    cents_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        return _assign_cells(batch, cached_broadcast(cents_ref))
+
     assigned = emb_ds.map_batches(
-        IvfAssignStage,
-        fn_constructor_args=(ray.put(cents),),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=4096,
-        concurrency=2,
+        assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096,
     )
     probed = assigned.map_batches(
         lambda t: t.filter(

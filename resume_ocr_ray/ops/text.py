@@ -40,10 +40,9 @@ _PUNCT = ".!?,;:"
 
 
 def quality_score(batch: pa.Table) -> pa.Table:
-    """Quality heuristics: punct ratio, mean word length, uppercase ratio.
-
-    All pyarrow/numpy kernels; quality = mix chosen to be SQL-expressible
-    (round(,6) on both sides avoids float-hash drift vs the oracle).
+    """Quality heuristics: punctuation / uppercase density and mean word
+    length, as INTEGER parts-per-million (floor) — exactly SQL-expressible,
+    no float-rounding drift vs the DuckDB oracle.
     """
     text = batch.column("text")
     n_chars = pc.utf8_length(text).cast(pa.float64())
@@ -59,17 +58,18 @@ def quality_score(batch: pa.Table) -> pa.Table:
         pc.utf8_length(pc.replace_substring_regex(text, "[A-Z]", "")).cast(pa.float64()),
     )
     n_tokens = pc.list_value_length(pc.split_pattern(text, " ")).cast(pa.float64())
-    punct_ratio = pc.round(pc.divide(n_punct, safe_chars), ndigits=6)
-    upper_ratio = pc.round(pc.divide(n_upper, safe_chars), ndigits=6)
-    mean_word_len = pc.round(
-        pc.divide(n_chars, pc.max_element_wise(n_tokens, pa.scalar(1.0))), ndigits=6
-    )
+
+    def ppm(num, den):
+        return pc.floor(pc.divide(pc.multiply(num, pa.scalar(1_000_000.0)), den)).cast(
+            pa.int64()
+        )
+
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
-            "punct_ratio": punct_ratio,
-            "upper_ratio": upper_ratio,
-            "mean_word_len": mean_word_len,
+            "punct_ppm": ppm(n_punct, safe_chars),
+            "upper_ppm": ppm(n_upper, safe_chars),
+            "word_len_ppm": ppm(n_chars, pc.max_element_wise(n_tokens, pa.scalar(1.0))),
         }
     )
 
@@ -112,24 +112,34 @@ class LangIdStage:
 
 
 _FP_BASE = np.uint64(1099511628211)
-_FP_OFF = np.uint64(14695981039346656037)
+_FP_WINDOW = 8
 
 
-def fingerprint(batch: pa.Table) -> pa.Table:
-    """64-bit FNV-1a rolling fingerprint per document (vectorized numpy).
+def fingerprint(batch: pa.Table, window: int = _FP_WINDOW) -> pa.Table:
+    """Winnowing-style document fingerprint: Rabin-Karp rolling hash over
+    token CRCs in a ``window``-gram, taking the minimum window hash
+    (mod 2^64, numpy wraparound). Vectorized: ``window`` vector passes per
+    doc, no per-byte Python loops. Stable across processes (CRC-based, no
+    PYTHONHASHSEED dependence) — usable as a dedup/shard-routing key."""
+    import zlib
 
-    Stable across processes (no PYTHONHASHSEED dependence) — usable as an
-    exact-dedup / shard-routing key at scale.
-    """
     texts = batch.column("text").to_pylist()
     out = np.empty(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        data = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-        h = _FP_OFF
-        # chunked horner evaluation keeps this O(n) numpy-side
-        for b in data:
-            h = (h ^ b) * _FP_BASE
-        out[i] = h
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(texts):
+            toks = (t or "").split()
+            if not toks:
+                out[i] = 0
+                continue
+            arr = np.fromiter(
+                (zlib.crc32(w.encode()) for w in toks), dtype=np.uint64, count=len(toks)
+            )
+            w = min(window, len(arr))
+            n_win = len(arr) - w + 1
+            h = np.zeros(n_win, dtype=np.uint64)
+            for j in range(w):  # w (=8) vectorized passes, Horner scheme
+                h = h * _FP_BASE + arr[j : j + n_win]
+            out[i] = h.min()
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),

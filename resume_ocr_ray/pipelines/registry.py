@@ -1,0 +1,338 @@
+"""Query registry: the driver-facing surface (queries() + oracle_sql()).
+
+Each entry is one implemented operator/pipeline from SURVEY §2 plus the
+large-scale training-data ops. SQL-expressible queries carry a DuckDB oracle
+with IDENTICAL column names (the driver hashes values after sorting columns
+by name); non-SQL ops (extraction over synthetic media, MinHash, SimHash,
+BPE counting, …) are registered without an oracle → rows-only check.
+
+None of these callables initialises Ray — the driver owns the session.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..core import corpus
+from ..engine import io as EIO
+from ..engine import pipeline as P
+from ..ops import dedup as D
+from ..ops import relational as R
+from ..ops import similarity as SIM
+from ..ops import text as T
+
+DEFAULT_QUERY = "python spark backend docker dados"
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _documents_table(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+# ---------------------------------------------------------------------------
+# extraction pipelines (interleaved corpus derived from the documents table)
+# ---------------------------------------------------------------------------
+
+def _pool_sizes():
+    """Size actor pools to the session's CPU budget: OCR gets ~half, scorer a
+    sliver, and at least one CPU stays free for read/shuffle tasks —
+    oversubscribed all-actor plans deadlock small sessions."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    ocr = max(2, ncpu // 2)
+    scorer = max(1, ncpu // 8)
+    return ocr, scorer
+
+
+def _extraction_ds(sf_dir: str, repeat: int = 2, analyzed=False, query=None):
+    import ray.data as rd
+
+    docs, media = corpus.corpus_from_documents(_documents_table(sf_dir), repeat=repeat)
+    store = EIO.MediaStore.from_table(media)
+    n_blocks = max(8, docs.num_rows // 512)
+    docs_ds = rd.from_arrow(docs).repartition(n_blocks)
+    ocr, scorer = _pool_sizes()
+    return P.extraction_pipeline(
+        docs_ds, store, analyzed=analyzed, query=query,
+        ocr_concurrency=ocr, scorer_concurrency=scorer,
+    )
+
+
+def _summarize_extracted(t: pa.Table) -> pa.Table:
+    spans = t.column("spans_out").combine_chunks()
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.chunk(0) if spans.num_chunks else pa.array([], spans.type)
+    n_spans = pc.list_value_length(spans).fill_null(0)
+    flat = pc.list_flatten(spans)
+    parent = pc.list_parent_indices(spans)
+    lens = pc.utf8_length(flat.field("text")).to_numpy(zero_copy_only=False)
+    total = np.zeros(t.num_rows, dtype=np.int64)
+    np.add.at(total, parent.to_numpy(zero_copy_only=False), lens)
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "n_spans_out": n_spans.cast(pa.int64()),
+            "total_chars": pa.array(total),
+            "error": t.column("error"),
+        }
+    )
+
+
+def q_extract_interleaved(sf_dir: str):
+    """Flagship: full extraction over the derived interleaved corpus;
+    returns a per-doc summary (span counts / extracted chars / error)."""
+    ds = _extraction_ds(sf_dir)
+    return ds.map_batches(_summarize_extracted, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def q_extract_rank(sf_dir: str):
+    """Query-mode analysis + ranking: top-5 docs by alignment score."""
+    ds = _extraction_ds(sf_dir, analyzed=True, query=DEFAULT_QUERY)
+    top = P.rank_topk(ds, k=5)
+    return top.map_batches(
+        lambda t: t.select(["doc_id", "score", "seniority", "summary"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_extract_seniority(sf_dir: str):
+    """No-query mode: seniority classification counts (G4-style counters)."""
+    from ray.data.aggregate import Count
+
+    ds = _extraction_ds(sf_dir, analyzed=True, query=None)
+    ok = ds.map_batches(
+        lambda t: t.filter(pc.is_null(t["error"])), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return ok.groupby("seniority").aggregate(Count(alias_name="n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# SQL-checked queries (text analysis / dedup / relational / similarity)
+# ---------------------------------------------------------------------------
+
+def q_doc_stats(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        T.doc_stats, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_quality(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        T.quality_score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_dedup_exact(sf_dir: str):
+    return D.dedup_exact(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_dedup_prefix(sf_dir: str):
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        D.add_prefix_key, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        ds.select_columns(["prefix_key", "doc_id"])
+        .groupby("prefix_key")
+        .aggregate(
+            Min("doc_id", alias_name="keep_doc_id"),
+            Count(alias_name="n_dups"),
+        )
+    )
+
+
+def q_top_docs(sf_dir: str):
+    return R.top_docs(_read(sf_dir, "documents", ["doc_id", "n_chars"]))
+
+
+def q_short_docs_by_lang(sf_dir: str):
+    return R.short_docs_by_lang(_read(sf_dir, "documents", ["lang", "n_chars"]))
+
+
+def q_lineitem_agg(sf_dir: str):
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount"]
+    return R.lineitem_agg(_read(sf_dir, "lineitem", cols))
+
+
+def q_orders_by_segment(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    return R.orders_by_segment(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]), cust
+    )
+
+
+def q_events_hourly(sf_dir: str):
+    return R.events_hourly(_read(sf_dir, "events", ["ts", "event_type", "value"]))
+
+
+def q_ann_cosine(sf_dir: str):
+    qv = SIM.query_vector(64, seed=7)
+    return SIM.brute_force_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), qv, k=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (no exact SQL oracle)
+# ---------------------------------------------------------------------------
+
+def q_minhash_pairs(sf_dir: str):
+    return D.minhash_candidates(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_simhash_pairs(sf_dir: str):
+    return D.simhash_candidates(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_embedding_dups(sf_dir: str):
+    """Near-dup detection demo: the random testdata embeddings contain no
+    true near-dups, so plant deterministic jittered copies of the first 10
+    vectors (ids +1_000_000) — the operator must recover exactly those."""
+    import ray.data as rd
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_pylist()
+        emb = batch.column("embedding").to_pylist()
+        for vid, e in zip(list(ids), list(emb)):
+            if vid < 10:
+                rng = np.random.default_rng(vid)
+                v = np.asarray(e, dtype=np.float32)
+                ids.append(vid + 1_000_000)
+                emb.append((v + 0.01 * rng.standard_normal(v.shape).astype(np.float32)).tolist())
+        return pa.table(
+            {"vec_id": pa.array(ids, type=pa.int64()),
+             "embedding": pa.array(emb, type=pa.list_(pa.float32()))}
+        )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        plant, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return D.embedding_near_dups(ds, threshold=0.95)
+
+
+def q_lang_id(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        T.LangIdStage, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        T.fingerprint, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_bpe_tokens(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        T.BpeTokenCounter, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+    )
+
+
+def q_ivf_ann(sf_dir: str):
+    qv = SIM.query_vector(64, seed=7)
+    return SIM.ivf_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), qv, k=10
+    )
+
+
+def queries() -> dict:
+    return {
+        # extraction engine (north rule) — non-SQL (synthetic media decode)
+        "extract_interleaved": q_extract_interleaved,
+        "extract_rank": q_extract_rank,
+        "extract_seniority": q_extract_seniority,
+        # text analysis
+        "doc_stats": q_doc_stats,
+        "quality_score": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "bpe_tokens": q_bpe_tokens,
+        # dedup
+        "dedup_exact": q_dedup_exact,
+        "dedup_prefix": q_dedup_prefix,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_dups": q_embedding_dups,
+        # similarity
+        "ann_cosine": q_ann_cosine,
+        "ivf_ann": q_ivf_ann,
+        # relational / windows / ranking
+        "top_docs": q_top_docs,
+        "short_docs_by_lang": q_short_docs_by_lang,
+        "lineitem_agg": q_lineitem_agg,
+        "orders_by_segment": q_orders_by_segment,
+        "events_hourly": q_events_hourly,
+    }
+
+
+def oracle_sql() -> dict:
+    qv = ", ".join(f"{float(x)!r}" for x in SIM.query_vector(64, seed=7))
+    return {
+        "doc_stats": (
+            "SELECT doc_id, length(text) AS n_chars_actual, "
+            "len(string_split(text, ' ')) AS n_tokens FROM documents"
+        ),
+        "quality_score": (
+            "SELECT doc_id, "
+            "CAST(floor(1000000.0 * (length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) / greatest(length(text), 1)) AS BIGINT) AS punct_ppm, "
+            "CAST(floor(1000000.0 * (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) / greatest(length(text), 1)) AS BIGINT) AS upper_ppm, "
+            "CAST(floor(1000000.0 * length(text) / greatest(len(string_split(text, ' ')), 1)) AS BIGINT) AS word_len_ppm "
+            "FROM documents"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id "
+            "FROM documents GROUP BY md5(text)"
+        ),
+        "dedup_prefix": (
+            "SELECT substr(text, 1, 24) AS prefix_key, min(doc_id) AS keep_doc_id, "
+            "count(*) AS n_dups FROM documents GROUP BY substr(text, 1, 24)"
+        ),
+        "top_docs": (
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY n_chars DESC, doc_id LIMIT 5"
+        ),
+        "short_docs_by_lang": (
+            "SELECT lang, count(*) AS n_short FROM documents "
+            "WHERE n_chars < 200 GROUP BY lang"
+        ),
+        "lineitem_agg": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "count(*) AS count_order "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "orders_by_segment": (
+            "SELECT c_mktsegment, round(sum(o_totalprice), 2) AS total_price, "
+            "count(*) AS n_orders FROM orders "
+            "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+        ),
+        "events_hourly": (
+            "SELECT event_type, date_trunc('hour', ts) AS window_start, "
+            "count(*) AS n_events, round(sum(value), 4) AS sum_value "
+            "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        "ann_cosine": (
+            f"SELECT vec_id, round(CAST(list_cosine_similarity(embedding, [{qv}]) AS DOUBLE), 6) AS cosine "
+            "FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+    }

@@ -1,0 +1,86 @@
+"""Checkpoint/resume: kill-and-resume idempotence + lineage metrics."""
+
+import json
+import os
+
+import pytest
+
+from resume_ocr_ray.core import corpus, extract
+from resume_ocr_ray.engine import checkpoint as CK
+from resume_ocr_ray.engine import io as EIO
+
+
+@pytest.fixture()
+def corpus_on_disk(tmp_path):
+    docs, media = corpus.generate_corpus(36, seed=21)
+    docs_dir, media_dir = EIO.write_corpus(str(tmp_path / "in"), docs, media, num_shards=4)
+    lookup = dict(
+        zip(media.column("media_ref").to_pylist(), media.column("payload").to_pylist())
+    )
+    return docs, media, docs_dir, media_dir, lookup
+
+
+def test_kill_and_resume(ray_session, corpus_on_disk, tmp_path):
+    docs, media, docs_dir, media_dir, lookup = corpus_on_disk
+    store = EIO.MediaStore.from_table(media)
+    out_dir = str(tmp_path / "out")
+
+    # "crash" after 2 of 4 partitions
+    s1 = CK.run_checkpointed(docs_dir, store, out_dir, ocr_concurrency=2, max_parts=2)
+    assert len(s1["processed"]) == 2 and not s1["skipped"]
+    committed = CK.list_committed(out_dir)
+    assert len(committed) == 2
+    mtimes = {
+        p: os.path.getmtime(os.path.join(out_dir, f"part={p}")) for p in committed
+    }
+
+    # resume: committed parts skipped (not rewritten), rest processed
+    s2 = CK.run_checkpointed(docs_dir, store, out_dir, ocr_concurrency=2)
+    assert sorted(s2["skipped"]) == committed
+    assert len(s2["processed"]) == 2
+    for p, mt in mtimes.items():
+        assert os.path.getmtime(os.path.join(out_dir, f"part={p}")) == mt
+
+    # third run: everything skipped (idempotent)
+    s3 = CK.run_checkpointed(docs_dir, store, out_dir, ocr_concurrency=2)
+    assert not s3["processed"] and len(s3["skipped"]) == 4
+
+    # final output equals the oracle over the whole corpus
+    result = {r["doc_id"]: r for r in CK.read_output(out_dir).take_all()}
+    expected = extract.extract_table(docs, lookup).to_pylist()
+    assert len(result) == len(expected)
+    for e in expected:
+        a = result[e["doc_id"]]
+        assert a["error"] == e["error"]
+        assert [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in a["spans_out"]
+        ] == [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in e["spans_out"]
+        ]
+
+
+def test_manifest_lineage_and_invalidation(ray_session, corpus_on_disk, tmp_path):
+    docs, media, docs_dir, media_dir, lookup = corpus_on_disk
+    store = EIO.MediaStore.from_table(media)
+    out_dir = str(tmp_path / "out2")
+    CK.run_checkpointed(docs_dir, store, out_dir, ocr_concurrency=2)
+
+    # manifests carry lineage + metrics
+    for p in CK.list_committed(out_dir):
+        m = CK.load_manifest(out_dir, p)
+        assert m["input_fingerprint"] and m["rows_in"] > 0
+        assert m["rows_out"] == m["rows_in"]
+        assert m["wall_sec"] > 0 and m["docs_per_sec"] > 0
+        assert m["input_path"].endswith(f"{p}.parquet")
+
+    # input change invalidates exactly that partition
+    shard0 = os.path.join(docs_dir, "shard-0000.parquet")
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(shard0)
+    pq.write_table(t.slice(0, max(1, t.num_rows - 1)), shard0)
+    s = CK.run_checkpointed(docs_dir, store, out_dir, ocr_concurrency=2)
+    assert s["processed"] == ["shard-0000"]
+    assert len(s["skipped"]) == 3
+    m = CK.load_manifest(out_dir, "shard-0000")
+    assert m["rows_in"] == t.num_rows - 1

@@ -1,0 +1,131 @@
+"""Unit/behavioral tests for the training-data ops (dedup, similarity,
+multimodal plumbing, job-config validation)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from resume_ocr_ray.core import corpus
+from resume_ocr_ray.ops import dedup as D
+from resume_ocr_ray.ops import multimodal as MM
+from resume_ocr_ray.ops import similarity as SIM
+
+
+def _docs_with_dups():
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away into "
+        "the green forest while the sun sets slowly behind tall mountains "
+    ) * 4
+    rows = []
+    for i in range(20):
+        rows.append({"doc_id": i, "text": f"unique document number {i} " + f"filler {i} " * 30})
+    # near-dup pair: tiny edit
+    rows.append({"doc_id": 100, "text": base})
+    rows.append({"doc_id": 101, "text": base.replace("lazy", "sleepy")})
+    # exact dup pair
+    rows.append({"doc_id": 200, "text": base})
+    return pa.table(
+        {"doc_id": [r["doc_id"] for r in rows], "text": [r["text"] for r in rows]}
+    )
+
+
+def test_minhash_finds_near_dups(ray_session):
+    import ray.data as rd
+
+    tbl = _docs_with_dups()
+    pairs = D.minhash_candidates(rd.from_arrow(tbl)).to_pandas()
+    found = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    assert (100, 200) in found  # exact dup always collides
+    assert any(a == 100 or b == 101 for a, b in found if {a, b} & {101}), found
+    # verify stage: true Jaccard of the near-dup pair is high
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    assert D.jaccard(texts[100], texts[101]) > 0.5
+    assert D.jaccard(texts[100], texts[0]) < 0.1
+
+
+def test_simhash_finds_near_dups(ray_session):
+    import ray.data as rd
+
+    pairs = D.simhash_candidates(rd.from_arrow(_docs_with_dups())).to_pandas()
+    found = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    assert (100, 200) in found
+    ham = dict(zip(map(tuple, pairs[["a", "b"]].to_numpy()), pairs["hamming"]))
+    assert ham[(100, 200)] == 0
+
+
+def test_embedding_near_dups(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(64).astype(np.float32)
+    vecs = [base, base + 0.01 * rng.standard_normal(64).astype(np.float32)]
+    vecs += [rng.standard_normal(64).astype(np.float32) for _ in range(30)]
+    tbl = pa.table(
+        {"vec_id": list(range(len(vecs))), "embedding": [v.tolist() for v in vecs]}
+    )
+    pairs = D.embedding_near_dups(rd.from_arrow(tbl), threshold=0.95).to_pandas()
+    assert (0, 1) in set(map(tuple, pairs[["a", "b"]].to_numpy()))
+
+
+def test_brute_force_vs_ivf_overlap(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((300, 64)).astype(np.float32)
+    tbl = pa.table(
+        {"vec_id": list(range(300)), "embedding": [v.tolist() for v in vecs]}
+    )
+    q = SIM.query_vector(64, seed=7)
+    exact = SIM.brute_force_topk(rd.from_arrow(tbl), q, k=10).to_pandas()
+    approx = SIM.ivf_topk(rd.from_arrow(tbl), q, k=10, n_cells=8, nprobe=4).to_pandas()
+    assert len(exact) == 10
+    # IVF with half the cells probed should still recover most of the top-10
+    overlap = len(set(exact["vec_id"]) & set(approx["vec_id"]))
+    assert overlap >= 5, overlap
+    # exact list is sorted desc
+    assert list(exact["cosine"]) == sorted(exact["cosine"], reverse=True)
+
+
+def test_multimodal_probe_and_decode(ray_session):
+    import ray.data as rd
+
+    _, media = corpus.generate_corpus(18, seed=5)
+    media_ds = rd.from_arrow(media)
+    probe = MM.probe_media(media_ds).to_pandas()
+    assert set(probe.columns) == {"media_ref", "media_kind", "n_pages", "payload_bytes"}
+    assert (probe["payload_bytes"] > 0).all()
+    feats = MM.decode_features(media_ds).to_pandas()
+    assert (feats["text_len"] > 0).all()  # synthetic pages all decode
+    assert feats["byte_entropy"].between(0, 8).all()
+    # frame sampling halves pages (ceil)
+    sampled = MM.frame_sample(media_ds, every_k=2).to_pandas()
+    probe2 = MM.probe_media(rd.from_pandas(sampled)).to_pandas()
+    merged = probe.merge(probe2, on="media_ref", suffixes=("", "_s"))
+    assert (merged["n_pages_s"] == (merged["n_pages"] + 1) // 2).all()
+
+
+def test_real_image_decode_is_gated_stub():
+    if MM.HAVE_PIL:
+        pytest.skip("PIL present; stub not applicable")
+    with pytest.raises(NotImplementedError):
+        MM.ImageDecodeStage(real_images=True)
+
+
+def test_job_config_validation():
+    from resume_ocr_ray.engine import job
+
+    class A:
+        request_id = "not-a-uuid"
+        user_id = ""
+        query = "x" * 3000
+
+    errs = job.validate_job_config(A)
+    assert len(errs) == 3
+    import uuid
+
+    class B:
+        request_id = str(uuid.uuid4())
+        user_id = "alice"
+        query = None
+
+    assert job.validate_job_config(B) == []

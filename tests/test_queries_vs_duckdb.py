@@ -1,0 +1,74 @@
+"""Driver-contract gate: every queries() entry runs at sf0.01; entries with a
+DuckDB oracle must match on row count + schema + order-insensitive values
+(mimicking the driver's compare, which sorts columns by name then hashes)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from resume_ocr_ray.pipelines import registry as reg
+
+    return reg
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    raise TypeError(type(res))
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def test_all_queries_run(ray_session, registry):
+    for name, fn in registry.queries().items():
+        res = _to_pandas(fn(SF_DIR))
+        assert len(res) >= 0, name
+        assert len(res.columns) > 0, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "doc_stats", "quality_score", "dedup_exact", "dedup_prefix", "top_docs",
+        "short_docs_by_lang", "lineitem_agg", "orders_by_segment",
+        "events_hourly", "ann_cosine",
+    ],
+)
+def test_query_matches_oracle(ray_session, registry, duck, name):
+    ray_df = _normalize(_to_pandas(registry.queries()[name](SF_DIR)))
+    sql_df = _normalize(duck.sql(registry.oracle_sql()[name]).fetchdf())
+    assert list(ray_df.columns) == list(sql_df.columns), (
+        name, list(ray_df.columns), list(sql_df.columns)
+    )
+    assert len(ray_df) == len(sql_df), name
+    pd.testing.assert_frame_equal(
+        ray_df, sql_df, check_dtype=False, check_exact=False, rtol=0, atol=0
+    )
+
+
+def test_oracle_keys_subset_of_queries(registry):
+    assert set(registry.oracle_sql()) <= set(registry.queries())
