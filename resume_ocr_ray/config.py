@@ -31,6 +31,13 @@ RETRY_BACKOFF = 0.5
 #: Query-mode result truncation (reference: app/routers/analysis.py:543-545).
 TOP_K = 5
 
+#: Per-payload size cap (reference MAX_FILE_SIZE = 10 MB, constants.py:5).
+#: Deviation from the reference, documented: an oversized payload becomes a
+#: per-row error (the reference 400s the whole request, utils.py:27-47 —
+#: failing a whole 100 TB job on one file would be wrong at scale).
+MAX_MEDIA_BYTES = 10 * 1024 * 1024
+ERR_TOO_LARGE = "Arquivo {name} excede o tamanho máximo de 10MB."
+
 #: Allowed media kinds; anything else is the reference's unsupported-type
 #: error (app/services/ocr_service.py:126-127 maps extensions the same way).
 MEDIA_KIND_IMAGE = "image"

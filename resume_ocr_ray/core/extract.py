@@ -113,6 +113,8 @@ def extract_media_span(media_kind: str, payload, name: str, engine: M.OcrEngine)
         return None, C.ERR_BAD_REF.format(ref=name)
     if len(payload) == 0:
         return None, C.ERR_EMPTY_FILE.format(name=name)
+    if len(payload) > C.MAX_MEDIA_BYTES:
+        return None, C.ERR_TOO_LARGE.format(name=name)
     if media_kind == C.MEDIA_KIND_IMAGE:
         return extract_image(payload, name, engine)
     if media_kind == C.MEDIA_KIND_PDF:

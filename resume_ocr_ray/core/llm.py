@@ -92,6 +92,24 @@ def parse_response(res: str, query: str | None):
     return AnalysisResult(score=None, seniority=score, summary=summary)
 
 
+def validate_query(query: str) -> bool:
+    """Driver-side one-shot query validation (reference L2,
+    llm_service.py:158-235: LLM classifies the job query as valid/invalid,
+    ambiguous → retry, exhausted → False).
+
+    Deterministic stand-in: a query is valid when it contains at least two
+    alphabetic tokens of length ≥2 (a job description, not noise); the retry
+    loop shape is preserved, the default on failure is False.
+    """
+    for _ in range(config.MAX_RETRIES):
+        try:
+            words = [w for w in _WORD.findall(query or "") if len(w) >= 2 and not w.isdigit()]
+            return len(words) >= 2
+        except Exception:
+            continue
+    return False
+
+
 def analyze(resume_text: str, query: str | None):
     """Retry loop shape of llm_service.py:107-154 around the stand-in model."""
     for _ in range(config.MAX_RETRIES):

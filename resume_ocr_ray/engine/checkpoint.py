@@ -67,7 +67,7 @@ def run_checkpointed(
     *,
     analyzed: bool = False,
     query=None,
-    ocr_concurrency=4,
+    ocr_concurrency=None,
     batch_size=256,
     max_parts: int | None = None,
 ):
@@ -111,12 +111,21 @@ def run_checkpointed(
         # derive output metrics from the written files (no re-execution)
         rows_out = 0
         n_errors = 0
+        error_samples = []
         for f in os.listdir(tmp_dir):
             if not f.endswith(".parquet"):
                 continue
-            t = pq.read_table(os.path.join(tmp_dir, f), columns=["error"])
+            t = pq.read_table(os.path.join(tmp_dir, f), columns=["doc_id", "error"])
             rows_out += t.num_rows
             n_errors += t.num_rows - t.column("error").null_count
+            if len(error_samples) < 5:
+                import pyarrow.compute as _pc
+
+                errs = t.filter(_pc.is_valid(t.column("error")))
+                for r in errs.slice(0, 5 - len(error_samples)).to_pylist():
+                    error_samples.append(
+                        {"doc_id": r["doc_id"], "error": r["error"][:120]}
+                    )
         if os.path.isdir(final_dir):
             import shutil
 
@@ -130,6 +139,7 @@ def run_checkpointed(
             "rows_in": rows_in,
             "rows_out": rows_out,
             "n_errors": n_errors,
+            "error_samples": error_samples,
             "wall_sec": round(wall, 3),
             "docs_per_sec": round(rows_out / wall, 2) if wall > 0 else None,
             "analyzed": analyzed,

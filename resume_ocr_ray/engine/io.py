@@ -68,6 +68,35 @@ def write_corpus(out_dir: str, docs: pa.Table, media: pa.Table, num_shards: int 
     return docs_dir, media_dir
 
 
+def write_derived_corpus_parallel(src: pa.Table, repeat: int, out_dir: str,
+                                  rows_per_shard: int = 512) -> tuple:
+    """Generate + write the derived interleaved corpus with RAY TASKS, one
+    per source-row shard (generation is a pure per-doc function, so sharding
+    does not change the corpus). ~num_cpus× faster than driver-side
+    generation for large benchmark corpora."""
+    import ray
+
+    from ..core import corpus as corpus_mod
+
+    docs_dir = os.path.join(out_dir, "documents")
+    media_dir = os.path.join(out_dir, "media")
+    os.makedirs(docs_dir, exist_ok=True)
+    os.makedirs(media_dir, exist_ok=True)
+
+    @ray.remote
+    def gen_shard(src_slice: pa.Table, shard_id: int) -> int:
+        docs, media = corpus_mod.corpus_from_documents(src_slice, repeat=repeat)
+        pq.write_table(docs, os.path.join(docs_dir, f"shard-{shard_id:04d}.parquet"))
+        pq.write_table(media, os.path.join(media_dir, f"media-{shard_id:04d}.parquet"))
+        return docs.num_rows
+
+    futs = []
+    for s, start in enumerate(range(0, src.num_rows, rows_per_shard)):
+        futs.append(gen_shard.remote(src.slice(start, rows_per_shard), s))
+    total = sum(ray.get(futs))
+    return docs_dir, media_dir, total
+
+
 def build_media_meta(media: pa.Table) -> dict:
     """Per-ref dispatch metadata for the explode stage (cheap header peeks).
 
@@ -77,17 +106,30 @@ def build_media_meta(media: pa.Table) -> dict:
     media_kind image → 'image'; pdf with >threshold direct text →
     'pdf_direct'; pdf otherwise → 'pdf_page'; other kinds → 'unsupported'.
     """
+    import pyarrow.compute as pc
+
     from .. import config as C
 
     meta = {}
     refs = media.column("media_ref").to_pylist()
-    payloads = media.column("payload").to_pylist()
-    for ref, payload in zip(refs, payloads):
-        if len(payload) == 0:
+    col = media.column("payload")
+    # header peek WITHOUT copying full payloads into Python: slice the first
+    # 4 KiB of each binary cell (covers any header; oversized headers fall
+    # back to the full row below)
+    lengths = pc.binary_length(col).to_pylist()
+    heads = pc.binary_slice(col, 0, 4096).to_pylist()
+    for i, (ref, size, head) in enumerate(zip(refs, lengths, heads)):
+        if size == 0:
             meta[ref] = ("empty_payload", 1)
             continue
+        if size > C.MAX_MEDIA_BYTES:
+            meta[ref] = ("too_large", 1)
+            continue
         try:
-            hdr = M.decode_media_header(payload)
+            try:
+                hdr = M.decode_media_header(head)
+            except Exception:
+                hdr = M.decode_media_header(col[i].as_py())
         except Exception:
             meta[ref] = ("unsupported", 1)
             continue
@@ -105,24 +147,49 @@ def build_media_meta(media: pa.Table) -> dict:
     return meta
 
 
-class MediaStore:
-    """Broadcast media store: payload dict + meta dict put in the object
-    store ONCE; stages fetch by ref in ``__init__``/first use."""
+class _ArrowLookup:
+    """Dict-like view over a broadcast Arrow media table.
 
-    def __init__(self, payload_ref, meta_ref):
-        self.payload_ref = payload_ref
+    The table lives ONCE in the object store (zero-copy ray.get per worker);
+    only the ref→row index is built per consumer. ``get(ref)`` copies out a
+    single payload — the full payload column is never materialized in Python.
+    """
+
+    def __init__(self, table: pa.Table):
+        self._payloads = table.column("payload").combine_chunks()
+        refs = table.column("media_ref").to_pylist()
+        self._index = {r: i for i, r in enumerate(refs)}
+
+    def get(self, ref, default=None):
+        i = self._index.get(ref)
+        if i is None:
+            return default
+        return self._payloads[i].as_py()
+
+    def __contains__(self, ref):
+        return ref in self._index
+
+    def __len__(self):
+        return len(self._index)
+
+
+class MediaStore:
+    """Broadcast media store: the media TABLE (Arrow, zero-copy in plasma)
+    + the small meta dict, each ray.put ONCE; stages fetch in
+    ``__init__``/first use and build a per-worker row index."""
+
+    def __init__(self, table_ref, meta_ref):
+        self.table_ref = table_ref
         self.meta_ref = meta_ref
 
     @classmethod
     def from_table(cls, media: pa.Table) -> "MediaStore":
         import ray
 
-        lookup = dict(
-            zip(media.column("media_ref").to_pylist(),
-                media.column("payload").to_pylist())
-        )
         meta = build_media_meta(media)
-        return cls(ray.put(lookup), ray.put(meta))
+        return cls(
+            ray.put(media.select(["media_ref", "payload"])), ray.put(meta)
+        )
 
     @classmethod
     def from_parquet(cls, media_dir: str) -> "MediaStore":
@@ -134,7 +201,7 @@ class MediaStore:
 
         return ray.get(self.meta_ref)
 
-    def get_lookup(self) -> dict:
+    def get_lookup(self) -> _ArrowLookup:
         import ray
 
-        return ray.get(self.payload_ref)
+        return _ArrowLookup(ray.get(self.table_ref))

@@ -56,6 +56,27 @@ def main(argv=None) -> int:
         print(json.dumps({"status": "invalid", "errors": errors}))
         return 2
 
+    # preflight (reference S4 health gate analog, database_service.py:21-58:
+    # fail fast before any work): output path must be creatable/writable
+    try:
+        os.makedirs(args.out, exist_ok=True)
+        probe = os.path.join(args.out, ".preflight")
+        with open(probe, "w") as f:
+            f.write("ok")
+        os.remove(probe)
+    except OSError as e:
+        print(json.dumps({"status": "unavailable", "errors": [f"output path: {e}"]}))
+        return 3
+
+    # driver-side query validation (reference L2, analysis.py:491: invalid
+    # query → 400 before processing)
+    if args.query is not None:
+        from ..core.llm import validate_query
+
+        if not validate_query(args.query):
+            print(json.dumps({"status": "invalid", "errors": ["query rejected by validator"]}))
+            return 2
+
     import ray
 
     if not ray.is_initialized():
@@ -80,7 +101,7 @@ def main(argv=None) -> int:
         args.out,
         analyzed=args.analyzed or args.query is not None,
         query=args.query,
-        ocr_concurrency=args.ocr_concurrency or max(2, int(args.num_cpus * 0.6)),
+        ocr_concurrency=args.ocr_concurrency,
         batch_size=args.batch_size,
     )
     total = summary["total_docs"]

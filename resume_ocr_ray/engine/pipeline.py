@@ -50,6 +50,7 @@ U_PDF_DIRECT = "pdf_direct"
 U_PDF_PAGE = "pdf_page"
 U_BAD_REF = "bad_ref"
 U_EMPTY_PAYLOAD = "empty_payload"
+U_TOO_LARGE = "too_large"
 U_UNSUPPORTED = "unsupported"
 
 
@@ -175,6 +176,8 @@ class OcrStage:
             return None, C.ERR_BAD_REF.format(ref=ref)
         if unit == U_EMPTY_PAYLOAD:
             return None, C.ERR_EMPTY_FILE.format(name=ref)
+        if unit == U_TOO_LARGE:
+            return None, C.ERR_TOO_LARGE.format(name=ref)
         if unit == U_UNSUPPORTED:
             return None, C.ERR_UNSUPPORTED
         payload = self.lookup.get(ref)
@@ -193,23 +196,37 @@ class OcrStage:
         return None, C.ERR_UNSUPPORTED
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        units = batch.column("unit").to_pylist()
+        units_arr = batch.column("unit")
+        is_text = pc.equal(units_arr, U_TEXT)
+        if pc.all(is_text).as_py():
+            # vectorized fast path: pure-text batch never enters Python rows
+            return (
+                batch.drop_columns(["text"])
+                .append_column("out_text", batch.column("text"))
+                .append_column(
+                    "error", pa.nulls(batch.num_rows, type=pa.string())
+                )
+            )
+        units = units_arr.to_numpy(zero_copy_only=False)
+        media_idx = np.nonzero(units != U_TEXT)[0]
         refs = batch.column("media_ref").to_pylist()
-        texts = batch.column("text").to_pylist()
         pages = batch.column("page_no").to_pylist()
         npages = batch.column("n_pages").to_pylist()
-        out_text, errors = [], []
-        for unit, ref, text, page_no, n_pages in zip(units, refs, texts, pages, npages):
+        # text rows pass through vectorized; only media rows iterate
+        out_text = batch.column("text").to_numpy(zero_copy_only=False).astype(object)
+        errors = np.full(batch.num_rows, None, dtype=object)
+        for i in media_idx:
+            unit, ref, page_no, n_pages = units[i], refs[i], pages[i], npages[i]
             res = (None, "unreachable")
             for attempt in range(C.MAX_RETRIES):
                 try:
-                    res = self._unit(unit, ref, text, page_no, n_pages)
+                    res = self._unit(unit, ref, None, page_no, n_pages)
                     break
                 except Exception as e:  # engine crash → retry (analyze_service.py:61-69)
                     if attempt == C.MAX_RETRIES - 1:
                         res = (None, C.ERR_IMAGE_PROCESS.format(name=ref, err=e))
-            out_text.append(res[0])
-            errors.append(res[1])
+            out_text[i] = res[0]
+            errors[i] = res[1]
         return (
             batch.drop_columns(["text"])
             .append_column("out_text", pa.array(out_text, type=pa.string()))
@@ -217,8 +234,9 @@ class OcrStage:
         )
 
 
-def stitch_group(group: pa.Table) -> pa.Table:
-    """Reassemble one document from its units (the post-shuffle reducer).
+def _stitch_rows(doc_id: str, rows: list):
+    """Reassemble one document from its unit rows (already sorted by
+    (offset, page_no)). Returns (spans_out, error).
 
     Order comes from the (offset, page_no) DATA columns — execution order is
     never trusted. First error in (offset, page) order rejects the document,
@@ -226,17 +244,8 @@ def stitch_group(group: pa.Table) -> pa.Table:
     """
     from itertools import groupby as it_groupby
 
-    rows = group.sort_by([("offset", "ascending"), ("page_no", "ascending")]).to_pylist()
-    doc_id = rows[0]["doc_id"]
-
-    def emit(spans_out, error):
-        return pa.Table.from_pydict(
-            {"doc_id": [doc_id], "spans_out": [spans_out], "error": [error]},
-            schema=S.EXTRACTED_SCHEMA,
-        )
-
     if rows[0]["unit"] == U_EMPTY_DOC:
-        return emit([], C.ERR_EMPTY_FILE.format(name=doc_id))
+        return [], C.ERR_EMPTY_FILE.format(name=doc_id)
 
     n_spans = rows[0]["n_spans"]
     spans_out = []
@@ -246,7 +255,7 @@ def stitch_group(group: pa.Table) -> pa.Table:
         seen_offsets += 1
         err_row = next((r for r in rs if r["error"] is not None), None)
         if err_row is not None:
-            return emit([], err_row["error"])
+            return [], err_row["error"]
         r0 = rs[0]
         if r0["unit"] == U_TEXT:
             spans_out.append(
@@ -266,7 +275,7 @@ def stitch_group(group: pa.Table) -> pa.Table:
                 )
             text, err = X.stitch_pdf_pages([r["out_text"] for r in rs])
             if err is not None:
-                return emit([], err)
+                return [], err
             spans_out.append(
                 {"kind": S.KIND_MEDIA, "text": text,
                  "media_ref": r0["media_ref"], "offset": offset}
@@ -276,25 +285,121 @@ def stitch_group(group: pa.Table) -> pa.Table:
             f"stitch lineage violation: doc {doc_id} expected {n_spans} spans, "
             f"got {seen_offsets}"
         )
-    return emit(spans_out, None)
+    return spans_out, None
+
+
+def stitch_group(group: pa.Table) -> pa.Table:
+    """groupby(doc_id).map_groups reducer form (one doc per call)."""
+    rows = group.sort_by(
+        [("offset", "ascending"), ("page_no", "ascending")]
+    ).to_pylist()
+    doc_id = rows[0]["doc_id"]
+    spans_out, error = _stitch_rows(doc_id, rows)
+    return pa.Table.from_pydict(
+        {"doc_id": [doc_id], "spans_out": [spans_out], "error": [error]},
+        schema=S.EXTRACTED_SCHEMA,
+    )
+
+
+def stitch_block(batch: pa.Table) -> pa.Table:
+    """Hash-repartitioned stitch: ONE call per block, many docs per block
+    (all units of a doc are co-located by repartition(keys=["doc_id"])).
+    Amortizes per-group Python/table overhead ~50× vs map_groups."""
+    if batch.num_rows == 0:
+        return pa.Table.from_pydict(
+            {"doc_id": [], "spans_out": [], "error": []}, schema=S.EXTRACTED_SCHEMA
+        )
+    rows = batch.sort_by(
+        [("doc_id", "ascending"), ("offset", "ascending"), ("page_no", "ascending")]
+    ).to_pylist()
+    out_ids, out_spans, out_err = [], [], []
+    from itertools import groupby as it_groupby
+
+    for doc_id, doc_rows in it_groupby(rows, key=lambda r: r["doc_id"]):
+        spans_out, error = _stitch_rows(doc_id, list(doc_rows))
+        out_ids.append(doc_id)
+        out_spans.append(spans_out)
+        out_err.append(error)
+    return pa.Table.from_pydict(
+        {"doc_id": out_ids, "spans_out": out_spans, "error": out_err},
+        schema=S.EXTRACTED_SCHEMA,
+    )
+
+
+def _doc_texts_vectorized(spans_col) -> list:
+    """Per-doc text (span texts joined with '\\n', offset order — spans_out
+    is already offset-ordered by the stitcher) computed with Arrow kernels:
+    the list<struct> column is never converted to Python rows."""
+    spans = spans_col.combine_chunks()
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.chunk(0) if spans.num_chunks else pa.array([], spans.type)
+    flat_text = pc.list_flatten(spans).field("text")
+    offsets = spans.offsets
+    list_str = pa.ListArray.from_arrays(offsets, flat_text.fill_null(""))
+    return pc.binary_join(list_str, "\n").to_pylist()
+
+
+def _score_batch(batch: pa.Table, query) -> pa.Table:
+    """Analysis over stitched docs. spans_out passes through as Arrow
+    (zero-copy); only the model call itself runs per row over the joined
+    doc text (the to_pylist/from_pydict round-trip of span structs cost more
+    CPU than the model stand-in)."""
+    errors = batch.column("error").to_pylist()
+    texts = _doc_texts_vectorized(batch.column("spans_out"))
+    score_col, senior_col, summary_col = [], [], []
+    for i, (err, text) in enumerate(zip(errors, texts)):
+        if err is not None:
+            score_col.append(None)
+            senior_col.append(None)
+            summary_col.append(None)
+            continue
+        res = L.analyze(text, query)
+        if isinstance(res, L.AnalysisError):
+            errors[i] = res.error
+            score_col.append(None)
+            senior_col.append(None)
+            summary_col.append(None)
+        else:
+            score_col.append(res.score)
+            senior_col.append(res.seniority)
+            summary_col.append(res.summary)
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            batch.column("spans_out"),
+            pa.array(errors, type=pa.string()),
+            pa.array(score_col, type=pa.float64()),
+            pa.array(senior_col, type=pa.string()),
+            pa.array(summary_col, type=pa.string()),
+        ],
+        schema=S.ANALYZED_SCHEMA,
+    )
+
+
+def make_scorer_fn(query):
+    """Analysis stage as ELASTIC stateless tasks (reference L1,
+    llm_service.py:26-156: deterministic stand-in model + verbatim M11
+    parser). The stand-in scorer's only state is the broadcast query scalar,
+    so tasks are the right physical form — they soak up whatever CPUs the
+    post-shuffle phase has free instead of pinning a pool that idles during
+    the OCR phase. A REAL model scorer (weights loaded per worker) would use
+    ``ScorerStage`` with ``concurrency=(1, k)`` instead."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        return _score_batch(batch, query)
+
+    return score
 
 
 class ScorerStage:
-    """Analysis stage (reference L1, llm_service.py:26-156): deterministic
-    stand-in model + verbatim M11 parser, batched over stitched docs."""
+    """Actor-pool form of the scorer (for real model-holding scorers and
+    direct unit tests)."""
 
     def __init__(self, query):
         self.query = query
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = batch.to_pylist()
-        out = {k: [] for k in ("doc_id", "spans_out", "error", "score",
-                               "seniority", "summary")}
-        for r in rows:
-            a = X.analyze_document(r, self.query)
-            for k in out:
-                out[k].append(a[k])
-        return pa.Table.from_pydict(out, schema=S.ANALYZED_SCHEMA)
+        return _score_batch(batch, self.query)
 
 
 def extraction_pipeline(
@@ -302,18 +407,60 @@ def extraction_pipeline(
     store: MediaStore,
     *,
     batch_size: int = C.OCR_BATCH_SIZE,
-    ocr_concurrency=C.OCR_CONCURRENCY,
+    ocr_concurrency: int | None = None,
     analyzed: bool = False,
     query=None,
-    scorer_concurrency: int = 2,
+    scorer_concurrency: int | None = None,
+    stitch: str = "auto",
+    stitch_partitions: int | None = None,
 ):
     """Build the lazy extraction Dataset. Consumers decide materialization.
+
+    ``stitch`` selects the reassembly shuffle:
+    - "repartition": explicit hash repartition on doc_id
+      (``repartition(P, keys=["doc_id"])``) then ONE stitch call per block
+      over many co-located docs — the scalable path (per-group Python and
+      per-group table construction amortized away; ~6× faster than groupby
+      at 60k docs).
+    - "groupby": ``groupby(doc_id).map_groups`` — one Python call per doc;
+      the semantic baseline, fine for tiny inputs.
+    - "auto" (default): repartition when the session has ≥8 CPUs, else
+      groupby — hash-shuffle finalize tasks reserve a CPU + a large memory
+      block and can deadlock a ≤4-CPU session whose actor pools hold the
+      rest (observed: 4/4 CPUs held, finalize pending forever).
 
     CPU budget note: only the OCR and scorer stages reserve actors
     (ocr_concurrency + scorer_concurrency CPUs); explode runs as elastic
     tasks so read/shuffle/write always have CPUs left — an all-actor plan
-    can deadlock a small session.
+    can deadlock a small session. Requested pool sizes are CLAMPED so at
+    least one CPU always remains for plain tasks.
     """
+    import ray as _ray
+
+    _ncpu = (
+        int(_ray.cluster_resources().get("CPU", 8))
+        if _ray.is_initialized()
+        else 8
+    )
+    budget = max(1, _ncpu - 1)
+    # Pool sizes scale WITH the session so both stages parallelize
+    # proportionally at every cluster size (a fixed scorer pool made the
+    # scorer the serial bottleneck at low parallelism: 1.6/4 cores busy).
+    # Pools AUTOSCALE (concurrency=(1, k)): the repartition stitch is a
+    # barrier, so the pipeline runs in phases — statically reserved pools sit
+    # idle during the other phases and starve them (observed: 1.4/4 cores
+    # busy). With (1, k) pools, CPUs flow to whichever stage has work.
+    if analyzed:
+        if scorer_concurrency is None:
+            scorer_concurrency = max(1, round(budget * 0.55))
+        if ocr_concurrency is None:
+            ocr_concurrency = max(1, round(budget * 0.8))
+        scorer_concurrency = max(1, min(scorer_concurrency, budget))
+        ocr_concurrency = max(1, min(ocr_concurrency, budget))
+    else:
+        if ocr_concurrency is None:
+            ocr_concurrency = max(2, int(_ncpu * 0.8))
+        ocr_concurrency = max(1, min(ocr_concurrency, budget))
     exploded = docs_ds.map_batches(
         make_explode_fn(store),
         batch_format="pyarrow",
@@ -326,20 +473,52 @@ def extraction_pipeline(
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=ocr_concurrency,
+        concurrency=(1, ocr_concurrency),
     )
-    stitched = ocred.groupby("doc_id").map_groups(
-        stitch_group, batch_format="pyarrow"
-    )
+    if stitch == "auto":
+        stitch = "repartition" if _ncpu >= 4 else "groupby"
+    if stitch == "repartition":
+        from ray.data.context import DataContext, ShuffleStrategy
+
+        ncpu = _ncpu
+        # fine partitioning bounds the stitch/score straggler tail (32 parts
+        # at 16 CPUs left a 25 s straggler; 256 parts → 81% core utilization)
+        nparts = stitch_partitions or max(64, ncpu * 12)
+        # Key-based repartition requires the HASH_SHUFFLE strategy. Scope it
+        # to THIS PLAN by mutating the plan's captured DataContext (each
+        # dataset chain carries its own snapshot) — other pipelines keep the
+        # default sort shuffle, whose tiny-groupby startup cost is lower.
+        # Aggregator count is capped to the session CPU budget so the
+        # aggregator actors never starve the OCR pool.
+        import os as _os
+
+        plan_ctx = ocred.context
+        plan_ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        plan_ctx.max_hash_shuffle_aggregators = int(
+            _os.environ.get("GRAFT_HASH_AGG", max(2, ncpu // 2))
+        )
+        # zero-CPU aggregator actors: they are IO/concat-bound, and any
+        # fractional reservation can leave the last CPU at <1.0 so no plain
+        # task ever schedules again (observed deadlock: pools 3.0 + agg 0.1
+        # in a 4-CPU session leaves 0.9 — map tasks need 1.0)
+        plan_ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0
+        stitched = ocred.repartition(nparts, keys=["doc_id"]).map_batches(
+            stitch_block,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,  # one batch per hash-partitioned block
+        )
+    else:
+        stitched = ocred.groupby("doc_id").map_groups(
+            stitch_group, batch_format="pyarrow"
+        )
     if not analyzed:
         return stitched
     return stitched.map_batches(
-        ScorerStage,
-        fn_constructor_args=(query,),
+        make_scorer_fn(query),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=scorer_concurrency,
     )
 
 

@@ -168,6 +168,48 @@ def minhash_candidates(docs_ds, *, num_perm=64, bands=16, shingle=5,
     return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
 
 
+def minhash_verified(docs_ds, *, threshold: float = 0.5, num_perm=64, bands=16,
+                     shingle=5, concurrency=2):
+    """Candidate pairs verified with TRUE n-gram Jaccard.
+
+    The candidate set is small relative to the corpus (that is the point of
+    LSH), so the texts of involved docs are broadcast to a verify stage —
+    pairs shuffle, full texts don't. At 10^12 docs the broadcast becomes a
+    hash-sharded text fetch keyed by doc_id; the dataflow shape is the same.
+    """
+    import ray
+
+    from ..common import cached_broadcast
+
+    cands = minhash_candidates(
+        docs_ds, num_perm=num_perm, bands=bands, shingle=shingle,
+        concurrency=concurrency,
+    ).materialize()  # small: candidate pairs only
+    ids = set()
+    for b in cands.iter_batches(batch_format="pandas"):
+        ids.update(b["a"].tolist())
+        ids.update(b["b"].tolist())
+    texts_ds = docs_ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["doc_id"], value_set=pa.array(sorted(ids)))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    texts = {}
+    for b in texts_ds.iter_batches(batch_format="pyarrow"):
+        texts.update(zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()))
+    texts_ref = ray.put(texts)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        lookup = cached_broadcast(texts_ref)
+        a = batch.column("a").to_pylist()
+        b = batch.column("b").to_pylist()
+        j = [round(jaccard(lookup.get(x, ""), lookup.get(y, ""), shingle), 6)
+             for x, y in zip(a, b)]
+        out = batch.append_column("jaccard", pa.array(j, type=pa.float64()))
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return cands.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def jaccard(text_a: str, text_b: str, shingle: int = 5) -> float:
     tok = re.compile(r"\w+")
     ta, tb = tok.findall(text_a.lower()), tok.findall(text_b.lower())

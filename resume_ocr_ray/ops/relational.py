@@ -154,6 +154,43 @@ def top_docs(docs_ds, k: int = 5):
     )
 
 
+def stratified_sample(docs_ds, per_group: int = 2):
+    """Deterministic stratified sample: first N doc_ids per source — the
+    groupby+map_groups equivalent of a row_number() window (SQL-checkable,
+    unlike seeded RNG sampling whose RNG differs from DuckDB's)."""
+    import pyarrow as _pa
+
+    def head_n(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id").head(per_group)[["doc_id", "source"]]
+
+    return docs_ds.groupby("source").map_groups(head_n, batch_format="pandas")
+
+
+def distinct_langs(docs_ds):
+    """DISTINCT over one column (shuffle dedup)."""
+    from ray.data.aggregate import Count
+
+    return (
+        docs_ds.select_columns(["lang"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+def point_lookup(docs_ds_factory, sf_dir: str, doc_id: int):
+    """Point lookup with predicate pushdown at the read (reference S3 Mongo
+    find_one analog, database_service.py:72-83): the row filter reaches the
+    parquet reader, so only matching row groups are scanned."""
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source", "n_chars"],
+        filter=_pc.field("doc_id") == doc_id,
+    )
+
+
 def short_docs_by_lang(docs_ds, threshold: int = 200):
     """Docs under the reference's 200-char text threshold, counted per lang."""
     from ray.data.aggregate import Count

@@ -42,18 +42,6 @@ def _documents_table(sf_dir: str) -> pa.Table:
 # extraction pipelines (interleaved corpus derived from the documents table)
 # ---------------------------------------------------------------------------
 
-def _pool_sizes():
-    """Size actor pools to the session's CPU budget: OCR gets ~half, scorer a
-    sliver, and at least one CPU stays free for read/shuffle tasks —
-    oversubscribed all-actor plans deadlock small sessions."""
-    import ray
-
-    ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    ocr = max(2, ncpu // 2)
-    scorer = max(1, ncpu // 8)
-    return ocr, scorer
-
-
 def _extraction_ds(sf_dir: str, repeat: int = 2, analyzed=False, query=None):
     import ray.data as rd
 
@@ -61,11 +49,8 @@ def _extraction_ds(sf_dir: str, repeat: int = 2, analyzed=False, query=None):
     store = EIO.MediaStore.from_table(media)
     n_blocks = max(8, docs.num_rows // 512)
     docs_ds = rd.from_arrow(docs).repartition(n_blocks)
-    ocr, scorer = _pool_sizes()
-    return P.extraction_pipeline(
-        docs_ds, store, analyzed=analyzed, query=query,
-        ocr_concurrency=ocr, scorer_concurrency=scorer,
-    )
+    # pool sizes auto-scale to the session inside extraction_pipeline
+    return P.extraction_pipeline(docs_ds, store, analyzed=analyzed, query=query)
 
 
 def _summarize_extracted(t: pa.Table) -> pa.Table:
@@ -194,6 +179,24 @@ def q_ann_cosine(sf_dir: str):
 # rows-only queries (no exact SQL oracle)
 # ---------------------------------------------------------------------------
 
+def q_stratified_sample(sf_dir: str):
+    return R.stratified_sample(_read(sf_dir, "documents", ["doc_id", "source"]))
+
+
+def q_distinct_langs(sf_dir: str):
+    return R.distinct_langs(_read(sf_dir, "documents", ["lang"]))
+
+
+def q_point_lookup(sf_dir: str):
+    return R.point_lookup(None, sf_dir, doc_id=42)
+
+
+def q_minhash_verified(sf_dir: str):
+    return D.minhash_verified(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.2
+    )
+
+
 def q_minhash_pairs(sf_dir: str):
     return D.minhash_candidates(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -269,17 +272,21 @@ def queries() -> dict:
         "dedup_exact": q_dedup_exact,
         "dedup_prefix": q_dedup_prefix,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_verified": q_minhash_verified,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
         # similarity
         "ann_cosine": q_ann_cosine,
         "ivf_ann": q_ivf_ann,
-        # relational / windows / ranking
+        # relational / windows / ranking / sampling
         "top_docs": q_top_docs,
         "short_docs_by_lang": q_short_docs_by_lang,
         "lineitem_agg": q_lineitem_agg,
         "orders_by_segment": q_orders_by_segment,
         "events_hourly": q_events_hourly,
+        "stratified_sample": q_stratified_sample,
+        "distinct_langs": q_distinct_langs,
+        "point_lookup": q_point_lookup,
     }
 
 
@@ -330,6 +337,18 @@ def oracle_sql() -> dict:
             "SELECT event_type, date_trunc('hour', ts) AS window_start, "
             "count(*) AS n_events, round(sum(value), 4) AS sum_value "
             "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        "stratified_sample": (
+            "SELECT doc_id, source FROM ("
+            "SELECT doc_id, source, row_number() OVER "
+            "(PARTITION BY source ORDER BY doc_id) AS rn FROM documents) "
+            "WHERE rn <= 2"
+        ),
+        "distinct_langs": (
+            "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+        ),
+        "point_lookup": (
+            "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42"
         ),
         "ann_cosine": (
             f"SELECT vec_id, round(CAST(list_cosine_similarity(embedding, [{qv}]) AS DOUBLE), 6) AS cosine "

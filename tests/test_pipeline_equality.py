@@ -28,24 +28,25 @@ def fixture_corpus():
     return docs, media, lookup
 
 
-def _run_pipeline(docs, media, analyzed=False, query=None):
+def _run_pipeline(docs, media, analyzed=False, query=None, stitch="repartition"):
     import ray.data as rd
 
     store = EIO.MediaStore.from_table(media)
     docs_ds = rd.from_arrow(docs).repartition(8)
     ds = P.extraction_pipeline(
         docs_ds, store, batch_size=32, ocr_concurrency=2,
-        analyzed=analyzed, query=query, scorer_concurrency=1,
+        analyzed=analyzed, query=query, scorer_concurrency=1, stitch=stitch,
     )
     return pa.concat_tables(
         [b for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow")]
     )
 
 
-def test_span_sequence_equality(ray_session, fixture_corpus):
+@pytest.mark.parametrize("stitch", ["repartition", "groupby"])
+def test_span_sequence_equality(ray_session, fixture_corpus, stitch):
     docs, media, lookup = fixture_corpus
     expected = extract.extract_table(docs, lookup)
-    actual = _run_pipeline(docs, media)
+    actual = _run_pipeline(docs, media, stitch=stitch)
     assert actual.num_rows == expected.num_rows == docs.num_rows
     exp, act = _by_doc(expected), _by_doc(actual)
     for doc_id, e in exp.items():

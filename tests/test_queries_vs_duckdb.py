@@ -55,7 +55,8 @@ def test_all_queries_run(ray_session, registry):
     [
         "doc_stats", "quality_score", "dedup_exact", "dedup_prefix", "top_docs",
         "short_docs_by_lang", "lineitem_agg", "orders_by_segment",
-        "events_hourly", "ann_cosine",
+        "events_hourly", "ann_cosine", "stratified_sample", "distinct_langs",
+        "point_lookup",
     ],
 )
 def test_query_matches_oracle(ray_session, registry, duck, name):
