@@ -39,52 +39,27 @@ BENCH_QUERIES = [
 ]
 
 
-def _corpus_cache_dir(sf_dir: str, repeat: int) -> str:
-    tag = sf_dir.strip("/").replace("/", "_")
-    return f"/tmp/graft_corpus/{tag}_r{repeat}"
-
-
 def prepare_corpus(sf_dir: str, repeat: int):
     """Deterministic derived interleaved corpus, cached on disk (sharded).
 
-    Generation is Ray-parallel when a session is up (one task per source-row
-    shard; per-doc determinism makes sharding corpus-invariant); otherwise a
-    temporary local session is opened just for generation.
-    """
-    import pyarrow.parquet as pq
-
-    cache = _corpus_cache_dir(sf_dir, repeat)
-    docs_dir = os.path.join(cache, "documents")
-    media_dir = os.path.join(cache, "media")
-    done_marker = os.path.join(cache, "_DONE")
-    if os.path.exists(done_marker):
-        return docs_dir, media_dir
-
+    Thin session-owning wrapper over engine.io.ensure_derived_corpus (the
+    library helper the registry queries also use): generation is Ray-parallel;
+    if no session is up, one is opened just for generation."""
     import ray
 
     from resume_ocr_ray.engine import io as EIO
 
-    src = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cache, docs_dir, media_dir = EIO.derived_corpus_dirs(sf_dir, repeat)
+    if os.path.exists(os.path.join(cache, "_DONE")):
+        return docs_dir, media_dir
     owns_session = not ray.is_initialized()
     if owns_session:
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
-    tmp = cache + ".__tmp__"
-    if os.path.isdir(tmp):
-        import shutil
-
-        shutil.rmtree(tmp)
-    EIO.write_derived_corpus_parallel(src, repeat, tmp)
-    if os.path.isdir(cache):
-        import shutil
-
-        shutil.rmtree(cache)
-    os.replace(tmp, cache)
-    with open(done_marker, "w") as f:
-        f.write("ok")
+    out = EIO.ensure_derived_corpus(sf_dir, repeat)
     if owns_session:
         ray.shutdown()
-    return docs_dir, media_dir
+    return out
 
 
 def _cpu_stat():
@@ -127,7 +102,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     docs_dir, media_dir = prepare_corpus(sf_dir, REPEAT)
 
     t_setup0 = time.monotonic()
-    store = EIO.MediaStore.from_parquet(media_dir)
+    store = EIO.ShardedParquetMediaStore.from_dir(media_dir)
     setup_sec = time.monotonic() - t_setup0
 
     analyzed = bool(os.environ.get("GRAFT_BENCH_ANALYZED"))

@@ -89,7 +89,14 @@ def run_checkpointed(
         in_path = os.path.join(docs_dir, shard)
         fp = _fingerprint(in_path)
         m = load_manifest(out_dir, part_id)
-        if m is not None and m.get("input_fingerprint") == fp:
+        # skip only when input AND job params match — a committed shard from a
+        # different query/analyzed mode must be re-run, not silently mixed in
+        if (
+            m is not None
+            and m.get("input_fingerprint") == fp
+            and m.get("analyzed") == analyzed
+            and m.get("query") == query
+        ):
             summary["skipped"].append(part_id)
             continue
         if max_parts is not None and done >= max_parts:

@@ -9,10 +9,19 @@ the checkpoint runner can treat input shards as resume units.
 
 Media resolution: the reference reads each upload into memory
 (app/services/analyze_service.py:11-25); here ``media_ref`` resolves through a
-``MediaStore``. Small corpora broadcast a dict via ``ray.put`` ONCE (read by
-every actor in ``__init__`` — never re-shipped per batch). At 100 TB the same
-interface is backed by a hash-sharded parquet sidecar: each OCR actor lazily
-loads only the shards its refs hash into (``ShardedParquetMediaStore``).
+store with a common interface (``meta_ref`` + ``get_meta()`` +
+``get_lookup()``):
+
+- ``MediaStore`` — small corpora: the media TABLE is ``ray.put`` once
+  (zero-copy in plasma, read by every actor in ``__init__`` — never
+  re-shipped per batch). Fine for tests/fixtures; at scale this is a
+  driver-side materialization of all media bytes.
+- ``ShardedParquetMediaStore`` — the 100-TB path: payloads STAY in sharded
+  parquet sidecar files; only the small per-ref dispatch meta
+  ``{ref: (unit_kind, n_pages, shard_id)}`` is broadcast (built by parallel
+  Ray tasks, one per shard). Each OCR actor lazily reads ONLY the shard
+  files its refs point into, LRU-bounded — no monolithic media broadcast
+  anywhere.
 """
 
 from __future__ import annotations
@@ -97,6 +106,46 @@ def write_derived_corpus_parallel(src: pa.Table, repeat: int, out_dir: str,
     return docs_dir, media_dir, total
 
 
+#: Root for the derived-corpus disk cache (one subdir per (sf_dir, repeat)).
+DERIVED_CACHE_ROOT = os.environ.get("GRAFT_CORPUS_CACHE", "/tmp/graft_corpus")
+
+
+def derived_corpus_dirs(sf_dir: str, repeat: int) -> tuple:
+    tag = sf_dir.strip("/").replace("/", "_")
+    cache = os.path.join(DERIVED_CACHE_ROOT, f"{tag}_r{repeat}")
+    return cache, os.path.join(cache, "documents"), os.path.join(cache, "media")
+
+
+def ensure_derived_corpus(sf_dir: str, repeat: int = 2,
+                          rows_per_shard: int = 512) -> tuple:
+    """Idempotent on-disk derived interleaved corpus for an sf_dir.
+
+    First call generates it Ray-parallel (write_derived_corpus_parallel) into
+    a tmp dir and renames atomically; later calls (any process) return the
+    cached shards. This is the registry/bench entry path: queries READ the
+    sharded corpus — nothing is generated or ray.put on the driver per call.
+    Requires an initialized Ray session (the driver owns it).
+    """
+    import shutil
+
+    cache, docs_dir, media_dir = derived_corpus_dirs(sf_dir, repeat)
+    done_marker = os.path.join(cache, "_DONE")
+    if os.path.exists(done_marker):
+        return docs_dir, media_dir
+    src = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tmp = cache + ".__tmp__"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    write_derived_corpus_parallel(src, repeat, tmp, rows_per_shard)
+    if os.path.isdir(cache):
+        shutil.rmtree(cache)
+    os.makedirs(DERIVED_CACHE_ROOT, exist_ok=True)
+    os.replace(tmp, cache)
+    with open(done_marker, "w") as f:
+        f.write("ok")
+    return docs_dir, media_dir
+
+
 def build_media_meta(media: pa.Table) -> dict:
     """Per-ref dispatch metadata for the explode stage (cheap header peeks).
 
@@ -104,7 +153,9 @@ def build_media_meta(media: pa.Table) -> dict:
     oracle's dispatch order (extract.extract_media_span):
     empty payload → 'empty_payload'; undecodable header → 'unsupported';
     media_kind image → 'image'; pdf with >threshold direct text →
-    'pdf_direct'; pdf otherwise → 'pdf_page'; other kinds → 'unsupported'.
+    'pdf_direct'; pdf with ≥1 page → 'pdf_page'; pdf with ZERO pages →
+    'pdf_empty' (the oracle's stitch_pdf_pages([]) → ERR_OCR_EMPTY arm —
+    a phantom page 0 here would diverge); other kinds → 'unsupported'.
     """
     import pyarrow.compute as pc
 
@@ -140,6 +191,8 @@ def build_media_meta(media: pa.Table) -> dict:
             direct = hdr.get("direct_text", "")
             if len(direct.strip()) > C.TEXT_PDF_THRESHOLD:
                 meta[ref] = ("pdf_direct", 1)
+            elif int(hdr.get("n_pages", 0)) == 0:
+                meta[ref] = ("pdf_empty", 1)
             else:
                 meta[ref] = ("pdf_page", int(hdr.get("n_pages", 0)))
         else:
@@ -205,3 +258,100 @@ class MediaStore:
         import ray
 
         return _ArrowLookup(ray.get(self.table_ref))
+
+
+class _ShardedLookup:
+    """Per-worker lazy view over sharded media parquet files.
+
+    ``get(ref)`` resolves the ref's shard id from the broadcast meta, loads
+    that ONE shard file on first touch, and keeps at most ``max_cached``
+    shard tables (LRU). Payload bytes therefore move storage→worker, never
+    through the driver or a global broadcast. Locality assumption
+    (documented): media shards are co-sharded with the documents that
+    reference them (write_derived_corpus_parallel writes them that way), so
+    an OCR actor streaming blocks of one doc shard touches ~1 media shard.
+    """
+
+    def __init__(self, shard_paths: list, meta: dict, max_cached: int = 4):
+        from collections import OrderedDict
+
+        self._paths = shard_paths
+        self._meta = meta
+        self._max = max_cached
+        self._shards = OrderedDict()
+
+    def _shard(self, sid: int) -> _ArrowLookup:
+        lk = self._shards.get(sid)
+        if lk is None:
+            lk = _ArrowLookup(
+                pq.read_table(self._paths[sid], columns=["media_ref", "payload"])
+            )
+            self._shards[sid] = lk
+            if len(self._shards) > self._max:
+                self._shards.popitem(last=False)
+        else:
+            self._shards.move_to_end(sid)
+        return lk
+
+    def get(self, ref, default=None):
+        m = self._meta.get(ref)
+        if m is None:
+            return default
+        return self._shard(m[2]).get(ref, default)
+
+    def __contains__(self, ref):
+        return ref in self._meta
+
+    def __len__(self):
+        return len(self._meta)
+
+
+class ShardedParquetMediaStore:
+    """The 100-TB media path (same interface as MediaStore).
+
+    Construction runs ONE parallel pass (a Ray task per shard file) that
+    builds the small dispatch meta {ref: (unit_kind, n_pages, shard_id)} —
+    the only thing broadcast. Payload bytes are never ray.put: OCR actors
+    read their shard files directly (see _ShardedLookup). At 10^12 docs the
+    meta dict itself outgrows a broadcast; the documented successor is the
+    two-phase explode (header peek inside the OCR actor) — the store
+    interface is unchanged by that step.
+    """
+
+    def __init__(self, shard_paths: list, meta_ref, max_cached_shards: int = 4):
+        self.shard_paths = list(shard_paths)
+        self.meta_ref = meta_ref
+        self.max_cached_shards = max_cached_shards
+
+    @classmethod
+    def from_dir(cls, media_dir: str, max_cached_shards: int = 4):
+        import ray
+
+        paths = sorted(
+            os.path.join(media_dir, f)
+            for f in os.listdir(media_dir)
+            if f.endswith(".parquet")
+        )
+
+        @ray.remote
+        def shard_meta(path: str, sid: int) -> dict:
+            m = build_media_meta(pq.read_table(path))
+            return {ref: (k, n, sid) for ref, (k, n) in m.items()}
+
+        meta: dict = {}
+        for part in ray.get([shard_meta.remote(p, i) for i, p in enumerate(paths)]):
+            meta.update(part)
+        return cls(paths, ray.put(meta), max_cached_shards)
+
+    def get_meta(self) -> dict:
+        import ray
+
+        return ray.get(self.meta_ref)
+
+    def get_lookup(self) -> _ShardedLookup:
+        from ..common import cached_broadcast
+
+        return _ShardedLookup(
+            self.shard_paths, cached_broadcast(self.meta_ref),
+            self.max_cached_shards,
+        )

@@ -92,9 +92,11 @@ def main(argv=None) -> int:
     DataContext.get_current().enable_progress_bars = False
 
     from . import checkpoint as CK
-    from .io import MediaStore
+    from .io import ShardedParquetMediaStore
 
-    store = MediaStore.from_parquet(os.path.join(args.input, "media"))
+    # scale path: payloads stay in the sharded sidecar files; only the small
+    # dispatch meta is broadcast (no monolithic media ray.put)
+    store = ShardedParquetMediaStore.from_dir(os.path.join(args.input, "media"))
     summary = CK.run_checkpointed(
         os.path.join(args.input, "documents"),
         store,

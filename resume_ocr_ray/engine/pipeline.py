@@ -18,10 +18,11 @@ Physical plan (SURVEY §7.1), all stages streaming with backpressure:
       → rank: sort(score desc).limit(5)                [query mode only]
 
 Scale notes (100 TB / 10^12 docs):
-- the media broadcast dict becomes ``ShardedParquetMediaStore``: OCR actors
-  resolve refs against hash-sharded sidecar files instead of one dict; the
-  explode stage then defers page counting to a header peek inside the OCR
-  actor (two-phase explode) so no global meta dict is required.
+- media resolution is ``ShardedParquetMediaStore`` on the scale path
+  (registry/bench/job): OCR actors read only the sharded sidecar files their
+  refs point into (LRU-bounded) — no monolithic media broadcast. The
+  remaining 10^12-doc step is deferring page counting to a header peek
+  inside the OCR actor (two-phase explode) so no global meta dict exists.
 - the groupby(doc_id) shuffle carries ONLY extracted text + tiny metadata —
   media payloads never cross the shuffle boundary (they are dropped at the
   OCR stage output), so shuffle volume ≈ output text size, not input size.
@@ -48,6 +49,7 @@ U_EMPTY_DOC = "empty_doc"
 U_IMAGE = "image"
 U_PDF_DIRECT = "pdf_direct"
 U_PDF_PAGE = "pdf_page"
+U_PDF_EMPTY = "pdf_empty"  # zero-page scanned PDF → ERR_OCR_EMPTY (oracle parity)
 U_BAD_REF = "bad_ref"
 U_EMPTY_PAYLOAD = "empty_payload"
 U_TOO_LARGE = "too_large"
@@ -157,15 +159,52 @@ def _explode_batch(batch: pa.Table, meta: dict) -> pa.Table:
         return out
 
 
+#: Exceptions the per-unit retry loop is allowed to absorb into a data-error
+#: row: engine/codec failures on the DOCUMENT's own bytes. Anything else
+#: (import errors, broadcast fetch failures, OOM) PROPAGATES so Ray fails and
+#: retries the task — converting infrastructure failures into per-row errors
+#: silently corrupts results at scale (observed with worker import errors).
+import struct as _struct
+
+_EXPECTED_OCR_ERRORS = (
+    M.OcrDecodeError,
+    ValueError,  # codec/json/unicode decode errors subclass this
+    _struct.error,
+    IndexError,
+    KeyError,
+)
+
+
 class OcrStage:
     """Stateful OCR stage (axis B): engine + media lookup in __init__, batched
     extraction in __call__. Mirrors the tesseract stage (ocr_service.py:42,116)
-    with the application retry loop of analyze_service.py:61-69 (exceptions
-    retry; semantic rejections return immediately)."""
+    with the application retry loop of analyze_service.py:61-69 (expected
+    engine exceptions retry with backoff; semantic rejections return
+    immediately; unexpected exceptions propagate to Ray's task retry)."""
+
+    #: decoded-page LRU: refs whose MediaDoc was already parsed keep their
+    #: page list in the actor, so a P-page doc costs ONE payload scan instead
+    #: of P prefix rescans (O(pages²) bytes → O(pages)). Page rows of a doc
+    #: leave the explode stage consecutively, so locality is high.
+    PAGE_CACHE_REFS = 64
 
     def __init__(self, store: MediaStore):
         self.lookup = store.get_lookup()
         self.engine = M.OcrEngine()
+        from collections import OrderedDict
+
+        self._pages = OrderedDict()
+
+    def _get_pages(self, ref, payload):
+        pages = self._pages.get(ref)
+        if pages is None:
+            pages = M.decode_media(payload).pages
+            self._pages[ref] = pages
+            if len(self._pages) > self.PAGE_CACHE_REFS:
+                self._pages.popitem(last=False)
+        else:
+            self._pages.move_to_end(ref)
+        return pages
 
     def _unit(self, unit, ref, text, page_no, n_pages):
         if unit == U_TEXT:
@@ -180,6 +219,10 @@ class OcrStage:
             return None, C.ERR_TOO_LARGE.format(name=ref)
         if unit == U_UNSUPPORTED:
             return None, C.ERR_UNSUPPORTED
+        if unit == U_PDF_EMPTY:
+            # zero-page scanned PDF: the oracle's stitch_pdf_pages([]) arm
+            # (extract.py:99-107) — no page fetch, straight to ERR_OCR_EMPTY
+            return None, C.ERR_OCR_EMPTY
         payload = self.lookup.get(ref)
         if payload is None:
             return None, C.ERR_BAD_REF.format(ref=ref)
@@ -189,8 +232,8 @@ class OcrStage:
             return X.extract_pdf_direct(X.pdf_direct_text(payload), ref)
         if unit == U_PDF_PAGE:
             try:
-                page = M.get_media_page(payload, page_no)
-            except Exception as e:
+                page = self._get_pages(ref, payload)[page_no]
+            except _EXPECTED_OCR_ERRORS as e:
                 return None, C.ERR_PDF_CRITICAL.format(err=e)
             return X.extract_pdf_page(page, page_no, n_pages, ref, self.engine)
         return None, C.ERR_UNSUPPORTED
@@ -222,9 +265,15 @@ class OcrStage:
                 try:
                     res = self._unit(unit, ref, None, page_no, n_pages)
                     break
-                except Exception as e:  # engine crash → retry (analyze_service.py:61-69)
+                except _EXPECTED_OCR_ERRORS as e:
+                    # engine crash → backoff + retry (analyze_service.py:61-69);
+                    # unexpected exceptions propagate → Ray task retry
                     if attempt == C.MAX_RETRIES - 1:
                         res = (None, C.ERR_IMAGE_PROCESS.format(name=ref, err=e))
+                    else:
+                        import time as _time
+
+                        _time.sleep(C.RETRY_BACKOFF * (attempt + 1))
             out_text[i] = res[0]
             errors[i] = res[1]
         return (
@@ -424,10 +473,12 @@ def extraction_pipeline(
       at 60k docs).
     - "groupby": ``groupby(doc_id).map_groups`` — one Python call per doc;
       the semantic baseline, fine for tiny inputs.
-    - "auto" (default): repartition when the session has ≥8 CPUs, else
-      groupby — hash-shuffle finalize tasks reserve a CPU + a large memory
-      block and can deadlock a ≤4-CPU session whose actor pools hold the
-      rest (observed: 4/4 CPUs held, finalize pending forever).
+    - "auto" (default): repartition when the session has ≥4 CPUs, else
+      groupby. Hash-shuffle finalize tasks reserve CPU + a large memory
+      block and can deadlock a tiny session whose actor pools hold the rest
+      (observed: all CPUs held, finalize pending forever); the 4-CPU case is
+      safe ONLY because the zero-CPU aggregator override below removes the
+      aggregators' reservation — ≤3 CPUs stays on the groupby path.
 
     CPU budget note: only the OCR and scorer stages reserve actors
     (ocr_concurrency + scorer_concurrency CPUs); explode runs as elastic
@@ -525,10 +576,18 @@ def extraction_pipeline(
 def rank_topk(analyzed_ds, k: int = C.TOP_K):
     """Query-mode ranking (reference analysis.py:541-545): successful rows
     only, score desc, top-k; doc_id tiebreak for determinism (the reference's
-    completion-order ties are nondeterministic)."""
+    completion-order ties are nondeterministic). A successful row whose score
+    is missing/unparseable sorts as 0.0 — the reference's safe_score_key
+    coercion (utils.py:50-56, M12)."""
+
+    def ok_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t["error"]))
+        return t.set_column(
+            t.schema.get_field_index("score"), "score",
+            t["score"].combine_chunks().fill_null(0.0),
+        )
+
     ok = analyzed_ds.map_batches(
-        lambda t: t.filter(pc.is_null(t["error"])),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        ok_rows, batch_format="pyarrow", zero_copy_batch=True,
     )
     return ok.sort(["score", "doc_id"], descending=[True, False]).limit(k)

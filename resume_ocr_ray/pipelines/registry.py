@@ -32,25 +32,37 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
-def _documents_table(sf_dir: str) -> pa.Table:
-    import pyarrow.parquet as pq
-
-    return pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-
-
 # ---------------------------------------------------------------------------
 # extraction pipelines (interleaved corpus derived from the documents table)
 # ---------------------------------------------------------------------------
 
+#: sharded media stores cached per media_dir — meta is built once per process
+#: (parallel Ray tasks), then shared by every extraction query in the session
+_STORE_CACHE: dict = {}
+
+
+def _extraction_inputs(sf_dir: str, repeat: int = 2):
+    """Sharded on-disk corpus + sharded media store for an sf_dir.
+
+    The corpus is generated Ray-parallel ONCE (disk-cached across processes);
+    queries then stream it with read_parquet — no driver-side corpus build,
+    no monolithic media ray.put (round-1 verdict #1/#2)."""
+    docs_dir, media_dir = EIO.ensure_derived_corpus(sf_dir, repeat=repeat)
+    store = _STORE_CACHE.get(media_dir)
+    if store is None:
+        store = EIO.ShardedParquetMediaStore.from_dir(media_dir)
+        _STORE_CACHE[media_dir] = store
+    return docs_dir, store
+
+
 def _extraction_ds(sf_dir: str, repeat: int = 2, analyzed=False, query=None):
     import ray.data as rd
 
-    docs, media = corpus.corpus_from_documents(_documents_table(sf_dir), repeat=repeat)
-    store = EIO.MediaStore.from_table(media)
-    n_blocks = max(8, docs.num_rows // 512)
-    docs_ds = rd.from_arrow(docs).repartition(n_blocks)
+    docs_dir, store = _extraction_inputs(sf_dir, repeat)
     # pool sizes auto-scale to the session inside extraction_pipeline
-    return P.extraction_pipeline(docs_ds, store, analyzed=analyzed, query=query)
+    return P.extraction_pipeline(
+        rd.read_parquet(docs_dir), store, analyzed=analyzed, query=query
+    )
 
 
 def _summarize_extracted(t: pa.Table) -> pa.Table:

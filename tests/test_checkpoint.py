@@ -84,3 +84,24 @@ def test_manifest_lineage_and_invalidation(ray_session, corpus_on_disk, tmp_path
     assert len(s["skipped"]) == 3
     m = CK.load_manifest(out_dir, "shard-0000")
     assert m["rows_in"] == t.num_rows - 1
+
+
+def test_param_mismatch_invalidates_all(ray_session, corpus_on_disk, tmp_path):
+    """Re-running against the same out_dir with different job params must
+    re-process committed shards, not silently mix modes (round-1 ADVICE)."""
+    docs, media, docs_dir, media_dir, lookup = corpus_on_disk
+    store = EIO.MediaStore.from_table(media)
+    out_dir = str(tmp_path / "out3")
+    CK.run_checkpointed(docs_dir, store, out_dir, ocr_concurrency=2)
+
+    s = CK.run_checkpointed(
+        docs_dir, store, out_dir, ocr_concurrency=2,
+        analyzed=True, query="python spark",
+    )
+    assert not s["skipped"] and len(s["processed"]) == 4
+    # and with matching params everything skips again
+    s2 = CK.run_checkpointed(
+        docs_dir, store, out_dir, ocr_concurrency=2,
+        analyzed=True, query="python spark",
+    )
+    assert not s2["processed"] and len(s2["skipped"]) == 4

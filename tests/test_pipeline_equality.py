@@ -99,6 +99,65 @@ def test_rank_topk(ray_session, fixture_corpus):
     assert list(top["doc_id"]) == [r["doc_id"] for r in ok]
 
 
+def test_sharded_media_store_equality(ray_session, tmp_path):
+    """Scale path: extraction over ShardedParquetMediaStore (payloads read
+    from shard files by the OCR actors, LRU-bounded; no monolithic media
+    broadcast) matches the oracle span-for-span."""
+    import ray.data as rd
+
+    docs, media = corpus.generate_corpus(36, seed=33)
+    docs_dir, media_dir = EIO.write_corpus(
+        str(tmp_path / "c"), docs, media, num_shards=4
+    )
+    lookup = dict(
+        zip(media.column("media_ref").to_pylist(), media.column("payload").to_pylist())
+    )
+    store = EIO.ShardedParquetMediaStore.from_dir(media_dir, max_cached_shards=2)
+    ds = P.extraction_pipeline(
+        rd.read_parquet(docs_dir), store, batch_size=32, ocr_concurrency=2,
+    )
+    actual = pa.concat_tables(
+        [b for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow")]
+    )
+    expected = extract.extract_table(docs, lookup)
+    exp, act = _by_doc(expected), _by_doc(actual)
+    assert set(exp) == set(act)
+    for doc_id, e in exp.items():
+        a = act[doc_id]
+        assert a["error"] == e["error"], (doc_id, a["error"], e["error"])
+        assert _span_key(a["spans_out"]) == _span_key(e["spans_out"]), doc_id
+
+
+def test_zero_page_pdf_matches_oracle(ray_session):
+    """A schema-valid PDF with n_pages=0 and short direct text must produce
+    the oracle's ERR_OCR_EMPTY (stitch_pdf_pages([])), not a phantom-page
+    error (round-1 ADVICE: explode synthesized page 0 and diverged)."""
+    from resume_ocr_ray.core import media as M
+    from resume_ocr_ray.core import schema as S
+
+    payload = M.encode_media("pdf", [], direct_text="curto")
+    docs = pa.Table.from_pydict(
+        {
+            "doc_id": ["zp-1"],
+            "spans": [[{"kind": "media", "text": "", "media_ref": "zp-1/m0",
+                        "offset": 0}]],
+        },
+        schema=S.DOCUMENTS_SCHEMA,
+    )
+    media = pa.Table.from_pydict(
+        {"media_ref": ["zp-1/m0"], "payload": [payload],
+         "media_kind": ["pdf"], "n_pages": [0]},
+        schema=S.MEDIA_SCHEMA,
+    )
+    lookup = {"zp-1/m0": payload}
+    expected = extract.extract_table(docs, lookup)
+    actual = _run_pipeline(docs, media, stitch="groupby")
+    e, a = expected.to_pylist()[0], actual.to_pylist()[0]
+    assert e["error"] is not None and "OCR" in e["error"]
+    assert a["error"] == e["error"]
+    assert a["spans_out"] == e["spans_out"] == []
+
+
 def test_pipeline_from_documents_table(ray_session):
     """Derived-corpus path used by bench/queries: everything extracts clean."""
     import ray.data as rd
