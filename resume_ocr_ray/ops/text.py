@@ -88,18 +88,20 @@ class LangIdStage:
     """Heuristic language ID (actor pool: regex + profiles compiled once).
 
     On word-salad synthetic text this is a demonstration operator: it scores
-    stopword overlap per language and falls back to 'en'.
-    """
+    distinct-stopword overlap per language and falls back to 'en'. The exact
+    semantics (``[a-z]+`` words of the lowercased text, strictly-greater
+    argmax in profile order) are deliberately DuckDB-restatable — the driver
+    oracle recomputes them in SQL (registry.oracle_sql()['lang_id'])."""
 
     def __init__(self):
-        self.word = re.compile(r"[a-zA-Zà-ÿÀ-ß]+")
+        self.word = re.compile(r"[a-z]+")
         self.profiles = {k: v for k, v in _LANG_PROFILES.items() if v}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
         preds = []
         for t in texts:
-            words = set(w.lower() for w in self.word.findall(t or "")[:200])
+            words = set(self.word.findall((t or "").lower()))
             best, best_n = "en", 0
             for lang, prof in self.profiles.items():
                 n = len(words & prof)
@@ -148,11 +150,47 @@ def fingerprint(batch: pa.Table, window: int = _FP_WINDOW) -> pa.Table:
     )
 
 
-class BpeTokenCounter:
-    """BPE-ish token counting: the GPT-2 pre-tokenizer regex, compiled once
-    per actor; counts are vectorized per batch."""
+def fingerprint_md5(batch: pa.Table, window: int = _FP_WINDOW) -> pa.Table:
+    """Winnowing fingerprint, oracle-checkable variant: the MINIMUM md5 over
+    all ``window``-token shingles (tokens = ``\\S+`` runs, matching DuckDB's
+    regexp_extract_all). Same dedup/shard-routing use as ``fingerprint`` but
+    exactly restatable in SQL (md5 + list_transform + list_min), so the
+    driver verifies it value-for-value."""
+    import hashlib
 
-    PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-zÀ-ÿ]+| ?[0-9]+| ?[^\sA-Za-zÀ-ÿ0-9]+|\s+(?!\S)|\s+"
+    texts = batch.column("text").to_pylist()
+    out = []
+    for t in texts:
+        toks = re.findall(r"\S+", t or "")
+        if not toks:
+            out.append(None)
+            continue
+        w = min(window, len(toks))
+        out.append(
+            min(
+                hashlib.md5(" ".join(toks[i : i + w]).encode()).hexdigest()
+                for i in range(len(toks) - w + 1)
+            )
+        )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "fp_md5": pa.array(out, type=pa.string()),
+        }
+    )
+
+
+class BpeTokenCounter:
+    """BPE-ish token counting: a GPT-2-style pre-tokenizer regex, compiled
+    once per actor; counts are vectorized per batch.
+
+    RE2-compatible variant: GPT-2's ``\\s+(?!\\S)`` lookahead branch is
+    dropped — it only moves the split point between a whitespace run and the
+    following token, never the match COUNT (verified count-identical over
+    the test corpus), and dropping it lets DuckDB (RE2, no lookahead) run
+    the identical pattern as the driver oracle."""
+
+    PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-zÀ-ÿ]+| ?[0-9]+| ?[^\sA-Za-zÀ-ÿ0-9]+|\s+"
 
     def __init__(self):
         self.pat = re.compile(self.PATTERN)

@@ -19,6 +19,7 @@ from ..core import corpus
 from ..engine import io as EIO
 from ..engine import pipeline as P
 from ..ops import dedup as D
+from ..ops import multimodal as MM
 from ..ops import relational as R
 from ..ops import similarity as SIM
 from ..ops import text as T
@@ -180,6 +181,16 @@ def q_events_hourly(sf_dir: str):
     return R.events_hourly(_read(sf_dir, "events", ["ts", "event_type", "value"]))
 
 
+def q_sessionize(sf_dir: str):
+    return R.sessionize(_read(sf_dir, "events", ["user_id", "ts", "value"]))
+
+
+def q_grouped_topk(sf_dir: str):
+    return R.grouped_topk(
+        _read(sf_dir, "part", ["p_brand", "p_partkey", "p_retailprice"])
+    )
+
+
 def q_ann_cosine(sf_dir: str):
     qv = SIM.query_vector(64, seed=7)
     return SIM.brute_force_topk(
@@ -255,10 +266,43 @@ def q_fingerprint(sf_dir: str):
     )
 
 
+def q_fingerprint_md5(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        T.fingerprint_md5, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_bpe_tokens(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         T.BpeTokenCounter, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
     )
+
+
+def _media_ds(sf_dir: str, repeat: int = 2):
+    """Dataset over the derived corpus's sharded media sidecar files
+    (media_ref, payload) — the multimodal-op input surface."""
+    import ray.data as rd
+
+    _, media_dir = EIO.ensure_derived_corpus(sf_dir, repeat=repeat)
+    return rd.read_parquet(media_dir)
+
+
+def q_probe_media(sf_dir: str):
+    """Header-only metadata probe over binary media payloads (rows-only:
+    the derived media table is not one of the driver's SQL views)."""
+    return MM.probe_media(_media_ds(sf_dir))
+
+
+def q_decode_features(sf_dir: str):
+    """Per-page decode + feature extraction (synthetic codec path)."""
+    return MM.decode_features(_media_ds(sf_dir))
+
+
+def q_frame_sample(sf_dir: str):
+    """Every-2nd-page frame sampling, summarized via a re-probe (returning
+    page counts instead of raw binary payloads keeps the driver compare
+    light)."""
+    return MM.probe_media(MM.frame_sample(_media_ds(sf_dir), every_k=2))
 
 
 def q_ivf_ann(sf_dir: str):
@@ -279,6 +323,7 @@ def queries() -> dict:
         "quality_score": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "fingerprint_md5": q_fingerprint_md5,
         "bpe_tokens": q_bpe_tokens,
         # dedup
         "dedup_exact": q_dedup_exact,
@@ -290,20 +335,35 @@ def queries() -> dict:
         # similarity
         "ann_cosine": q_ann_cosine,
         "ivf_ann": q_ivf_ann,
+        # multimodal plumbing (binary payload columns; rows-only checks)
+        "probe_media": q_probe_media,
+        "decode_features": q_decode_features,
+        "frame_sample": q_frame_sample,
         # relational / windows / ranking / sampling
         "top_docs": q_top_docs,
         "short_docs_by_lang": q_short_docs_by_lang,
         "lineitem_agg": q_lineitem_agg,
         "orders_by_segment": q_orders_by_segment,
         "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
+        "grouped_topk": q_grouped_topk,
         "stratified_sample": q_stratified_sample,
         "distinct_langs": q_distinct_langs,
         "point_lookup": q_point_lookup,
     }
 
 
+def _lang_profile_sql(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in sorted(words)) + "]"
+
+
 def oracle_sql() -> dict:
     qv = ", ".join(f"{float(x)!r}" for x in SIM.query_vector(64, seed=7))
+    bpe_pat = T.BpeTokenCounter.PATTERN.replace("'", "''")
+    en = _lang_profile_sql(T._LANG_PROFILES["en"])
+    es = _lang_profile_sql(T._LANG_PROFILES["es"])
+    fr = _lang_profile_sql(T._LANG_PROFILES["fr"])
+    de = _lang_profile_sql(T._LANG_PROFILES["de"])
     return {
         "doc_stats": (
             "SELECT doc_id, length(text) AS n_chars_actual, "
@@ -365,5 +425,55 @@ def oracle_sql() -> dict:
         "ann_cosine": (
             f"SELECT vec_id, round(CAST(list_cosine_similarity(embedding, [{qv}]) AS DOUBLE), 6) AS cosine "
             "FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        # identical RE2 pattern as BpeTokenCounter (lookahead-free, see its
+        # docstring); single-quotes doubled for SQL
+        "bpe_tokens": (
+            f"SELECT doc_id, len(regexp_extract_all(text, '{bpe_pat}')) "
+            "AS n_bpe_tokens FROM documents"
+        ),
+        # restates LangIdStage exactly: distinct [a-z]+ words of lower(text),
+        # stopword-overlap argmax with first-wins ties in (en,es,fr,de) order
+        "lang_id": (
+            "WITH w AS (SELECT doc_id, "
+            "list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS words "
+            "FROM documents), "
+            "c AS (SELECT doc_id, "
+            f"len(list_intersect(words, {en})) AS n_en, "
+            f"len(list_intersect(words, {es})) AS n_es, "
+            f"len(list_intersect(words, {fr})) AS n_fr, "
+            f"len(list_intersect(words, {de})) AS n_de FROM w) "
+            "SELECT doc_id, CASE "
+            "WHEN n_en >= n_es AND n_en >= n_fr AND n_en >= n_de THEN 'en' "
+            "WHEN n_es >= n_fr AND n_es >= n_de THEN 'es' "
+            "WHEN n_fr >= n_de THEN 'fr' ELSE 'de' END AS lang_pred FROM c"
+        ),
+        # min-md5 over 8-token shingles (tokens = \S+ runs), matching
+        # ops.text.fingerprint_md5 value-for-value
+        "fingerprint_md5": (
+            r"WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks "
+            "FROM documents), "
+            "p AS (SELECT doc_id, toks, least(8, len(toks)) AS win FROM w) "
+            "SELECT doc_id, CASE WHEN len(toks) = 0 THEN NULL ELSE "
+            "list_min(list_transform(range(1, len(toks) - win + 2), "
+            "i -> md5(array_to_string(toks[i:i+win-1], ' ')))) END AS fp_md5 "
+            "FROM p"
+        ),
+        "sessionize": (
+            "WITH x AS (SELECT user_id, ts, value, "
+            "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+            "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+            "> INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events), "
+            "s AS (SELECT user_id, ts, value, "
+            "sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sess FROM x) "
+            "SELECT user_id, min(ts) AS session_start, "
+            "count(*) AS n_events, round(sum(value), 4) AS sum_value "
+            "FROM s GROUP BY user_id, sess"
+        ),
+        "grouped_topk": (
+            "SELECT p_brand, p_partkey, p_retailprice FROM ("
+            "SELECT p_brand, p_partkey, p_retailprice, row_number() OVER "
+            "(PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) "
+            "AS rn FROM part) WHERE rn <= 3"
         ),
     }

@@ -67,6 +67,44 @@ def test_embedding_near_dups(ray_session):
     assert (0, 1) in set(map(tuple, pairs[["a", "b"]].to_numpy()))
 
 
+def test_minhash_verified_empty_candidates(ray_session):
+    """All-unique docs → zero LSH candidates: the verify pipeline must return
+    an empty result, not crash (round-1 ADVICE: empty value_set ArrowTypeError)."""
+    import ray.data as rd
+
+    uniq = pa.table(
+        {
+            "doc_id": list(range(10)),
+            "text": [
+                f"totally distinct words {i} alpha beta {i * 7} gamma delta {i * 13}"
+                for i in range(10)
+            ],
+        }
+    )
+    out = D.minhash_verified(rd.from_arrow(uniq), threshold=0.5).to_pandas()
+    assert len(out) == 0
+
+
+def test_embedding_dups_skew_cap(ray_session):
+    """Adversarial single-bucket input (many identical vectors): the
+    max_bucket star fallback must bound pair output to O(k) anchored at the
+    min vec_id instead of O(k²)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal(64).astype(np.float32)
+    k = 50
+    tbl = pa.table(
+        {"vec_id": list(range(k)), "embedding": [base.tolist()] * k}
+    )
+    pairs = D.embedding_near_dups(
+        rd.from_arrow(tbl), threshold=0.95, max_bucket=10
+    ).to_pandas()
+    assert len(pairs) == k - 1  # star: every vec paired with the min id
+    assert (pairs["a"] == 0).all()
+    assert (pairs["cosine"] >= 0.95).all()
+
+
 def test_brute_force_vs_ivf_overlap(ray_session):
     import ray.data as rd
 

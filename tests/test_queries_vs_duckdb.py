@@ -56,7 +56,8 @@ def test_all_queries_run(ray_session, registry):
         "doc_stats", "quality_score", "dedup_exact", "dedup_prefix", "top_docs",
         "short_docs_by_lang", "lineitem_agg", "orders_by_segment",
         "events_hourly", "ann_cosine", "stratified_sample", "distinct_langs",
-        "point_lookup",
+        "point_lookup", "lang_id", "bpe_tokens", "fingerprint_md5",
+        "sessionize", "grouped_topk",
     ],
 )
 def test_query_matches_oracle(ray_session, registry, duck, name):
