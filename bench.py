@@ -26,7 +26,13 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPEAT = int(os.environ.get("GRAFT_EXTRACT_REPEAT", "2"))
 #: scaling runs need enough work that fixed session costs don't dominate
 #: (≳30 s at the low parallelism level) — larger derived corpus
-SCALING_REPEAT = int(os.environ.get("GRAFT_SCALING_REPEAT", "192"))
+SCALING_REPEAT = int(os.environ.get("GRAFT_SCALING_REPEAT", "8"))
+#: per-page OCR compute for the SCALING legs (ms of deterministic hashing,
+#: see core.media.OcrEngine.COST_MS): the synthetic codec is ~1000× cheaper
+#: than real OCR, which would make the scaling run measure Ray overhead
+#: instead of the actor-pool compute scaling the north rule targets. 3 ms is
+#: still ~30× cheaper than tesseract; the headline bench keeps cost 0.
+SCALING_OCR_COST_MS = os.environ.get("GRAFT_OCR_COST_MS", "3")
 
 BENCH_QUERIES = [
     "extract_rank",
@@ -122,7 +128,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     s0 = _cpu_stat()
     t0 = time.monotonic()
     ds = P.extraction_pipeline(
-        rd.read_parquet(docs_dir), store, batch_size=256,
+        EIO.read_documents_sharded(docs_dir), store, batch_size=256,
         analyzed=analyzed, query=query,
     )
     n_docs = ds.count()
@@ -175,6 +181,7 @@ def run_scaling(sf_dir: str, lo: int = None, hi: int = None) -> dict:
             GRAFT_BENCH_HEADLINE_ONLY="1",
             GRAFT_BENCH_ANALYZED="1",
             GRAFT_EXTRACT_REPEAT=str(SCALING_REPEAT),
+            GRAFT_OCR_COST_MS=SCALING_OCR_COST_MS,
         )
         # taskset hard-caps the WHOLE process tree (raylet, workers,
         # zero-CPU aggregator actors, plasma) to ncpu physical cores —
@@ -203,6 +210,7 @@ def run_scaling(sf_dir: str, lo: int = None, hi: int = None) -> dict:
         "sec_lo": r_lo["value"],
         "sec_hi": r_hi["value"],
         "scaling_efficiency": round(eff, 3),
+        "ocr_cost_ms": float(SCALING_OCR_COST_MS),
         "cpu_lo": {k: r_lo[k] for k in ("steal_pct", "idle_pct", "busy_cores")},
         "cpu_hi": {k: r_hi[k] for k in ("steal_pct", "idle_pct", "busy_cores")},
     }

@@ -112,6 +112,16 @@ class OcrEngine:
     stand-in for loading language packs).
     """
 
+    #: Calibrated per-page compute (milliseconds), env GRAFT_OCR_COST_MS.
+    #: The synthetic codec decodes a page in ~0.1 ms — 3 orders of magnitude
+    #: cheaper than real tesseract (~100 ms+/page), which makes the pipeline
+    #: overhead-bound and unable to exercise actor-pool CPU scaling. Setting
+    #: a cost burns deterministic hashing work per page (output text is
+    #: UNCHANGED — span equality is unaffected) so scaling benchmarks see the
+    #: compute profile a real OCR engine has. Default 0 (off) for tests and
+    #: the throughput headline.
+    COST_MS = float(__import__("os").environ.get("GRAFT_OCR_COST_MS", "0"))
+
     def __init__(self, lang: str = "por+eng"):
         self.lang = lang
         # Simulated engine bring-up: materialize the decode keystream at a
@@ -119,7 +129,24 @@ class OcrEngine:
         self._key = np.resize(_KEY_ARR, 1 << 16)
 
     def image_to_string(self, page: bytes) -> str:
+        if self.COST_MS > 0:
+            self._burn(page)
         return decode_page_text(page)
+
+    #: sha256-chain iterations per simulated millisecond — a FIXED constant
+    #: (not wall-clock calibrated) so the burn is identical CPU work on every
+    #: machine/leg; hypervisor steal then stretches wall time honestly
+    #: instead of being absorbed by a deadline loop.
+    ITERS_PER_MS = 1500
+
+    def _burn(self, page: bytes):
+        """Deterministic compute proportional to COST_MS (hash chaining over
+        the page bytes; result discarded)."""
+        import hashlib
+
+        h = page[:64]
+        for _ in range(int(self.COST_MS * self.ITERS_PER_MS)):
+            h = hashlib.sha256(h).digest()
 
 
 # ---------------------------------------------------------------------------

@@ -103,7 +103,8 @@ def run_checkpointed(
             continue
         t0 = time.monotonic()
         ds = rd.read_parquet(in_path)
-        rows_in = ds.count()
+        # row count from parquet footer metadata — not a Dataset execution
+        rows_in = pq.ParquetFile(in_path).metadata.num_rows
         out = P.extraction_pipeline(
             ds, store, analyzed=analyzed, query=query,
             ocr_concurrency=ocr_concurrency, batch_size=batch_size,

@@ -48,6 +48,28 @@ def read_documents(path: str):
     return rd.read_parquet(path)
 
 
+def read_documents_sharded(docs_dir: str, min_blocks: int | None = None):
+    """Corpus read with an explicit block-count floor.
+
+    Ray sizes read output blocks to ~2×CPUs by default; downstream actor-pool
+    map tasks are PER BLOCK, so a low-CPU session gets so few blocks that the
+    OCR pool never scales past 1-2 actors (measured: 8 blocks at 4 CPUs →
+    1.3 busy cores). Floor the block count at 4×CPUs and the shard-file count
+    so every pool can reach its max concurrency with several tasks per actor.
+    """
+    import ray
+    import ray.data as rd
+
+    files = [f for f in os.listdir(docs_dir) if f.endswith(".parquet")]
+    ncpu = (
+        int(ray.cluster_resources().get("CPU", 8))
+        if ray.is_initialized()
+        else 8
+    )
+    nblocks = max(len(files), 4 * ncpu, min_blocks or 0)
+    return rd.read_parquet(docs_dir, override_num_blocks=nblocks)
+
+
 def write_corpus(out_dir: str, docs: pa.Table, media: pa.Table, num_shards: int = 4):
     """Write a corpus as sharded parquet: documents/shard-NNNN.parquet + media/.
 
@@ -260,32 +282,65 @@ class MediaStore:
         return _ArrowLookup(ray.get(self.table_ref))
 
 
-class _ShardedLookup:
-    """Per-worker lazy view over sharded media parquet files.
+class _MediaShardRegistry:
+    """Session-level shard-table cache (a zero-CPU Ray actor).
 
-    ``get(ref)`` resolves the ref's shard id from the broadcast meta, loads
-    that ONE shard file on first touch, and keeps at most ``max_cached``
-    shard tables (LRU). Payload bytes therefore move storage→worker, never
-    through the driver or a global broadcast. Locality assumption
-    (documented): media shards are co-sharded with the documents that
-    reference them (write_derived_corpus_parallel writes them that way), so
-    an OCR actor streaming blocks of one doc shard touches ~1 media shard.
+    Loads each media shard parquet ONCE per session into the object store
+    and hands out the ObjectRef; every OCR actor then maps the same shard
+    table zero-copy from plasma instead of re-reading + re-decompressing the
+    parquet file per actor (measured: one 1 MB shard read ≈ 280 ms vs
+    ~20 ms of actual OCR compute per batch — per-actor re-reads dominated
+    the whole pipeline). Plasma evicts/spills cold shards under memory
+    pressure, so at 10^12 docs this is a node-local LRU over hot shards,
+    not a full-media materialization — and nothing ever transits the driver.
     """
 
-    def __init__(self, shard_paths: list, meta: dict, max_cached: int = 4):
+    def __init__(self, paths: list):
+        self._paths = list(paths)
+        self._refs: dict = {}
+
+    def shard_ref(self, sid: int):
+        import ray
+
+        ref = self._refs.get(sid)
+        if ref is None:
+            t = pq.read_table(self._paths[sid], columns=["media_ref", "payload"])
+            ref = ray.put(t)
+            self._refs[sid] = ref
+        return ref
+
+
+class _ShardedLookup:
+    """Per-worker lazy view over sharded media tables.
+
+    ``get(ref)`` resolves the ref's shard id from the broadcast meta, fetches
+    that shard's table from the shard registry (zero-copy plasma map; disk is
+    touched once per session, by whichever worker asks first), and keeps at
+    most ``max_cached`` per-shard row indexes (LRU — the index is a small
+    ref→row dict; payload buffers stay shared in plasma)."""
+
+    def __init__(self, shard_paths: list, meta: dict, registry,
+                 max_cached: int = 32):
         from collections import OrderedDict
 
         self._paths = shard_paths
         self._meta = meta
+        self._registry = registry
         self._max = max_cached
         self._shards = OrderedDict()
 
     def _shard(self, sid: int) -> _ArrowLookup:
+        import ray
+
         lk = self._shards.get(sid)
         if lk is None:
-            lk = _ArrowLookup(
-                pq.read_table(self._paths[sid], columns=["media_ref", "payload"])
-            )
+            if self._registry is not None:
+                table_ref = ray.get(self._registry.shard_ref.remote(sid))
+                lk = _ArrowLookup(ray.get(table_ref))
+            else:  # registry-less fallback (driver-side/unit use)
+                lk = _ArrowLookup(
+                    pq.read_table(self._paths[sid], columns=["media_ref", "payload"])
+                )
             self._shards[sid] = lk
             if len(self._shards) > self._max:
                 self._shards.popitem(last=False)
@@ -318,13 +373,17 @@ class ShardedParquetMediaStore:
     interface is unchanged by that step.
     """
 
-    def __init__(self, shard_paths: list, meta_ref, max_cached_shards: int = 4):
+    def __init__(self, shard_paths: list, meta_ref, registry=None,
+                 max_cached_shards: int = 32):
         self.shard_paths = list(shard_paths)
         self.meta_ref = meta_ref
+        self.registry = registry
         self.max_cached_shards = max_cached_shards
 
     @classmethod
-    def from_dir(cls, media_dir: str, max_cached_shards: int = 4):
+    def from_dir(cls, media_dir: str, max_cached_shards: int = 32):
+        import zlib as _zlib
+
         import ray
 
         paths = sorted(
@@ -341,7 +400,9 @@ class ShardedParquetMediaStore:
         meta: dict = {}
         for part in ray.get([shard_meta.remote(p, i) for i, p in enumerate(paths)]):
             meta.update(part)
-        return cls(paths, ray.put(meta), max_cached_shards)
+        # one registry per media_dir per session (idempotent via named actor)
+        registry = _make_registry_actor(media_dir, paths)
+        return cls(paths, ray.put(meta), registry, max_cached_shards)
 
     def get_meta(self) -> dict:
         import ray
@@ -353,5 +414,18 @@ class ShardedParquetMediaStore:
 
         return _ShardedLookup(
             self.shard_paths, cached_broadcast(self.meta_ref),
-            self.max_cached_shards,
+            self.registry, self.max_cached_shards,
         )
+
+
+def _make_registry_actor(media_dir: str, paths: list):
+    """Named zero-CPU registry actor, one per media_dir per Ray session
+    (``get_if_exists`` makes repeated store construction idempotent)."""
+    import ray
+
+    name = f"media-shard-registry-{zlib.crc32(media_dir.encode()):08x}"
+    return (
+        ray.remote(_MediaShardRegistry)
+        .options(name=name, get_if_exists=True, num_cpus=0)
+        .remote(paths)
+    )

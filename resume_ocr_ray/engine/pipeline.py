@@ -501,16 +501,25 @@ def extraction_pipeline(
     # barrier, so the pipeline runs in phases — statically reserved pools sit
     # idle during the other phases and starve them (observed: 1.4/4 cores
     # busy). With (1, k) pools, CPUs flow to whichever stage has work.
+    import math as _math
+
+    # ceil, not round/int: at 4 CPUs round(0.8×3)=2 caps the OCR pool at 50%
+    # of the node while 16 CPUs gets 75% — that quantization skews low-end
+    # utilization (measured 2.3/4 busy cores) and distorts scaling ratios.
+    # 0.9 of the budget: the OCR pool carries ~90% of pipeline compute, and
+    # read/stitch/score tasks interleave on the remainder (measured at 16
+    # CPUs, 40k docs: pool 12 → 14 actors cut 21.5 s → 20.0 s with no
+    # starvation; the budget=ncpu-1 margin still guarantees a free CPU).
     if analyzed:
         if scorer_concurrency is None:
-            scorer_concurrency = max(1, round(budget * 0.55))
+            scorer_concurrency = max(1, _math.ceil(budget * 0.55))
         if ocr_concurrency is None:
-            ocr_concurrency = max(1, round(budget * 0.8))
+            ocr_concurrency = max(1, _math.ceil(budget * 0.9))
         scorer_concurrency = max(1, min(scorer_concurrency, budget))
         ocr_concurrency = max(1, min(ocr_concurrency, budget))
     else:
         if ocr_concurrency is None:
-            ocr_concurrency = max(2, int(_ncpu * 0.8))
+            ocr_concurrency = max(2, _math.ceil(budget * 0.9))
         ocr_concurrency = max(1, min(ocr_concurrency, budget))
     exploded = docs_ds.map_batches(
         make_explode_fn(store),
@@ -518,32 +527,52 @@ def extraction_pipeline(
         zero_copy_batch=True,
         batch_size=batch_size,
     )
+    # Static pool at max size: the autoscaler's ramp (1 → k as the queue
+    # builds) left the pool at ~6/12 average actors over a 20 s run — a
+    # pre-sized pool cut the same job 24.3 s → 13.4 s at 16 CPUs. Deadlock
+    # margin comes from the sizing itself: max ≤ 0.8×(CPUs−1), so ≥1 CPU is
+    # always free for read/stitch/score tasks (the all-CPU static pool is
+    # what deadlocks). tif=2 below keeps tasks from piling onto one actor.
     ocred = exploded.map_batches(
         OcrStage,
         fn_constructor_args=(store,),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=(1, ocr_concurrency),
+        concurrency=(ocr_concurrency, ocr_concurrency),
     )
+    ocred.context.max_tasks_in_flight_per_actor = 2
     if stitch == "auto":
         stitch = "repartition" if _ncpu >= 4 else "groupby"
     if stitch == "repartition":
+        import os as _os
+
         from ray.data.context import DataContext, ShuffleStrategy
 
         ncpu = _ncpu
-        # fine partitioning bounds the stitch/score straggler tail (32 parts
-        # at 16 CPUs left a 25 s straggler; 256 parts → 81% core utilization)
-        nparts = stitch_partitions or max(64, ncpu * 12)
+        # Partition count trades per-partition shuffle overhead against the
+        # straggler tail. The hash shuffle costs ~fixed work PER PARTITION
+        # (measured: 384 parts on a 10k-doc/18 MB stitch ran 3× slower
+        # end-to-end than 64 parts — aggregator wall was pure partition
+        # overhead), so the default is 2×CPUs; for much larger corpora pass
+        # stitch_partitions ≈ total_docs / 15k (stitch work is ~0.26 ms/doc,
+        # so that bounds any straggler partition to a few seconds).
+        nparts = stitch_partitions or int(
+            _os.environ.get("GRAFT_STITCH_PARTS", 0)
+        ) or max(16, ncpu * 2)
         # Key-based repartition requires the HASH_SHUFFLE strategy. Scope it
         # to THIS PLAN by mutating the plan's captured DataContext (each
         # dataset chain carries its own snapshot) — other pipelines keep the
         # default sort shuffle, whose tiny-groupby startup cost is lower.
         # Aggregator count is capped to the session CPU budget so the
         # aggregator actors never starve the OCR pool.
-        import os as _os
-
         plan_ctx = ocred.context
+        # Per-operator resource RESERVATION splits a small session's CPUs
+        # into fixed operator budgets, capping the (dominant) OCR pool at ~1
+        # actor on a 4-CPU node (measured 1.3/4 busy → 2.3/4 with it off).
+        # Our plan self-balances instead: elastic (1,k) pools + zero-CPU
+        # shuffle aggregators. Scoped to THIS plan's context snapshot.
+        plan_ctx.op_resource_reservation_enabled = False
         plan_ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
         plan_ctx.max_hash_shuffle_aggregators = int(
             _os.environ.get("GRAFT_HASH_AGG", max(2, ncpu // 2))
@@ -553,6 +582,11 @@ def extraction_pipeline(
         # task ever schedules again (observed deadlock: pools 3.0 + agg 0.1
         # in a 4-CPU session leaves 0.9 — map tasks need 1.0)
         plan_ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0
+        # ...and the same for hash AGGREGATES: downstream groupbys (e.g. the
+        # seniority counts) inherit THIS plan context and its HASH_SHUFFLE
+        # strategy; their aggregator actors reserving CPUs against a full
+        # static OCR pool deadlocked an 8-CPU session (observed).
+        plan_ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0
         stitched = ocred.repartition(nparts, keys=["doc_id"]).map_batches(
             stitch_block,
             batch_format="pyarrow",

@@ -57,12 +57,12 @@ def _extraction_inputs(sf_dir: str, repeat: int = 2):
 
 
 def _extraction_ds(sf_dir: str, repeat: int = 2, analyzed=False, query=None):
-    import ray.data as rd
-
     docs_dir, store = _extraction_inputs(sf_dir, repeat)
-    # pool sizes auto-scale to the session inside extraction_pipeline
+    # pool sizes auto-scale to the session inside extraction_pipeline;
+    # the sharded read floors the block count so pools can reach them
     return P.extraction_pipeline(
-        rd.read_parquet(docs_dir), store, analyzed=analyzed, query=query
+        EIO.read_documents_sharded(docs_dir), store, analyzed=analyzed,
+        query=query,
     )
 
 
