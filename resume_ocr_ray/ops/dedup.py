@@ -86,19 +86,29 @@ class MinHashStage:
         self.shingle = shingle
         self.token = re.compile(r"\w+")
 
+    #: polynomial base for the vectorized shingle hash (any odd 64-bit const)
+    _SH_BASE = np.uint64(1099511628211)
+
     def signature(self, text: str) -> np.ndarray:
+        """Vectorized: crc32 per TOKEN (the only Python loop), then the
+        shingle hash is a numpy Horner scheme over the token-crc array —
+        ``shingle`` vector passes instead of one string join + crc32 per
+        shingle (~5× fewer Python-level hash calls on real text)."""
         toks = self.token.findall((text or "").lower())
-        if len(toks) < self.shingle:
-            shingles = {" ".join(toks)} if toks else {""}
+        if not toks:
+            hv = np.zeros(1, dtype=np.uint64)
         else:
-            shingles = {
-                " ".join(toks[i : i + self.shingle])
-                for i in range(len(toks) - self.shingle + 1)
-            }
-        hv = np.fromiter(
-            (zlib.crc32(s.encode()) for s in shingles), dtype=np.uint64,
-            count=len(shingles),
-        )
+            crcs = np.fromiter(
+                (zlib.crc32(t.encode()) for t in toks), dtype=np.uint64,
+                count=len(toks),
+            )
+            w = min(self.shingle, len(crcs))
+            n_win = len(crcs) - w + 1
+            h = np.zeros(n_win, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(w):  # w (=5) vectorized passes
+                    h = h * self._SH_BASE + crcs[j : j + n_win]
+            hv = np.unique(h)  # distinct shingles, like the set() before
         # (a*x + b) mod p for all perms × shingles, take min per perm
         vals = (self.a[:, None] * hv[None, :] + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)

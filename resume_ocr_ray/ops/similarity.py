@@ -33,13 +33,15 @@ def query_vector(dim: int = 64, seed: int = 7) -> np.ndarray:
 
 def _cosine_topk_batch(batch: pa.Table, q: np.ndarray, k: int) -> pa.Table:
     """Per-batch cosine scores vs the query + batch-local top-k partial
-    (combiner before the global merge)."""
-    mat = _as_matrix(batch)
+    (combiner before the global merge). Scores accumulate in float64: the
+    DuckDB oracle computes in float64, and float32 sums land on round(…, 6)
+    boundaries often enough to flip the 6th decimal on real data."""
+    mat = _as_matrix(batch).astype(np.float64)
     if mat.size == 0:
         return pa.table({"vec_id": pa.array([], type=pa.int64()),
                          "cosine": pa.array([], type=pa.float64())})
     norms = np.linalg.norm(mat, axis=1)
-    sims = (mat @ q) / np.maximum(norms, 1e-9)
+    sims = (mat @ q.astype(np.float64)) / np.maximum(norms, 1e-9)
     k = min(k, sims.shape[0])
     top = np.argpartition(-sims, k - 1)[:k]
     return pa.table(
@@ -68,6 +70,58 @@ def brute_force_topk(emb_ds, qvec: np.ndarray, k: int = 10):
         score, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096,
     )
     return partials.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
+
+
+def brute_force_topk_multi(emb_ds, qmat: np.ndarray, k: int = 10):
+    """Exact cosine top-k for a BATCH of query vectors at once — the
+    broadcast-query-matrix pattern: one ``ray.put`` of the (m, dim) query
+    matrix, ONE numpy matmul per data batch scores all m queries, per-batch
+    top-k partials per query, then a tiny per-qid merge. The scale path for
+    'dedup/search a corpus against a seed set'."""
+    import pandas as pd
+    import ray
+
+    from ..common import cached_broadcast
+
+    qref = ray.put(np.asarray(qmat, dtype=np.float32))
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = cached_broadcast(qref).astype(np.float64)  # (m, dim)
+        mat = _as_matrix(batch).astype(np.float64)
+        m = q.shape[0]
+        if mat.size == 0:
+            return pa.table({"qid": pa.array([], type=pa.int32()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "cosine": pa.array([], type=pa.float64())})
+        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-9)
+        # float64 end to end (see _cosine_topk_batch): f64 kernel-order
+        # differences are ~1e-15, far below the round(…, 6) grain
+        sims = (mat @ q.T) / norms  # (n, m) — one matmul for all queries
+        kk = min(k, mat.shape[0])
+        qids, vids, coss = [], [], []
+        vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        for j in range(m):  # m is small (the query batch), n is vectorized
+            top = np.argpartition(-sims[:, j], kk - 1)[:kk]
+            qids.append(np.full(kk, j, dtype=np.int32))
+            vids.append(vec_ids[top])
+            coss.append(np.round(sims[top, j], 6))
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(qids)),
+                "vec_id": pa.array(np.concatenate(vids)),
+                "cosine": pa.array(np.concatenate(coss)),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["cosine", "vec_id"], ascending=[False, True]
+        ).head(k)[["qid", "vec_id", "cosine"]]
+
+    partials = emb_ds.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096,
+    )
+    return partials.groupby("qid").map_groups(merge, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

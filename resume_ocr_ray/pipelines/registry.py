@@ -305,6 +305,17 @@ def q_frame_sample(sf_dir: str):
     return MM.probe_media(MM.frame_sample(_media_ds(sf_dir), every_k=2))
 
 
+#: seeds for the multi-query ANN batch (deterministic; oracle bakes the same)
+ANN_MULTI_SEEDS = (7, 11, 13, 17)
+
+
+def q_ann_multi(sf_dir: str):
+    qmat = np.stack([SIM.query_vector(64, seed=s) for s in ANN_MULTI_SEEDS])
+    return SIM.brute_force_topk_multi(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), qmat, k=10
+    )
+
+
 def q_ivf_ann(sf_dir: str):
     qv = SIM.query_vector(64, seed=7)
     return SIM.ivf_topk(
@@ -334,6 +345,7 @@ def queries() -> dict:
         "embedding_dups": q_embedding_dups,
         # similarity
         "ann_cosine": q_ann_cosine,
+        "ann_multi": q_ann_multi,
         "ivf_ann": q_ivf_ann,
         # multimodal plumbing (binary payload columns; rows-only checks)
         "probe_media": q_probe_media,
@@ -359,6 +371,18 @@ def _lang_profile_sql(words) -> str:
 
 def oracle_sql() -> dict:
     qv = ", ".join(f"{float(x)!r}" for x in SIM.query_vector(64, seed=7))
+    multi_parts = []
+    for qid, s in enumerate(ANN_MULTI_SEEDS):
+        v = ", ".join(f"{float(x)!r}" for x in SIM.query_vector(64, seed=s))
+        # CAST the float32 list to DOUBLE[] so DuckDB accumulates in f64
+        # like the Ray side — f32 accumulation-order differences flip the
+        # 6th rounded decimal on ~3/40 rows otherwise
+        multi_parts.append(
+            f"(SELECT {qid} AS qid, vec_id, "
+            f"round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), [{v}]), 6) AS cosine "
+            "FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10)"
+        )
+    ann_multi_sql = " UNION ALL ".join(multi_parts)
     bpe_pat = T.BpeTokenCounter.PATTERN.replace("'", "''")
     en = _lang_profile_sql(T._LANG_PROFILES["en"])
     es = _lang_profile_sql(T._LANG_PROFILES["es"])
@@ -423,9 +447,10 @@ def oracle_sql() -> dict:
             "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42"
         ),
         "ann_cosine": (
-            f"SELECT vec_id, round(CAST(list_cosine_similarity(embedding, [{qv}]) AS DOUBLE), 6) AS cosine "
+            f"SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), [{qv}]), 6) AS cosine "
             "FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"
         ),
+        "ann_multi": ann_multi_sql,
         # identical RE2 pattern as BpeTokenCounter (lookahead-free, see its
         # docstring); single-quotes doubled for SQL
         "bpe_tokens": (
