@@ -305,6 +305,80 @@ def jaccard(text_a: str, text_b: str, shingle: int = 5) -> float:
 
 
 # ---------------------------------------------------------------------------
+# connected components (dedup cluster labels)
+# ---------------------------------------------------------------------------
+
+def connected_components_labels(docs_ds, max_iters: int = 10):
+    """Dedup-cluster labels via distributed min-label propagation.
+
+    Graph: docs are connected when they share ANY dedup key (exact md5 OR
+    24-char prefix — both SQL-expressible, so the DuckDB oracle can recompute
+    the exact components with a recursive CTE). Components = transitive
+    closure; label = min doc_id in the component.
+
+    Dataflow per iteration (the classic alternating cogroup):
+      state rows (key, doc_id, label), 2 per doc →
+      groupby(key):   every row gets the KEY-group's min label →
+      groupby(doc_id): every row gets the DOC's min label across its keys.
+    Labels only decrease, so Sum(label) is a monotone fixpoint detector —
+    the driver loop stops when it stops changing (a tiny scalar aggregate
+    per round; state is materialized per iteration like any iterative
+    algorithm). At 10^12 docs a mega-group (one text duplicated millions of
+    times) makes the key-group pandas frame large but the work stays linear
+    (min + assignment); the documented scale path is a two-level partial-min
+    for hot keys.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    def to_state(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        keys, doc_ids = [], []
+        for d, t in zip(ids, texts):
+            keys.append("m:" + hashlib.md5((t or "").encode("utf-8")).hexdigest())
+            doc_ids.append(d)
+            keys.append("p:" + (t or "")[:24])
+            doc_ids.append(d)
+        return pa.table(
+            {
+                "key": pa.array(keys, type=pa.string()),
+                "doc_id": pa.array(doc_ids),
+                "label": pa.array(doc_ids),
+            }
+        )
+
+    def key_min(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["label"] = g["label"].min()
+        return g
+
+    def doc_min(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["label"] = g["label"].min()
+        return g
+
+    state = docs_ds.map_batches(
+        to_state, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    prev = None
+    for _ in range(max_iters):
+        state = (
+            state.groupby("key").map_groups(key_min, batch_format="pandas")
+            .groupby("doc_id").map_groups(doc_min, batch_format="pandas")
+        ).materialize()
+        sig = state.aggregate(Sum("label", alias_name="s"))["s"]
+        if sig == prev:
+            break
+        prev = sig
+    return (
+        state.groupby("doc_id")
+        .aggregate(Min("label", alias_name="component"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

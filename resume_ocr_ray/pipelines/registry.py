@@ -152,6 +152,14 @@ def q_dedup_prefix(sf_dir: str):
     )
 
 
+def q_dedup_components(sf_dir: str):
+    """Dedup cluster labels: connected components over shared dedup keys
+    (exact md5 ∪ 24-char prefix) via iterative min-label propagation."""
+    return D.connected_components_labels(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+    )
+
+
 def q_top_docs(sf_dir: str):
     return R.top_docs(_read(sf_dir, "documents", ["doc_id", "n_chars"]))
 
@@ -343,6 +351,7 @@ def queries() -> dict:
         "minhash_verified": q_minhash_verified,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
+        "dedup_components": q_dedup_components,
         # similarity
         "ann_cosine": q_ann_cosine,
         "ann_multi": q_ann_multi,
@@ -407,6 +416,23 @@ def oracle_sql() -> dict:
         "dedup_prefix": (
             "SELECT substr(text, 1, 24) AS prefix_key, min(doc_id) AS keep_doc_id, "
             "count(*) AS n_dups FROM documents GROUP BY substr(text, 1, 24)"
+        ),
+        # exact transitive closure over the shared-dedup-key graph (the
+        # iterative min-label propagation's ground truth)
+        "dedup_components": (
+            "WITH RECURSIVE "
+            "keys AS ("
+            "SELECT doc_id, 'm:' || md5(text) AS k FROM documents "
+            "UNION ALL "
+            "SELECT doc_id, 'p:' || substr(text, 1, 24) FROM documents), "
+            "edges AS ("
+            "SELECT DISTINCT a.doc_id AS u, b.doc_id AS v "
+            "FROM keys a JOIN keys b ON a.k = b.k AND a.doc_id <> b.doc_id), "
+            "reach(u, l) AS ("
+            "SELECT doc_id, doc_id FROM documents "
+            "UNION "
+            "SELECT e.u, r.l FROM edges e JOIN reach r ON r.u = e.v) "
+            "SELECT u AS doc_id, min(l) AS component FROM reach GROUP BY u"
         ),
         "top_docs": (
             "SELECT doc_id, n_chars FROM documents "

@@ -105,6 +105,29 @@ def test_embedding_dups_skew_cap(ray_session):
     assert (pairs["cosine"] >= 0.95).all()
 
 
+def test_connected_components_transitive_chain(ray_session):
+    """A exact-dups B; B prefix-matches C (different tail): the component
+    must merge all three transitively even though A and C share no key."""
+    import ray.data as rd
+
+    prefix = "x" * 24
+    tbl = pa.table(
+        {
+            "doc_id": [1, 2, 3, 9],
+            "text": [
+                prefix + " tail one",
+                prefix + " tail one",      # exact dup of 1
+                prefix + " другой tail",   # prefix-match only
+                "completely unrelated document",
+            ],
+        }
+    )
+    out = D.connected_components_labels(rd.from_arrow(tbl)).to_pandas()
+    comp = dict(zip(out["doc_id"], out["component"]))
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[9] == 9
+
+
 def test_brute_force_vs_ivf_overlap(ray_session):
     import ray.data as rd
 

@@ -57,7 +57,7 @@ def test_all_queries_run(ray_session, registry):
         "short_docs_by_lang", "lineitem_agg", "orders_by_segment",
         "events_hourly", "ann_cosine", "stratified_sample", "distinct_langs",
         "point_lookup", "lang_id", "bpe_tokens", "fingerprint_md5",
-        "sessionize", "grouped_topk", "ann_multi",
+        "sessionize", "grouped_topk", "ann_multi", "dedup_components",
     ],
 )
 def test_query_matches_oracle(ray_session, registry, duck, name):
