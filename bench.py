@@ -40,7 +40,9 @@ BENCH_QUERIES = [
     "dedup_exact",
     "minhash_pairs",
     "ann_cosine",
+    "ann_multi",
     "events_hourly",
+    "sessionize",
     "quality_score",
 ]
 

@@ -145,6 +145,44 @@ def _round_window(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def events_sliding(events_ds, window_min: int = 60, slide_min: int = 30):
+    """SLIDING-window aggregate (window 60 min, slide 30 min): each event
+    belongs to window/slide = 2 windows, so the batch partial EXPLODES each
+    row to its window starts (pure data derivation — no ordering assumption)
+    and pre-aggregates before the single small groupby; row amplification
+    across the shuffle is windows-per-event × keys, not raw events."""
+    from ray.data.aggregate import Sum
+
+    n_windows = window_min // slide_min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["ts", "event_type", "value"]).to_pandas()
+        slide = pd.Timedelta(minutes=slide_min)
+        base = df["ts"].dt.floor(f"{slide_min}min")
+        parts = []
+        for i in range(n_windows):
+            w = df.assign(window_start=base - i * slide)
+            parts.append(w)
+        ex = pd.concat(parts, ignore_index=True)
+        g = ex.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = events_ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )
+    return (
+        partials.groupby(["event_type", "window_start"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"),
+        )
+        .map_batches(_round_window, batch_format="pandas")
+    )
+
+
 #: partition fan-out for keyed-but-high-cardinality ops (sessionize): groups
 #: are hash partitions holding MANY keys, processed vectorized — never one
 #: Python map_groups call per user/doc

@@ -189,6 +189,10 @@ def q_events_hourly(sf_dir: str):
     return R.events_hourly(_read(sf_dir, "events", ["ts", "event_type", "value"]))
 
 
+def q_events_sliding(sf_dir: str):
+    return R.events_sliding(_read(sf_dir, "events", ["ts", "event_type", "value"]))
+
+
 def q_sessionize(sf_dir: str):
     return R.sessionize(_read(sf_dir, "events", ["user_id", "ts", "value"]))
 
@@ -366,6 +370,7 @@ def queries() -> dict:
         "lineitem_agg": q_lineitem_agg,
         "orders_by_segment": q_orders_by_segment,
         "events_hourly": q_events_hourly,
+        "events_sliding": q_events_sliding,
         "sessionize": q_sessionize,
         "grouped_topk": q_grouped_topk,
         "stratified_sample": q_stratified_sample,
@@ -509,6 +514,17 @@ def oracle_sql() -> dict:
             "list_min(list_transform(range(1, len(toks) - win + 2), "
             "i -> md5(array_to_string(toks[i:i+win-1], ' ')))) END AS fp_md5 "
             "FROM p"
+        ),
+        # sliding 60-min window, 30-min slide: each event lands in exactly 2
+        # windows (the two 30-min-grid starts covering its timestamp)
+        "events_sliding": (
+            "SELECT event_type, window_start, count(*) AS n_events, "
+            "round(sum(value), 4) AS sum_value FROM ("
+            "SELECT event_type, value, "
+            "unnest([time_bucket(INTERVAL 30 MINUTE, ts), "
+            "time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]"
+            ") AS window_start FROM events) "
+            "GROUP BY event_type, window_start"
         ),
         "sessionize": (
             "WITH x AS (SELECT user_id, ts, value, "

@@ -58,6 +58,7 @@ def test_all_queries_run(ray_session, registry):
         "events_hourly", "ann_cosine", "stratified_sample", "distinct_langs",
         "point_lookup", "lang_id", "bpe_tokens", "fingerprint_md5",
         "sessionize", "grouped_topk", "ann_multi", "dedup_components",
+        "events_sliding",
     ],
 )
 def test_query_matches_oracle(ray_session, registry, duck, name):
