@@ -184,6 +184,9 @@ def run_scaling(sf_dir: str, lo: int = None, hi: int = None) -> dict:
             GRAFT_BENCH_ANALYZED="1",
             GRAFT_EXTRACT_REPEAT=str(SCALING_REPEAT),
             GRAFT_OCR_COST_MS=SCALING_OCR_COST_MS,
+            # long compute-dense legs amortize a pre-sized pool (see
+            # extraction_pipeline); short headline runs stay elastic
+            GRAFT_OCR_MIN_ACTORS="max",
         )
         # taskset hard-caps the WHOLE process tree (raylet, workers,
         # zero-CPU aggregator actors, plasma) to ncpu physical cores —

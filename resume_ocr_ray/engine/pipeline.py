@@ -527,19 +527,28 @@ def extraction_pipeline(
         zero_copy_batch=True,
         batch_size=batch_size,
     )
-    # Static pool at max size: the autoscaler's ramp (1 → k as the queue
-    # builds) left the pool at ~6/12 average actors over a 20 s run — a
-    # pre-sized pool cut the same job 24.3 s → 13.4 s at 16 CPUs. Deadlock
-    # margin comes from the sizing itself: max ≤ 0.8×(CPUs−1), so ≥1 CPU is
-    # always free for read/stitch/score tasks (the all-CPU static pool is
-    # what deadlocks). tif=2 below keeps tasks from piling onto one actor.
+    # Pool floor is a WORKLOAD HINT (GRAFT_OCR_MIN_ACTORS): long compute-
+    # dense jobs want a pre-sized pool (the autoscaler's ramp averaged 6/12
+    # actors over a 20 s burn run; min=max cut it 24.3 s → 13.4 s at 16
+    # CPUs — the scaling bench sets "max"), while short jobs want elastic
+    # (28 pre-started actors cost ~60+ core-s of import/init, doubling a
+    # 4 s headline). Deadlock margin comes from the sizing either way:
+    # max ≤ 0.9×(CPUs−1), so ≥1 CPU stays free for read/stitch/score tasks
+    # (the all-CPU static pool is what deadlocks). tif=2 below keeps tasks
+    # from piling onto one actor while the pool grows.
+    import os as _os2
+
+    _min_env = _os2.environ.get("GRAFT_OCR_MIN_ACTORS", "1")
+    ocr_min = ocr_concurrency if _min_env == "max" else max(
+        1, min(int(_min_env), ocr_concurrency)
+    )
     ocred = exploded.map_batches(
         OcrStage,
         fn_constructor_args=(store,),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=(ocr_concurrency, ocr_concurrency),
+        concurrency=(ocr_min, ocr_concurrency),
     )
     ocred.context.max_tasks_in_flight_per_actor = 2
     if stitch == "auto":
