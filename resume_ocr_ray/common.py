@@ -19,7 +19,14 @@ _CACHE: dict = {}
 def cached_broadcast(obj_ref):
     import ray
 
-    key = obj_ref.hex()
+    # key includes the session's node id: ray.put object ids are counter-
+    # based and REPEAT across sessions, so a driver that restarts Ray
+    # in-process would otherwise hit a stale same-id entry
+    try:
+        node = ray.get_runtime_context().get_node_id()
+    except Exception:
+        node = None
+    key = (obj_ref.hex(), node)
     if key not in _CACHE:
         _CACHE[key] = ray.get(obj_ref)
     return _CACHE[key]

@@ -47,12 +47,24 @@ def _extraction_inputs(sf_dir: str, repeat: int = 2):
 
     The corpus is generated Ray-parallel ONCE (disk-cached across processes);
     queries then stream it with read_parquet — no driver-side corpus build,
-    no monolithic media ray.put (round-1 verdict #1/#2)."""
+    no monolithic media ray.put (round-1 verdict #1/#2). The store cache is
+    keyed by Ray session too: its meta ObjectRef and registry actor handle
+    die with the session, so a driver that restarts Ray in-process must get
+    a fresh store, not stale handles."""
+    import ray
+
     docs_dir, media_dir = EIO.ensure_derived_corpus(sf_dir, repeat=repeat)
-    store = _STORE_CACHE.get(media_dir)
+    # node id is unique per raylet start (job ids restart at 01000000
+    # every session, so they cannot distinguish sessions)
+    session = (
+        ray.get_runtime_context().get_node_id() if ray.is_initialized() else None
+    )
+    key = (media_dir, session)
+    store = _STORE_CACHE.get(key)
     if store is None:
         store = EIO.ShardedParquetMediaStore.from_dir(media_dir)
-        _STORE_CACHE[media_dir] = store
+        _STORE_CACHE.clear()  # stale-session entries are useless
+        _STORE_CACHE[key] = store
     return docs_dir, store
 
 
