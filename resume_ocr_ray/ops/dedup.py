@@ -567,3 +567,65 @@ def embedding_near_dups(emb_ds, threshold: float = 0.95, concurrency=2,
         batch_format="pandas",
     )
     return pairs.groupby(["a", "b"]).aggregate(Max("cosine", alias_name="cosine"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup verification (exact, oracle-checkable)
+# ---------------------------------------------------------------------------
+
+def _empty_jaccard_frame() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_a": pd.Series(dtype="int64"),
+            "doc_b": pd.Series(dtype="int64"),
+            "jaccard3": pd.Series(dtype="float64"),
+        }
+    )
+
+
+def ngram_jaccard_pairs(docs_ds, prefix_n: int = 32, gram: int = 3,
+                        threshold: float = 0.8):
+    """Near-dup pairs with EXACT character-n-gram Jaccard similarity:
+    candidate generation by prefix blocking (docs sharing their first
+    ``prefix_n`` characters), verification by trigram-set Jaccard ≥
+    ``threshold``. Unlike MinHash/SimHash this is deterministic and
+    SQL-expressible, so it is the oracle-checked member of the near-dup
+    family (the sketch-based members trade exactness for candidate recall
+    at lower cost).
+
+    Shape: the shuffle carries (prefix_key, doc_id, text) once; pairwise
+    Jaccard runs per block, and blocks are near-dup families (small by
+    construction — a hot prefix is an exact-dup cluster, which exact dedup
+    should collapse first). Python's ``t[i:i+3]`` slices characters, matching
+    SQL ``substr(text, g, 3)`` semantics."""
+
+    def _add_pfx(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        pfx = pa.array([(t or "")[:prefix_n] for t in texts], type=pa.string())
+        return b.append_column("pfx", pfx)
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return _empty_jaccard_frame()
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sets = [
+            {t[i:i + gram] for i in range(len(t) - gram + 1)}
+            for t in g["text"].tolist()
+        ]
+        rows = []
+        for i in range(len(ids)):
+            si = sets[i]
+            for j in range(i + 1, len(ids)):
+                inter = len(si & sets[j])
+                union = len(si) + len(sets[j]) - inter
+                if union and inter / union >= threshold:
+                    rows.append((int(ids[i]), int(ids[j]), inter / union))
+        if not rows:
+            return _empty_jaccard_frame()
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard3"])
+
+    keyed = docs_ds.map_batches(
+        _add_pfx, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return keyed.groupby("pfx").map_groups(_pairs, batch_format="pandas")

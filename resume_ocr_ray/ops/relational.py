@@ -326,3 +326,207 @@ def short_docs_by_lang(docs_ds, threshold: int = 200):
         zero_copy_batch=True,
     )
     return short.groupby("lang").aggregate(Count(alias_name="n_short"))
+
+
+# ---------------------------------------------------------------------------
+# as-of join / anti join / exact grouped quantile — custom operators Ray Data
+# has no built-in for, composed from map_batches + one keyed shuffle each
+# ---------------------------------------------------------------------------
+
+def _empty_asof_frame() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "event_id": pd.Series(dtype="int64"),
+            "user_id": pd.Series(dtype="int64"),
+            "ts": pd.Series(dtype="datetime64[us]"),
+            "o_orderkey": pd.Series(dtype="int64"),
+            "o_totalprice": pd.Series(dtype="float64"),
+        }
+    )
+
+
+def asof_join_events_orders(events_ds, orders_ds):
+    """As-of join (inner): enrich each event with the LATEST order of the
+    same user at or before the event time — the classic "join a fact stream
+    to slowly-changing dimension state" operator, which Ray Data lacks.
+
+    Shape: ONE keyed shuffle. Both sides are projected into a shared tagged
+    schema, unioned, and hash-grouped by ``user_id``; each group runs a
+    vectorized ``searchsorted`` merge over only that user's rows (the
+    pandas ``merge_asof`` semantics, without a global sort). Partitioning
+    assumption: one user's events+orders fit in one worker — true for
+    dimension-state enrichment; salt the key if a single user is
+    pathologically hot. Right-side ties on (user, order date) are broken
+    deterministically BEFORE the merge (keep the max ``o_orderkey`` row) so
+    the result is unique — and matches the oracle's arg-max dedup."""
+
+    def _ev_side(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "event_id": b.column("event_id"),
+                "o_orderkey": pa.nulls(n, pa.int64()),
+                "o_totalprice": pa.nulls(n, pa.float64()),
+            }
+        )
+
+    def _ord_side(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "user_id": b.column("o_custkey"),
+                "ts": b.column("o_orderdate"),
+                "event_id": pa.nulls(n, pa.int64()),
+                "o_orderkey": b.column("o_orderkey"),
+                "o_totalprice": b.column("o_totalprice"),
+            }
+        )
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["event_id"].notna()]
+        od = g[g["o_orderkey"].notna()]
+        if ev.empty or od.empty:
+            return _empty_asof_frame()
+        # deterministic tie-break: one order per date, max orderkey wins
+        od = od.sort_values(["ts", "o_orderkey"]).drop_duplicates(
+            "ts", keep="last"
+        )
+        ots = od["ts"].to_numpy()
+        idx = np.searchsorted(ots, ev["ts"].to_numpy(), side="right") - 1
+        keep = idx >= 0
+        ev = ev[keep]
+        idx = idx[keep]
+        if ev.empty:
+            return _empty_asof_frame()
+        return pd.DataFrame(
+            {
+                "event_id": ev["event_id"].to_numpy().astype("int64"),
+                "user_id": ev["user_id"].to_numpy().astype("int64"),
+                "ts": ev["ts"].to_numpy(),
+                "o_orderkey": od["o_orderkey"].to_numpy()[idx].astype("int64"),
+                "o_totalprice": od["o_totalprice"].to_numpy()[idx],
+            }
+        )
+
+    ev = events_ds.map_batches(
+        _ev_side, batch_format="pyarrow", zero_copy_batch=True
+    )
+    od = orders_ds.map_batches(
+        _ord_side, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ev.union(od).groupby("user_id").map_groups(
+        _merge, batch_format="pandas"
+    )
+
+
+def _empty_anti_frame() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "c_custkey": pd.Series(dtype="int64"),
+            "c_name": pd.Series(dtype="object"),
+        }
+    )
+
+
+def anti_join_customers_orders(customer_ds, orders_ds,
+                               priority: str = "1-URGENT"):
+    """Distributed ANTI join: customers with NO order of the given priority.
+
+    Shape: the right side is filtered + projected to bare keys with a
+    per-batch partial dedup (so at most one key per batch crosses the
+    shuffle, not one per order), tagged, unioned with the left side, and
+    hash-grouped on the key; a group emits its customer rows only when no
+    order row landed in it. No driver materialization, no broadcast — works
+    when BOTH sides are large (the broadcast-join pattern in
+    ``orders_by_segment`` covers the small-side case)."""
+
+    def _left(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "c_name": b.column("c_name"),
+                "is_order": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    def _right(b: pa.Table) -> pa.Table:
+        mask = pc.equal(b.column("o_orderpriority"), priority)
+        keys = pc.unique(b.filter(mask).column("o_custkey"))
+        n = len(keys)
+        return pa.table(
+            {
+                "c_custkey": keys,
+                "c_name": pa.nulls(n, pa.string()),
+                "is_order": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+
+    def _keep_unmatched(g: pd.DataFrame) -> pd.DataFrame:
+        if (g["is_order"] == 1).any():
+            return _empty_anti_frame()
+        out = g[g["c_name"].notna()][["c_custkey", "c_name"]]
+        return out if not out.empty else _empty_anti_frame()
+
+    left = customer_ds.map_batches(
+        _left, batch_format="pyarrow", zero_copy_batch=True
+    )
+    right = orders_ds.map_batches(
+        _right, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return left.union(right).groupby("c_custkey").map_groups(
+        _keep_unmatched, batch_format="pandas"
+    )
+
+
+def group_median(ds, group_col: str = "l_returnflag",
+                 val_col: str = "l_quantity"):
+    """EXACT distributed median per group without a global sort: per-batch
+    value-counts combiner → small groupby on (group, value) → per-group
+    interpolated quantile from the count histogram. Scales because only
+    ``n_groups × n_distinct_values`` rows ever cross the shuffle (l_quantity
+    has 50 distinct values), never the raw table — the standard trick for
+    exact quantiles over low-cardinality value domains; for continuous
+    domains swap the combiner for a t-digest sketch.
+
+    Interpolation matches SQL ``percentile_cont(0.5)``: rn = 0.5·(n−1),
+    result = v[floor(rn)] + (v[ceil(rn)] − v[floor(rn)])·frac."""
+    from ray.data.aggregate import Sum
+
+    def _counts(b: pa.Table) -> pa.Table:
+        df = b.select([group_col, val_col]).to_pandas()
+        g = df.groupby([group_col, val_col], as_index=False).size()
+        g = g.rename(columns={"size": "cnt"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _median(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(val_col)
+        c = g["cnt"].to_numpy(dtype=np.int64)
+        v = g[val_col].to_numpy(dtype=np.float64)
+        n = int(c.sum())
+        rn = 0.5 * (n - 1)
+        lo, hi = int(np.floor(rn)), int(np.ceil(rn))
+        cum = np.cumsum(c)
+        lov = v[np.searchsorted(cum, lo, side="right")]
+        hiv = v[np.searchsorted(cum, hi, side="right")]
+        med = lov + (hiv - lov) * (rn - lo)
+        return pd.DataFrame(
+            {
+                group_col: [g[group_col].iloc[0]],
+                "median_qty": [float(med)],
+                "n_rows": pd.Series([n], dtype="int64"),
+            }
+        )
+
+    counts = ds.map_batches(
+        _counts, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )
+    summed = counts.groupby([group_col, val_col]).aggregate(
+        Sum("cnt", alias_name="cnt")
+    )
+    return summed.groupby(group_col).map_groups(
+        _median, batch_format="pandas"
+    )

@@ -215,6 +215,29 @@ def q_grouped_topk(sf_dir: str):
     )
 
 
+def q_asof_join(sf_dir: str):
+    return R.asof_join_events_orders(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        _read(sf_dir, "orders",
+              ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"]),
+    )
+
+
+def q_anti_join(sf_dir: str):
+    return R.anti_join_customers_orders(
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]),
+    )
+
+
+def q_group_median(sf_dir: str):
+    return R.group_median(_read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]))
+
+
+def q_ngram_jaccard(sf_dir: str):
+    return D.ngram_jaccard_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_ann_cosine(sf_dir: str):
     qv = SIM.query_vector(64, seed=7)
     return SIM.brute_force_topk(
@@ -368,6 +391,7 @@ def queries() -> dict:
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
         "dedup_components": q_dedup_components,
+        "ngram_jaccard": q_ngram_jaccard,
         # similarity
         "ann_cosine": q_ann_cosine,
         "ann_multi": q_ann_multi,
@@ -385,6 +409,9 @@ def queries() -> dict:
         "events_sliding": q_events_sliding,
         "sessionize": q_sessionize,
         "grouped_topk": q_grouped_topk,
+        "asof_join": q_asof_join,
+        "anti_join": q_anti_join,
+        "group_median": q_group_median,
         "stratified_sample": q_stratified_sample,
         "distinct_langs": q_distinct_langs,
         "point_lookup": q_point_lookup,
@@ -554,5 +581,50 @@ def oracle_sql() -> dict:
             "SELECT p_brand, p_partkey, p_retailprice, row_number() OVER "
             "(PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) "
             "AS rn FROM part) WHERE rn <= 3"
+        ),
+        # right-side arg-max dedup per (user, date) mirrors the operator's
+        # deterministic tie-break before the as-of merge
+        "asof_join": (
+            "SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice "
+            "FROM events e ASOF JOIN ("
+            "SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey, "
+            "max_by(o_totalprice, o_orderkey) AS o_totalprice "
+            "FROM orders GROUP BY o_custkey, o_orderdate) o "
+            "ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts"
+        ),
+        "anti_join": (
+            "SELECT c_custkey, c_name FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderpriority = '1-URGENT')"
+        ),
+        "group_median": (
+            "SELECT l_returnflag, "
+            "percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) "
+            "AS median_qty, count(*) AS n_rows "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        # trigram sets via unnest(generate_series) — substr(text, g, 3) is
+        # character-based like the operator's Python slicing; prefix-32
+        # blocking, Jaccard >= 0.8 verification
+        "ngram_jaccard": (
+            "WITH pos AS ("
+            "SELECT doc_id, substr(text, 1, 32) AS pfx, text, "
+            "unnest(generate_series(1, greatest(length(text) - 2, 0))) AS g "
+            "FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, pfx, "
+            "substr(text, g::INT, 3) AS gram FROM pos), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1), "
+            "inter AS ("
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+            "FROM grams a JOIN grams b "
+            "ON a.gram = b.gram AND a.pfx = b.pfx AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, "
+            "i::DOUBLE / (sa.n + sb.n - i) AS jaccard3 "
+            "FROM inter "
+            "JOIN sizes sa ON sa.doc_id = doc_a "
+            "JOIN sizes sb ON sb.doc_id = doc_b "
+            "WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8"
         ),
     }

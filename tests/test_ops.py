@@ -190,3 +190,100 @@ def test_job_config_validation():
         query = None
 
     assert job.validate_job_config(B) == []
+
+
+def test_asof_join_drops_events_before_first_order(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import relational as R
+
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "user_id": [7, 7, 9],
+            "ts": pd.to_datetime(
+                ["2024-01-01", "2024-06-01", "2024-06-01"]
+            ).astype("datetime64[us]"),
+        }
+    )
+    od = pd.DataFrame(
+        {
+            "o_custkey": [7, 7, 9],
+            "o_orderdate": pd.to_datetime(
+                ["2024-03-01", "2024-05-01", "2024-07-01"]
+            ).astype("datetime64[us]"),
+            "o_orderkey": [100, 200, 300],
+            "o_totalprice": [1.0, 2.0, 3.0],
+        }
+    )
+    out = R.asof_join_events_orders(
+        rd.from_pandas(ev), rd.from_pandas(od)
+    ).to_pandas().sort_values("event_id")
+    # event 1 precedes user 7's first order; event 3 precedes user 9's only
+    # order — both dropped (inner as-of). Event 2 matches the May order.
+    assert out["event_id"].tolist() == [2]
+    assert out["o_orderkey"].tolist() == [200]
+
+
+def test_asof_join_tie_break_max_orderkey(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import relational as R
+
+    ev = pd.DataFrame(
+        {
+            "event_id": [1],
+            "user_id": [7],
+            "ts": pd.to_datetime(["2024-06-01"]).astype("datetime64[us]"),
+        }
+    )
+    od = pd.DataFrame(
+        {
+            "o_custkey": [7, 7],
+            "o_orderdate": pd.to_datetime(
+                ["2024-03-01", "2024-03-01"]
+            ).astype("datetime64[us]"),
+            "o_orderkey": [100, 150],
+            "o_totalprice": [1.0, 9.0],
+        }
+    )
+    out = R.asof_join_events_orders(
+        rd.from_pandas(ev), rd.from_pandas(od)
+    ).to_pandas()
+    assert out["o_orderkey"].tolist() == [150]
+    assert out["o_totalprice"].tolist() == [9.0]
+
+
+def test_group_median_interpolates_even_count(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import relational as R
+
+    df = pd.DataFrame({"g": ["a", "a", "a", "a", "b"], "v": [1.0, 2.0, 10.0, 11.0, 5.0]})
+    out = (
+        R.group_median(rd.from_pandas(df), group_col="g", val_col="v")
+        .to_pandas()
+        .sort_values("g")
+    )
+    assert out["median_qty"].tolist() == [6.0, 5.0]
+    assert out["n_rows"].tolist() == [4, 1]
+
+
+def test_ngram_jaccard_blocks_and_threshold(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    near = base[:-8] + "sleeping"   # same prefix, tiny tail edit
+    other = "z" * 200               # different prefix block entirely
+    df = pd.DataFrame(
+        {"doc_id": [3, 1, 2], "text": [other, base, near]}
+    )
+    out = D.ngram_jaccard_pairs(rd.from_pandas(df)).to_pandas()
+    assert out[["doc_a", "doc_b"]].values.tolist() == [[1, 2]]
+    assert (out["jaccard3"] >= 0.8).all()
