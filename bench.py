@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "events_hourly",
     "sessionize",
     "quality_score",
+    "asof_join",
+    "group_median",
+    "ngram_jaccard",
 ]
 
 

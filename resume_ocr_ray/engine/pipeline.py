@@ -624,7 +624,14 @@ def rank_topk(analyzed_ds, k: int = C.TOP_K):
     coercion (utils.py:50-56, M12)."""
 
     def ok_rows(t: pa.Table) -> pa.Table:
+        # project to the ranked-result columns BEFORE the sort: the global
+        # sort is an all-to-all exchange, and spans_out is the heavyweight
+        # column (all extracted text) — the reference's ranked rows are
+        # {filename, score, summary} (analysis.py:541-545), no spans, so
+        # carrying them through the shuffle is pure tax (measured ~2× the
+        # rank query's wall at sf0.1)
         t = t.filter(pc.is_null(t["error"]))
+        t = t.select(["doc_id", "score", "seniority", "summary"])
         return t.set_column(
             t.schema.get_field_index("score"), "score",
             t["score"].combine_chunks().fill_null(0.0),

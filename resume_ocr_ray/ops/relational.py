@@ -330,7 +330,15 @@ def short_docs_by_lang(docs_ds, threshold: int = 200):
 
 # ---------------------------------------------------------------------------
 # as-of join / anti join / exact grouped quantile — custom operators Ray Data
-# has no built-in for, composed from map_batches + one keyed shuffle each
+# has no built-in for. Physical-shape notes (all three measured at sf0.1 on
+# 32 CPUs): per-key ``groupby().map_groups`` pays a Python fn call + frame
+# slice per key (~0.5 ms → seconds at 15k keys), and a key-hash
+# ``repartition(keys=...)`` pays hash-shuffle aggregator-actor startup that
+# dominates short queries (30 s vs 6 s for the same as-of join). So the
+# as-of join broadcasts its dimension side (ship once, merge_asof per batch
+# — no shuffle at all), the anti join is a pure hash AGGREGATE (flag-max per
+# key — no per-group Python), and the grouped median moves only
+# (group, value)-count partials.
 # ---------------------------------------------------------------------------
 
 def _empty_asof_frame() -> pd.DataFrame:
@@ -345,20 +353,73 @@ def _empty_asof_frame() -> pd.DataFrame:
     )
 
 
-def asof_join_events_orders(events_ds, orders_ds):
+def _asof_out_frame(m: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "event_id": m["event_id"].to_numpy().astype("int64"),
+            "user_id": m["user_id"].to_numpy().astype("int64"),
+            "ts": m["ts"].to_numpy(),
+            "o_orderkey": m["o_orderkey"].to_numpy().astype("int64"),
+            "o_totalprice": m["o_totalprice"].to_numpy(),
+        }
+    )
+
+
+def _dedupe_order_state(od: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic right-side tie-break: one order per (user, date), max
+    ``o_orderkey`` wins — matches the oracle's ``max_by`` dedup. Returns the
+    frame sorted by ts (pd.merge_asof's requirement)."""
+    od = od.sort_values(["user_id", "ts", "o_orderkey"]).drop_duplicates(
+        ["user_id", "ts"], keep="last"
+    )
+    return od.sort_values("ts", kind="mergesort")[
+        ["user_id", "ts", "o_orderkey", "o_totalprice"]
+    ].reset_index(drop=True)
+
+
+def asof_join_events_orders(events_ds, orders_df: pd.DataFrame):
     """As-of join (inner): enrich each event with the LATEST order of the
     same user at or before the event time — the classic "join a fact stream
     to slowly-changing dimension state" operator, which Ray Data lacks.
 
-    Shape: ONE keyed shuffle. Both sides are projected into a shared tagged
-    schema, unioned, and hash-grouped by ``user_id``; each group runs a
-    vectorized ``searchsorted`` merge over only that user's rows (the
-    pandas ``merge_asof`` semantics, without a global sort). Partitioning
-    assumption: one user's events+orders fit in one worker — true for
-    dimension-state enrichment; salt the key if a single user is
-    pathologically hot. Right-side ties on (user, order date) are broken
-    deterministically BEFORE the merge (keep the max ``o_orderkey`` row) so
-    the result is unique — and matches the oracle's arg-max dedup."""
+    Shape: NO shuffle. The dimension side is deduped + ts-sorted once,
+    shipped once via ``ray.put``, fetched once per worker process
+    (``cached_broadcast``), and every event batch runs one vectorized
+    ``pd.merge_asof(by="user_id")`` against it — the same broadcast pattern
+    as ``orders_by_segment``. Assumption: the dimension state fits in a
+    worker's heap (dimension tables are ≪ fact streams); when BOTH sides
+    are stream-scale, use ``asof_join_shuffled`` instead."""
+    import ray
+
+    from ..common import cached_broadcast
+
+    od = orders_df.rename(
+        columns={"o_custkey": "user_id", "o_orderdate": "ts"}
+    )
+    ref = ray.put(_dedupe_order_state(od))
+
+    def enrich(df: pd.DataFrame) -> pd.DataFrame:
+        state = cached_broadcast(ref)
+        m = pd.merge_asof(
+            df.sort_values("ts")[["event_id", "user_id", "ts"]],
+            state,
+            on="ts",
+            by="user_id",
+            direction="backward",
+        )
+        m = m[m["o_orderkey"].notna()]  # inner as-of: no prior order → drop
+        return _asof_out_frame(m) if not m.empty else _empty_asof_frame()
+
+    return events_ds.map_batches(enrich, batch_format="pandas")
+
+
+def asof_join_shuffled(events_ds, orders_ds):
+    """Both-sides-large form of the as-of join: shared tagged schema, union,
+    ONE ``groupby(user_id)`` shuffle, per-group searchsorted merge.
+    Partitioning assumption: one user's events+orders fit in one worker;
+    salt the key if a user is pathologically hot. Prefer the broadcast form
+    when the order side is dimension-sized — per-key map_groups overhead
+    makes this ~6× slower at 15k keys (measured sf0.1)."""
 
     def _ev_side(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -389,12 +450,10 @@ def asof_join_events_orders(events_ds, orders_ds):
         od = g[g["o_orderkey"].notna()]
         if ev.empty or od.empty:
             return _empty_asof_frame()
-        # deterministic tie-break: one order per date, max orderkey wins
-        od = od.sort_values(["ts", "o_orderkey"]).drop_duplicates(
-            "ts", keep="last"
-        )
-        ots = od["ts"].to_numpy()
-        idx = np.searchsorted(ots, ev["ts"].to_numpy(), side="right") - 1
+        od = _dedupe_order_state(od)
+        idx = np.searchsorted(
+            od["ts"].to_numpy(), ev["ts"].to_numpy(), side="right"
+        ) - 1
         keep = idx >= 0
         ev = ev[keep]
         idx = idx[keep]
@@ -434,13 +493,17 @@ def anti_join_customers_orders(customer_ds, orders_ds,
                                priority: str = "1-URGENT"):
     """Distributed ANTI join: customers with NO order of the given priority.
 
-    Shape: the right side is filtered + projected to bare keys with a
-    per-batch partial dedup (so at most one key per batch crosses the
-    shuffle, not one per order), tagged, unioned with the left side, and
-    hash-grouped on the key; a group emits its customer rows only when no
-    order row landed in it. No driver materialization, no broadcast — works
-    when BOTH sides are large (the broadcast-join pattern in
-    ``orders_by_segment`` covers the small-side case)."""
+    Shape: a pure hash AGGREGATE — no per-group Python, no broadcast, no
+    driver materialization; works when BOTH sides are large. The right side
+    is filtered + projected to bare keys with a per-batch partial dedup (at
+    most one key per batch crosses the shuffle, not one per order), tagged
+    ``is_order=1`` with an empty-string name sentinel ("" sorts below every
+    real name, and Ray's pandas Max chokes on str/NaN mixes); the left side
+    is tagged 0. One ``groupby(key)`` then takes ``max(is_order)`` (did any
+    order match?) and ``max(c_name)`` (recover the customer name), and a
+    final vectorized filter keeps unmatched customer keys. Assumes left
+    keys are unique (c_custkey is the customer PK)."""
+    from ray.data.aggregate import Max
 
     def _left(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -459,16 +522,19 @@ def anti_join_customers_orders(customer_ds, orders_ds,
         return pa.table(
             {
                 "c_custkey": keys,
-                "c_name": pa.nulls(n, pa.string()),
+                "c_name": pa.array([""] * n, type=pa.string()),
                 "is_order": pa.array(np.ones(n, dtype=np.int8)),
             }
         )
 
-    def _keep_unmatched(g: pd.DataFrame) -> pd.DataFrame:
-        if (g["is_order"] == 1).any():
-            return _empty_anti_frame()
-        out = g[g["c_name"].notna()][["c_custkey", "c_name"]]
-        return out if not out.empty else _empty_anti_frame()
+    def _unmatched(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["matched"], 0))
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_name": t["c_name"],
+            }
+        )
 
     left = customer_ds.map_batches(
         _left, batch_format="pyarrow", zero_copy_batch=True
@@ -476,8 +542,14 @@ def anti_join_customers_orders(customer_ds, orders_ds,
     right = orders_ds.map_batches(
         _right, batch_format="pyarrow", zero_copy_batch=True
     )
-    return left.union(right).groupby("c_custkey").map_groups(
-        _keep_unmatched, batch_format="pandas"
+    return (
+        left.union(right)
+        .groupby("c_custkey")
+        .aggregate(
+            Max("is_order", alias_name="matched"),
+            Max("c_name", alias_name="c_name"),
+        )
+        .map_batches(_unmatched, batch_format="pyarrow", zero_copy_batch=True)
     )
 
 

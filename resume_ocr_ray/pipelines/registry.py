@@ -109,11 +109,8 @@ def q_extract_interleaved(sf_dir: str):
 def q_extract_rank(sf_dir: str):
     """Query-mode analysis + ranking: top-5 docs by alignment score."""
     ds = _extraction_ds(sf_dir, analyzed=True, query=DEFAULT_QUERY)
-    top = P.rank_topk(ds, k=5)
-    return top.map_batches(
-        lambda t: t.select(["doc_id", "score", "seniority", "summary"]),
-        batch_format="pyarrow",
-    )
+    # rank_topk already projects to (doc_id, score, seniority, summary)
+    return P.rank_topk(ds, k=5)
 
 
 def q_extract_seniority(sf_dir: str):
@@ -216,10 +213,14 @@ def q_grouped_topk(sf_dir: str):
 
 
 def q_asof_join(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"],
+    ).to_pandas()
     return R.asof_join_events_orders(
-        _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
-        _read(sf_dir, "orders",
-              ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"]),
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]), orders
     )
 
 

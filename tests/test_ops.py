@@ -217,13 +217,18 @@ def test_asof_join_drops_events_before_first_order(ray_session):
             "o_totalprice": [1.0, 2.0, 3.0],
         }
     )
+    # broadcast form and shuffled form must agree
     out = R.asof_join_events_orders(
+        rd.from_pandas(ev), od
+    ).to_pandas().sort_values("event_id")
+    out2 = R.asof_join_shuffled(
         rd.from_pandas(ev), rd.from_pandas(od)
     ).to_pandas().sort_values("event_id")
     # event 1 precedes user 7's first order; event 3 precedes user 9's only
     # order — both dropped (inner as-of). Event 2 matches the May order.
-    assert out["event_id"].tolist() == [2]
-    assert out["o_orderkey"].tolist() == [200]
+    for o in (out, out2):
+        assert o["event_id"].tolist() == [2]
+        assert o["o_orderkey"].tolist() == [200]
 
 
 def test_asof_join_tie_break_max_orderkey(ray_session):
@@ -249,11 +254,13 @@ def test_asof_join_tie_break_max_orderkey(ray_session):
             "o_totalprice": [1.0, 9.0],
         }
     )
-    out = R.asof_join_events_orders(
+    out = R.asof_join_events_orders(rd.from_pandas(ev), od).to_pandas()
+    out2 = R.asof_join_shuffled(
         rd.from_pandas(ev), rd.from_pandas(od)
     ).to_pandas()
-    assert out["o_orderkey"].tolist() == [150]
-    assert out["o_totalprice"].tolist() == [9.0]
+    for o in (out, out2):
+        assert o["o_orderkey"].tolist() == [150]
+        assert o["o_totalprice"].tolist() == [9.0]
 
 
 def test_group_median_interpolates_even_count(ray_session):
