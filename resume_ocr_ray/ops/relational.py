@@ -490,8 +490,11 @@ def _empty_anti_frame() -> pd.DataFrame:
 
 
 def anti_join_customers_orders(customer_ds, orders_ds,
-                               priority: str = "1-URGENT"):
-    """Distributed ANTI join: customers with NO order of the given priority.
+                               priority: str = "1-URGENT",
+                               keep: str = "unmatched"):
+    """Distributed ANTI join (``keep="unmatched"``): customers with NO order
+    of the given priority — or SEMI join (``keep="matched"``): customers
+    with at least one.
 
     Shape: a pure hash AGGREGATE — no per-group Python, no broadcast, no
     driver materialization; works when BOTH sides are large. The right side
@@ -501,9 +504,12 @@ def anti_join_customers_orders(customer_ds, orders_ds,
     real name, and Ray's pandas Max chokes on str/NaN mixes); the left side
     is tagged 0. One ``groupby(key)`` then takes ``max(is_order)`` (did any
     order match?) and ``max(c_name)`` (recover the customer name), and a
-    final vectorized filter keeps unmatched customer keys. Assumes left
-    keys are unique (c_custkey is the customer PK)."""
+    final vectorized filter keeps the requested side. Right-only keys
+    (no such customer) carry the "" sentinel and are excluded from the semi
+    result. Assumes left keys are unique (c_custkey is the customer PK)."""
     from ray.data.aggregate import Max
+
+    want = 0 if keep == "unmatched" else 1
 
     def _left(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -528,7 +534,12 @@ def anti_join_customers_orders(customer_ds, orders_ds,
         )
 
     def _unmatched(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t["matched"], 0))
+        t = t.filter(
+            pc.and_(
+                pc.equal(t["matched"], want),
+                pc.not_equal(t["c_name"], ""),  # right-only keys
+            )
+        )
         return pa.table(
             {
                 "c_custkey": t["c_custkey"],
@@ -602,3 +613,97 @@ def group_median(ds, group_col: str = "l_returnflag",
     return summed.groupby(group_col).map_groups(
         _median, batch_format="pandas"
     )
+
+
+def rollup_agg(lineitem_ds):
+    """Multi-level (ROLLUP) aggregate: (returnflag, linestatus) → per
+    returnflag → grand total, with 'ALL' placeholder keys. The heavy work is
+    ONE distributed partial-agg + tiny groupby (the lineitem_agg shape); the
+    coarser levels are derived in pandas from that 6-row finest result —
+    deriving supersets from the finest grouping is free, re-scanning the
+    fact table per level is not. Rounding happens per LEVEL, after summing
+    (sum-of-rounded and round-of-sum diverge)."""
+    from ray.data.aggregate import Sum
+
+    partials = lineitem_ds.map_batches(
+        _partial_lineitem, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )
+    finest = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("count_order", alias_name="n_rows"),
+        )
+        .to_pandas()  # |flags| x |statuses| rows — single digits
+    )
+    lvl1 = finest.copy()
+    lvl2 = (
+        finest.groupby("l_returnflag", as_index=False)
+        .agg(sum_qty=("sum_qty", "sum"), n_rows=("n_rows", "sum"))
+        .assign(l_linestatus="ALL")
+    )
+    lvl3 = pd.DataFrame(
+        {
+            "l_returnflag": ["ALL"],
+            "l_linestatus": ["ALL"],
+            "sum_qty": [finest["sum_qty"].sum()],
+            "n_rows": [finest["n_rows"].sum()],
+        }
+    )
+    out = pd.concat([lvl1, lvl2, lvl3], ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "sum_qty", "n_rows"]
+    ]
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out
+
+
+def top_terms(docs_ds, k: int = 5):
+    """Corpus vocabulary view: top-k words per language by total frequency
+    (count desc, word asc tiebreak). Per-batch Counter partials (compiled
+    regex, one pass per doc) → groupby(lang, word) Sum → per-lang top-k.
+    Only per-batch (lang, word) partial counts cross the shuffle — bounded
+    by vocabulary size per batch, not token count."""
+    import re as _re
+
+    from ray.data.aggregate import Sum
+
+    pat = _re.compile(r"[a-z]+")
+
+    def _counts(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        langs = b.column("lang").to_pylist()
+        texts = b.column("text").to_pylist()
+        agg: dict = {}
+        for lang, text in zip(langs, texts):
+            c = agg.setdefault(lang, Counter())
+            c.update(pat.findall((text or "").lower()))
+        rows_lang, rows_word, rows_n = [], [], []
+        for lang, c in agg.items():
+            for w, n in c.items():
+                rows_lang.append(lang)
+                rows_word.append(w)
+                rows_n.append(n)
+        return pa.table(
+            {
+                "lang": pa.array(rows_lang, type=pa.string()),
+                "word": pa.array(rows_word, type=pa.string()),
+                "n": pa.array(rows_n, type=pa.int64()),
+            }
+        )
+
+    def _topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "word"], ascending=[False, True]).head(k)
+        g["n"] = g["n"].astype("int64")
+        return g[["lang", "word", "n"]]
+
+    counts = docs_ds.map_batches(
+        _counts, batch_format="pyarrow", zero_copy_batch=True
+    )
+    summed = counts.groupby(["lang", "word"]).aggregate(
+        Sum("n", alias_name="n")
+    )
+    # |langs| groups — the shuffle above already collapsed the vocabulary
+    return summed.groupby("lang").map_groups(_topk, batch_format="pandas")

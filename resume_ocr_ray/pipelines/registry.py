@@ -231,8 +231,26 @@ def q_anti_join(sf_dir: str):
     )
 
 
+def q_semi_join(sf_dir: str):
+    return R.anti_join_customers_orders(
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]),
+        keep="matched",
+    )
+
+
 def q_group_median(sf_dir: str):
     return R.group_median(_read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]))
+
+
+def q_rollup_agg(sf_dir: str):
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount"]
+    return R.rollup_agg(_read(sf_dir, "lineitem", cols))
+
+
+def q_top_terms(sf_dir: str):
+    return R.top_terms(_read(sf_dir, "documents", ["lang", "text"]))
 
 
 def q_ngram_jaccard(sf_dir: str):
@@ -412,7 +430,10 @@ def queries() -> dict:
         "grouped_topk": q_grouped_topk,
         "asof_join": q_asof_join,
         "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
         "group_median": q_group_median,
+        "rollup_agg": q_rollup_agg,
+        "top_terms": q_top_terms,
         "stratified_sample": q_stratified_sample,
         "distinct_langs": q_distinct_langs,
         "point_lookup": q_point_lookup,
@@ -599,11 +620,34 @@ def oracle_sql() -> dict:
             "WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderpriority = '1-URGENT')"
         ),
+        "semi_join": (
+            "SELECT c_custkey, c_name FROM customer c "
+            "WHERE EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderpriority = '1-URGENT')"
+        ),
         "group_median": (
             "SELECT l_returnflag, "
             "percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) "
             "AS median_qty, count(*) AS n_rows "
             "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "rollup_agg": (
+            "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+            "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows "
+            "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        # same RE2-safe [a-z]+ tokenization as the lang_id oracle
+        "top_terms": (
+            "WITH w AS (SELECT lang, "
+            "unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word "
+            "FROM documents), "
+            "c AS (SELECT lang, word, count(*) AS n FROM w GROUP BY 1, 2) "
+            "SELECT lang, word, n FROM ("
+            "SELECT lang, word, n, row_number() OVER "
+            "(PARTITION BY lang ORDER BY n DESC, word) AS rn FROM c) "
+            "WHERE rn <= 5"
         ),
         # trigram sets via unnest(generate_series) — substr(text, g, 3) is
         # character-based like the operator's Python slicing; prefix-32

@@ -58,8 +58,8 @@ def test_all_queries_run(ray_session, registry):
         "events_hourly", "ann_cosine", "stratified_sample", "distinct_langs",
         "point_lookup", "lang_id", "bpe_tokens", "fingerprint_md5",
         "sessionize", "grouped_topk", "ann_multi", "dedup_components",
-        "events_sliding", "asof_join", "anti_join", "group_median",
-        "ngram_jaccard",
+        "events_sliding", "asof_join", "anti_join", "semi_join",
+        "group_median", "rollup_agg", "top_terms", "ngram_jaccard",
     ],
 )
 def test_query_matches_oracle(ray_session, registry, duck, name):
