@@ -707,3 +707,227 @@ def top_terms(docs_ds, k: int = 5):
     )
     # |langs| groups — the shuffle above already collapsed the vocabulary
     return summed.groupby("lang").map_groups(_topk, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# large-large shuffle join, non-equi range join, per-key window lag
+# ---------------------------------------------------------------------------
+
+def shuffle_join_revenue(orders_ds, lineitem_ds):
+    """Large-large INNER join (orders ⋈ lineitem on orderkey) rolled up to
+    revenue per order priority — the shape TPC-H Q4/Q12 need, where NEITHER
+    side fits a broadcast.
+
+    Shape: per-batch partial aggregation of lineitem by ``l_orderkey``
+    collapses the fact side before anything moves; both sides are projected
+    to one shared tagged schema and unioned, so the join costs exactly ONE
+    ``groupby(o_orderkey)`` hash shuffle (high-cardinality key — no skew:
+    an order has ≤7 lineitems). ``Max`` over an empty-string sentinel
+    recovers the priority (same trick as the anti join above); a second
+    per-batch partial by priority (5 values) makes the final groupby tiny.
+    Orders with no lineitems (n_li=0) and dangling lineitems (priority "")
+    are dropped — inner-join semantics."""
+    from ray.data.aggregate import Max, Sum
+
+    def _li_side(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        df = pd.DataFrame(
+            {
+                "o_orderkey": b.column("l_orderkey").to_numpy(),
+                "rev": rev.to_numpy(),
+            }
+        )
+        g = df.groupby("o_orderkey", as_index=False).agg(
+            rev=("rev", "sum"), n_li=("rev", "size")
+        )
+        g["o_orderpriority"] = ""
+        g["n_li"] = g["n_li"].astype("int64")
+        return pa.Table.from_pandas(
+            g[["o_orderkey", "o_orderpriority", "rev", "n_li"]],
+            preserve_index=False,
+        )
+
+    def _ord_side(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_orderpriority": b.column("o_orderpriority"),
+                "rev": pa.array(np.zeros(n)),
+                "n_li": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    def _partial_by_priority(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.greater(t["n_li"], 0), pc.not_equal(t["o_orderpriority"], ""))
+        )
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": t["o_orderpriority"].to_numpy(zero_copy_only=False),
+                "rev": t["rev"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("rev", "size"), revenue=("rev", "sum")
+        )
+        g["n_orders"] = g["n_orders"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _round(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_orders"] = df["n_orders"].astype("int64")
+        df["revenue"] = df["revenue"].round(2)
+        return df
+
+    li = lineitem_ds.map_batches(
+        _li_side, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536,
+    )
+    od = orders_ds.map_batches(
+        _ord_side, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536,
+    )
+    joined = (
+        li.union(od)
+        .groupby("o_orderkey")
+        .aggregate(
+            Sum("rev", alias_name="rev"),
+            Sum("n_li", alias_name="n_li"),
+            Max("o_orderpriority", alias_name="o_orderpriority"),
+        )
+    )
+    return (
+        joined.map_batches(
+            _partial_by_priority, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536,
+        )
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue", alias_name="revenue"),
+        )
+        .map_batches(_round, batch_format="pandas")
+    )
+
+
+#: overlapping price bands — one order can land in multiple bands, which is
+#: what makes this a genuine non-equi JOIN, not a bucketing group-by
+PRICE_BANDS = (
+    ("low", 0.0, 150_000.0),
+    ("mid", 100_000.0, 300_000.0),
+    ("high", 250_000.0, 450_000.0),
+    ("lux", 400_000.0, 1_000_000_000.0),
+)
+
+
+def range_join_bands(orders_ds, bands=PRICE_BANDS):
+    """Non-equi RANGE join: orders × price bands on
+    ``lo <= o_totalprice < hi``, aggregated per band.
+
+    Shape: the band table is tiny → broadcast non-equi join, evaluated as
+    one vectorized mask per band per batch (bands are few; rows are the
+    vectorized axis), with per-batch partial aggregation so only
+    ``|bands|`` rows per batch cross the final shuffle. At 100 TB the same
+    shape holds for any dimension-sized interval table (SCD date ranges,
+    IP→geo ranges); interval-tree lookup replaces the per-band mask only
+    when bands number in the thousands."""
+    from ray.data.aggregate import Sum
+
+    def _probe(b: pa.Table) -> pa.Table:
+        price = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        names, counts, sums = [], [], []
+        for name, lo, hi in bands:
+            m = (price >= lo) & (price < hi)
+            n = int(m.sum())
+            if n:
+                names.append(name)
+                counts.append(n)
+                sums.append(float(price[m].sum()))
+        return pa.table(
+            {
+                "band": pa.array(names, type=pa.string()),
+                "n_orders": pa.array(counts, type=pa.int64()),
+                "sum_price": pa.array(sums, type=pa.float64()),
+            }
+        )
+
+    def _round(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_orders"] = df["n_orders"].astype("int64")
+        df["sum_price"] = df["sum_price"].round(2)
+        return df
+
+    return (
+        orders_ds.map_batches(
+            _probe, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536,
+        )
+        .groupby("band")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("sum_price", alias_name="sum_price"),
+        )
+        .map_batches(_round, batch_format="pandas")
+    )
+
+
+def window_lag_gaps(orders_ds, parts: int = 64):
+    """Per-key window LAG: for every order that has a predecessor from the
+    same customer, the time gap to that previous order (microseconds) —
+    ``lag() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)``.
+
+    Shape: window functions need a key's full history co-located, so one
+    shuffle is inherent — but NOT one Python call per key. The key is
+    coarsened to ``o_custkey % parts`` and the per-PARTITION UDF runs one
+    vectorized pandas ``sort_values + groupby(...).shift`` over every
+    customer in the partition at once (~0.5 ms/group Python overhead was
+    the measured cost of per-key map_groups at 15k keys — coarsening buys
+    that back). Scale knob: parts ≈ a few × cores; hot keys can't skew a
+    partition because each customer's history is small."""
+
+    def _tag(b: pa.Table) -> pa.Table:
+        part = pc.cast(
+            pc.subtract(
+                b.column("o_custkey"),
+                pc.multiply(
+                    pc.divide(b.column("o_custkey"), parts), pa.scalar(parts)
+                ),
+            ),
+            pa.int32(),
+        )
+        return pa.table(
+            {
+                "part": part,
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+                "o_orderdate": b.column("o_orderdate"),
+            }
+        )
+
+    def _gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        prev = g.groupby("o_custkey")["o_orderdate"].shift(1)
+        mask = prev.notna()
+        if not mask.any():
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series(dtype="int64"),
+                    "o_custkey": pd.Series(dtype="int64"),
+                    "gap_us": pd.Series(dtype="int64"),
+                }
+            )
+        gap = (
+            g.loc[mask, "o_orderdate"].to_numpy("datetime64[us]")
+            - prev[mask].to_numpy("datetime64[us]")
+        ).astype("timedelta64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "o_orderkey": g.loc[mask, "o_orderkey"].to_numpy("int64"),
+                "o_custkey": g.loc[mask, "o_custkey"].to_numpy("int64"),
+                "gap_us": gap,
+            }
+        )
+
+    tagged = orders_ds.map_batches(
+        _tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536,
+    )
+    return tagged.groupby("part").map_groups(_gaps, batch_format="pandas")

@@ -190,3 +190,52 @@ def ivf_topk(emb_ds, qvec: np.ndarray, k: int = 10, n_cells: int = 16,
         zero_copy_batch=True,
     )
     return brute_force_topk(probed, q, k)
+
+
+def cosine_pairs_exact(emb_ds, threshold: float = 0.35):
+    """EXACT all-pairs cosine similarity join: every (a, b) with a < b and
+    round(cosine, 6) >= threshold — the ground-truth counterpart to the
+    LSH near-dup path in ``ops/dedup.py`` (same contract, zero recall loss).
+
+    Shape: the right side is one broadcast of the row-normalized matrix +
+    ids (``ray.put`` once, fetched once per worker); each data batch does
+    ONE numpy matmul against it and emits only the above-threshold pairs,
+    so nothing quadratic ever crosses the shuffle and there is no shuffle
+    at all. The broadcast side must fit a worker's heap (5 GB ≈ 10M × 64-d
+    f64) — beyond that, block the right side into column chunks and fan out
+    (batch × chunk) tasks, or switch to the LSH path; this operator is the
+    recall oracle you validate that path against."""
+    import ray
+
+    from ..common import cached_broadcast
+
+    full = emb_ds.select_columns(["vec_id", "embedding"]).to_pandas()
+    ids = full["vec_id"].to_numpy(np.int64)
+    mat = np.asarray(full["embedding"].tolist(), dtype=np.float64)
+    # normalized f64 broadcast: f32 re-quantization here would shift the
+    # 6th rounded decimal vs the f64 oracle
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-9)
+    ref = ray.put((ids, mat))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        rids, rmat = cached_broadcast(ref)
+        left = _as_matrix(batch).astype(np.float64)
+        lids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        if left.size == 0:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "cosine": pa.array([], type=pa.float64())})
+        left /= np.maximum(np.linalg.norm(left, axis=1, keepdims=True), 1e-9)
+        sims = np.round(left @ rmat.T, 6)
+        li, ri = np.nonzero((sims >= threshold) & (lids[:, None] < rids[None, :]))
+        return pa.table(
+            {
+                "a": pa.array(lids[li].astype(np.int64)),
+                "b": pa.array(rids[ri]),
+                "cosine": pa.array(sims[li, ri]),
+            }
+        )
+
+    return emb_ds.map_batches(
+        pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=2048,
+    )

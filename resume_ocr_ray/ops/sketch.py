@@ -1,0 +1,112 @@
+"""Sketch aggregates — approximate answers with bounded state, the shape
+every 100-TB cardinality question needs (exact distinct = a full shuffle of
+every key; an HLL register array is 4 KB regardless of input size).
+
+- ``approx_distinct_hll`` — HyperLogLog distinct count per group. Per-batch
+  partial register arrays (numpy-vectorized hash + scatter-max) are the
+  combiner: only ``|groups| × m`` bytes cross the shuffle. Register merge is
+  element-wise max — associative and commutative, so the estimate is
+  deterministic at ANY parallelism. Hashing is splitmix64 (public-domain
+  mixer), not Python ``hash`` (seed-randomized) nor md5 (per-row loop).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+#: register-count exponent: m = 2^P registers = 4096 → ~1.6% typical error,
+#: linear-counting correction below ~2.5m distincts
+HLL_P = 12
+_M = 1 << HLL_P
+_ALPHA = 0.7213 / (1.0 + 1.079 / _M)  # standard bias constant for m >= 128
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit avalanche mix (splitmix64 finalizer)."""
+    with np.errstate(over="ignore"):
+        z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _registers(values: np.ndarray) -> np.ndarray:
+    """HLL register array (uint8[m]) for a batch of int64 values."""
+    h = _splitmix64(values)
+    idx = (h & np.uint64(_M - 1)).astype(np.int64)
+    rest = h >> np.uint64(HLL_P)
+    # rank = leading-zero count of the remaining (64-P) bits, + 1
+    width = 64 - HLL_P
+    nz = rest != 0
+    # bit_length via log2 is unsafe at 2^53; use a loop over 64-P bits'
+    # top-down probe — vectorized: position of highest set bit
+    bl = np.zeros(values.shape[0], dtype=np.int64)
+    r = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = r >= (np.uint64(1) << np.uint64(shift))
+        bl[m] += shift
+        r[m] >>= np.uint64(shift)
+    bl[nz] += 1  # bit_length of a nonzero value
+    rank = np.where(nz, width - bl + 1, width + 1).astype(np.uint8)
+    regs = np.zeros(_M, dtype=np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _estimate(regs: np.ndarray) -> int:
+    est = _ALPHA * _M * _M / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * _M and zeros:  # small-range (linear counting) correction
+        est = _M * np.log(_M / zeros)
+    return int(round(est))
+
+
+def approx_distinct_hll(ds, group_col: str, value_col: str):
+    """Approximate COUNT(DISTINCT value_col) per group_col via HLL.
+
+    Two-stage: per-batch partial registers per group (rows → at most one
+    4 KB register row per group per batch), then ``groupby(group_col)``
+    merges registers with element-wise max and finalizes the estimate.
+    """
+
+    def _partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                group_col: b.column(group_col).to_numpy(zero_copy_only=False),
+                value_col: b.column(value_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        keys, regs_rows = [], []
+        for key, sub in df.groupby(group_col, sort=False):
+            keys.append(key)
+            regs_rows.append(_registers(sub[value_col].to_numpy(np.uint64)))
+        return pa.table(
+            {
+                group_col: pa.array(keys),
+                "regs": pa.array(
+                    [r.tolist() for r in regs_rows],
+                    type=pa.list_(pa.uint8(), _M),
+                ),
+            }
+        )
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.maximum.reduce(
+            [np.asarray(r, dtype=np.uint8) for r in g["regs"]]
+        )
+        return pd.DataFrame(
+            {
+                group_col: [g[group_col].iloc[0]],
+                "approx_distinct": pd.Series([_estimate(regs)], dtype="int64"),
+            }
+        )
+
+    partials = ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )
+    return partials.groupby(group_col).map_groups(_merge, batch_format="pandas")

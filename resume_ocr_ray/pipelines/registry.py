@@ -264,9 +264,41 @@ def q_ann_cosine(sf_dir: str):
     )
 
 
+def q_shuffle_join(sf_dir: str):
+    return R.shuffle_join_revenue(
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]),
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]),
+    )
+
+
+def q_range_join(sf_dir: str):
+    return R.range_join_bands(_read(sf_dir, "orders", ["o_totalprice"]))
+
+
+def q_window_lag(sf_dir: str):
+    return R.window_lag_gaps(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    )
+
+
+def q_cosine_pairs(sf_dir: str):
+    return SIM.cosine_pairs_exact(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.35
+    )
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (no exact SQL oracle)
 # ---------------------------------------------------------------------------
+
+def q_approx_distinct(sf_dir: str):
+    from ..ops import sketch as SK
+
+    return SK.approx_distinct_hll(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        group_col="event_type", value_col="user_id",
+    )
+
 
 def q_stratified_sample(sf_dir: str):
     return R.stratified_sample(_read(sf_dir, "documents", ["doc_id", "source"]))
@@ -433,6 +465,11 @@ def queries() -> dict:
         "semi_join": q_semi_join,
         "group_median": q_group_median,
         "rollup_agg": q_rollup_agg,
+        "shuffle_join": q_shuffle_join,
+        "range_join": q_range_join,
+        "window_lag": q_window_lag,
+        "cosine_pairs": q_cosine_pairs,
+        "approx_distinct": q_approx_distinct,
         "top_terms": q_top_terms,
         "stratified_sample": q_stratified_sample,
         "distinct_langs": q_distinct_langs,
@@ -671,5 +708,42 @@ def oracle_sql() -> dict:
             "JOIN sizes sa ON sa.doc_id = doc_a "
             "JOIN sizes sb ON sb.doc_id = doc_b "
             "WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8"
+        ),
+        "shuffle_join": (
+            "SELECT o_orderpriority, count(*) AS n_orders, "
+            "round(sum(rev), 2) AS revenue "
+            "FROM (SELECT l_orderkey, "
+            "sum(l_extendedprice * (1 - l_discount)) AS rev "
+            "FROM lineitem GROUP BY l_orderkey) li "
+            "JOIN orders ON o_orderkey = l_orderkey "
+            "GROUP BY o_orderpriority"
+        ),
+        # bands table shared with the operator via R.PRICE_BANDS
+        "range_join": (
+            "SELECT b.band, count(*) AS n_orders, "
+            "round(sum(o.o_totalprice), 2) AS sum_price "
+            "FROM orders o JOIN (VALUES "
+            + ", ".join(
+                f"('{n}', {lo!r}, {hi!r})" for n, lo, hi in R.PRICE_BANDS
+            )
+            + ") b(band, lo, hi) "
+            "ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi "
+            "GROUP BY b.band"
+        ),
+        "window_lag": (
+            "SELECT o_orderkey, o_custkey, gap_us FROM ("
+            "SELECT o_orderkey, o_custkey, "
+            "date_diff('microsecond', lag(o_orderdate) OVER "
+            "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), "
+            "o_orderdate) AS gap_us FROM orders) "
+            "WHERE gap_us IS NOT NULL"
+        ),
+        "cosine_pairs": (
+            "SELECT a.vec_id AS a, b.vec_id AS b, "
+            "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) AS cosine "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) >= 0.35"
         ),
     }

@@ -294,3 +294,80 @@ def test_ngram_jaccard_blocks_and_threshold(ray_session):
     out = D.ngram_jaccard_pairs(rd.from_pandas(df)).to_pandas()
     assert out[["doc_a", "doc_b"]].values.tolist() == [[1, 2]]
     assert (out["jaccard3"] >= 0.8).all()
+
+
+def test_hll_accuracy_and_merge_determinism(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import sketch as SK
+
+    rng = np.random.default_rng(3)
+    n = 20_000
+    df = pd.DataFrame(
+        {
+            "g": np.where(rng.random(n) < 0.5, "a", "b"),
+            "v": rng.integers(0, 5_000, size=n),
+        }
+    )
+    exact = df.groupby("g")["v"].nunique()
+    for blocks in (1, 7):  # merge path must not depend on partitioning
+        out = (
+            SK.approx_distinct_hll(
+                rd.from_pandas(df).repartition(blocks), "g", "v"
+            )
+            .to_pandas()
+            .set_index("g")["approx_distinct"]
+        )
+        for g in ("a", "b"):
+            assert abs(out[g] - exact[g]) / exact[g] < 0.05, (g, out[g], exact[g])
+        if blocks == 1:
+            first = out
+        else:  # max-merge of registers is order/partition independent
+            assert (out.sort_index() == first.sort_index()).all()
+
+
+def test_cosine_pairs_exact_finds_planted_pair(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((50, 16)).astype(np.float32)
+    mat[7] = mat[3] + rng.standard_normal(16).astype(np.float32) * 0.01
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(50, dtype=np.int64)),
+            "embedding": pa.array(
+                [r.tolist() for r in mat], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = SIM.cosine_pairs_exact(rd.from_arrow(t), threshold=0.99).to_pandas()
+    assert [3, 7] in out[["a", "b"]].values.tolist()
+    assert (out["a"] < out["b"]).all()
+
+
+def test_window_lag_single_order_customers_excluded(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import relational as R
+
+    ts = pd.to_datetime(
+        ["2024-01-01", "2024-01-05", "2024-01-05", "2024-02-01"]
+    )
+    df = pd.DataFrame(
+        {
+            "o_orderkey": [10, 11, 12, 20],
+            "o_custkey": [1, 1, 1, 2],
+            "o_orderdate": ts,
+        }
+    )
+    out = (
+        R.window_lag_gaps(rd.from_pandas(df), parts=4)
+        .to_pandas()
+        .sort_values("o_orderkey")
+    )
+    # customer 2 has one order -> no row; ties break by orderkey
+    assert out["o_orderkey"].tolist() == [11, 12]
+    assert out["gap_us"].tolist() == [4 * 86_400_000_000, 0]
