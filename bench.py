@@ -47,6 +47,14 @@ BENCH_QUERIES = [
     "asof_join",
     "group_median",
     "ngram_jaccard",
+    "shuffle_join",
+    "range_join",
+    "window_lag",
+    "cosine_pairs",
+    "approx_distinct",
+    "exact_quantile",
+    "distinct_users",
+    "heavy_hitters",
 ]
 
 

@@ -110,3 +110,102 @@ def approx_distinct_hll(ds, group_col: str, value_col: str):
         batch_size=65536,
     )
     return partials.groupby(group_col).map_groups(_merge, batch_format="pandas")
+
+
+def heavy_hitters(docs_ds, ppm: int = 2000, capacity: int = 4096):
+    """Words occurring at least ``ppm`` parts-per-million of all tokens —
+    sketch-candidates + exact-verify, the pattern that makes heavy-hitter
+    queries exact WITHOUT shuffling the full vocabulary.
+
+    Stage 1 streams one Misra-Gries summary per batch (≤ ``capacity``
+    (word, residual_count) rows + the batch's token total + its MG error
+    bound). Misra-Gries guarantees every word with batch count > error
+    survives, so the union of batch summaries is a candidate SUPERSET of
+    every word with global count > Σ errors. Stage 2 merges summaries on
+    the driver (tiny: batches × capacity rows), forms the candidate set,
+    and — exactness guard — if the threshold did not clear Σ errors it
+    falls back to the full vocabulary (only possible when capacity is
+    undersized for the corpus). Stage 3 re-counts ONLY candidates exactly
+    (broadcast membership filter inside the count combiner) and keeps those
+    ≥ threshold. Tokenization matches ``top_terms``/``lang_id``:
+    lowercase ``[a-z]+``."""
+    import re
+
+    from ray.data.aggregate import Sum
+
+    pat = re.compile(r"[a-z]+")
+
+    def _summaries(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        words = pd.Series(
+            [w for t in texts for w in pat.findall((t or "").lower())],
+            dtype="object",
+        )
+        total = int(len(words))
+        vc = words.value_counts()
+        if len(vc) > capacity:
+            # batch-level Misra-Gries: keep top-`capacity`, subtract the
+            # (capacity+1)-th count — residuals underestimate by ≤ err
+            err = int(vc.iloc[capacity])
+            vc = (vc.iloc[:capacity] - err).clip(lower=0)
+            vc = vc[vc > 0]
+        else:
+            err = 0
+        # batch totals ride on the first summary row (0 elsewhere) so the
+        # driver recovers Σ tokens / Σ err with one column sum
+        lead = lambda x: [x] + [0] * (len(vc) - 1) if len(vc) else []
+        return pa.table(
+            {
+                "word": pa.array(vc.index.to_list(), type=pa.string()),
+                "residual": pa.array(vc.to_numpy(np.int64)),
+                "batch_tokens": pa.array(lead(total), type=pa.int64()),
+                "err": pa.array(lead(err), type=pa.int64()),
+            }
+        )
+
+    summ = docs_ds.map_batches(
+        _summaries, batch_format="pyarrow", zero_copy_batch=True,
+    ).to_pandas()
+    total_tokens = int(summ["batch_tokens"].sum())
+    sum_err = int(summ["err"].sum())
+    threshold = max(1, int(np.ceil(total_tokens * ppm / 1_000_000)))
+
+    cand = summ.groupby("word", as_index=False)["residual"].sum()
+    if threshold > sum_err:
+        cand = cand[cand["residual"] + sum_err >= threshold]
+    candidates = set(cand["word"])  # superset of all true heavy hitters
+
+    import ray
+
+    from ..common import cached_broadcast
+
+    cand_ref = ray.put(candidates)
+
+    def _exact_partial(b: pa.Table) -> pa.Table:
+        keep = cached_broadcast(cand_ref)
+        texts = b.column("text").to_pylist()
+        counts: dict = {}
+        for t in texts:
+            for w in pat.findall((t or "").lower()):
+                if w in keep:
+                    counts[w] = counts.get(w, 0) + 1
+        return pa.table(
+            {
+                "word": pa.array(list(counts.keys()), type=pa.string()),
+                "n": pa.array(list(counts.values()), type=pa.int64()),
+            }
+        )
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n"] >= threshold].copy()
+        df["n"] = df["n"].astype("int64")
+        return df
+
+    return (
+        docs_ds.map_batches(
+            _exact_partial, batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(_final, batch_format="pandas")
+    )

@@ -287,6 +287,25 @@ def q_cosine_pairs(sf_dir: str):
     )
 
 
+def q_exact_quantile(sf_dir: str):
+    return R.exact_quantile(
+        _read(sf_dir, "lineitem", ["l_extendedprice"]), "l_extendedprice"
+    )
+
+
+def q_distinct_users(sf_dir: str):
+    return R.grouped_count_distinct(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        group_col="event_type", value_col="user_id",
+    )
+
+
+def q_heavy_hitters(sf_dir: str):
+    from ..ops import sketch as SK
+
+    return SK.heavy_hitters(_read(sf_dir, "documents", ["text"]))
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (no exact SQL oracle)
 # ---------------------------------------------------------------------------
@@ -470,6 +489,9 @@ def queries() -> dict:
         "window_lag": q_window_lag,
         "cosine_pairs": q_cosine_pairs,
         "approx_distinct": q_approx_distinct,
+        "exact_quantile": q_exact_quantile,
+        "distinct_users": q_distinct_users,
+        "heavy_hitters": q_heavy_hitters,
         "top_terms": q_top_terms,
         "stratified_sample": q_stratified_sample,
         "distinct_langs": q_distinct_langs,
@@ -745,5 +767,27 @@ def oracle_sql() -> dict:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])), 6) >= 0.35"
+        ),
+        "exact_quantile": (
+            "SELECT 0.5 AS p, quantile_disc(l_extendedprice, 0.5) AS value "
+            "FROM lineitem UNION ALL "
+            "SELECT 0.95, quantile_disc(l_extendedprice, 0.95) FROM lineitem "
+            "UNION ALL "
+            "SELECT 0.99, quantile_disc(l_extendedprice, 0.99) FROM lineitem"
+        ),
+        "distinct_users": (
+            "SELECT event_type, count(DISTINCT user_id) AS n_distinct "
+            "FROM events GROUP BY event_type"
+        ),
+        # same [a-z]+ tokenization as top_terms; threshold = ceil(ppm of
+        # total tokens), ppm=2000
+        "heavy_hitters": (
+            "WITH w AS (SELECT "
+            "unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word "
+            "FROM documents), "
+            "tot AS (SELECT count(*) AS t FROM w), "
+            "c AS (SELECT word, count(*) AS n FROM w GROUP BY 1) "
+            "SELECT word, n FROM c, tot "
+            "WHERE n >= greatest(1, CAST(ceil(t * 2000 / 1000000.0) AS BIGINT))"
         ),
     }

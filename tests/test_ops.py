@@ -371,3 +371,40 @@ def test_window_lag_single_order_customers_excluded(ray_session):
     # customer 2 has one order -> no row; ties break by orderkey
     assert out["o_orderkey"].tolist() == [11, 12]
     assert out["gap_us"].tolist() == [4 * 86_400_000_000, 0]
+
+
+def test_heavy_hitters_undersized_capacity_stays_exact(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import sketch as SK
+
+    # vocabulary far above capacity=2 forces the Misra-Gries prune; the
+    # Σ-error guard must fall back so the result stays exact
+    docs = ["alpha beta " * 30 + f"rare{i} " for i in range(40)]
+    ds = rd.from_pandas(pd.DataFrame({"text": docs})).repartition(4)
+    out = (
+        SK.heavy_hitters(ds, ppm=200_000, capacity=2)
+        .to_pandas()
+        .sort_values("word")
+    )
+    # alpha/beta are 1200/2440 ≈ 49% each; every rare{i} is 1/2440
+    assert out["word"].tolist() == ["alpha", "beta"]
+    assert out["n"].tolist() == [1200, 1200]
+
+
+def test_exact_quantile_duplicate_heavy_bin(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import relational as R
+
+    # 90% of mass is one duplicated value inside a single histogram bin
+    vals = np.concatenate([np.full(900, 5.0), np.linspace(0, 100, 100)])
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(3)
+    out = R.exact_quantile(ds, "v", ps=(0.5, 0.99), bins=16)
+    s = np.sort(vals)
+    assert out.set_index("p")["value"].to_dict() == {
+        0.5: s[int(np.ceil(0.5 * len(s))) - 1],
+        0.99: s[int(np.ceil(0.99 * len(s))) - 1],
+    }

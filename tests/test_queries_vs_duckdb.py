@@ -61,6 +61,7 @@ def test_all_queries_run(ray_session, registry):
         "events_sliding", "asof_join", "anti_join", "semi_join",
         "group_median", "rollup_agg", "top_terms", "ngram_jaccard",
         "shuffle_join", "range_join", "window_lag", "cosine_pairs",
+        "exact_quantile", "distinct_users", "heavy_hitters",
     ],
 )
 def test_query_matches_oracle(ray_session, registry, duck, name):
