@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "exact_quantile",
     "distinct_users",
     "heavy_hitters",
+    "bloom_semi_join",
 ]
 
 

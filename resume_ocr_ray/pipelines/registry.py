@@ -306,6 +306,16 @@ def q_heavy_hitters(sf_dir: str):
     return SK.heavy_hitters(_read(sf_dir, "documents", ["text"]))
 
 
+def q_bloom_semi_join(sf_dir: str):
+    from ..ops import sketch as SK
+
+    return SK.bloom_semi_join_revenue(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]),
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]),
+    )
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (no exact SQL oracle)
 # ---------------------------------------------------------------------------
@@ -492,6 +502,7 @@ def queries() -> dict:
         "exact_quantile": q_exact_quantile,
         "distinct_users": q_distinct_users,
         "heavy_hitters": q_heavy_hitters,
+        "bloom_semi_join": q_bloom_semi_join,
         "top_terms": q_top_terms,
         "stratified_sample": q_stratified_sample,
         "distinct_langs": q_distinct_langs,
@@ -789,5 +800,13 @@ def oracle_sql() -> dict:
             "c AS (SELECT word, count(*) AS n FROM w GROUP BY 1) "
             "SELECT word, n FROM c, tot "
             "WHERE n >= greatest(1, CAST(ceil(t * 2000 / 1000000.0) AS BIGINT))"
+        ),
+        "bloom_semi_join": (
+            "SELECT l_returnflag, count(*) AS n_items, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem WHERE l_orderkey IN "
+            "(SELECT o_orderkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT') "
+            "GROUP BY l_returnflag"
         ),
     }

@@ -408,3 +408,50 @@ def test_exact_quantile_duplicate_heavy_bin(ray_session):
         0.5: s[int(np.ceil(0.5 * len(s))) - 1],
         0.99: s[int(np.ceil(0.99 * len(s))) - 1],
     }
+
+
+def test_bloom_semi_join_exact_under_heavy_false_positives(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import sketch as SK
+
+    # m_bits=64 with 10 keys x 4 probes saturates the bitmap: nearly every
+    # probe is a false positive — the cogroup verify must still be exact
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(100, dtype=np.int64),
+            "o_orderpriority": ["1-URGENT" if k % 10 == 0 else "3-MEDIUM"
+                                 for k in range(100)],
+        }
+    )
+    li = pd.DataFrame(
+        {
+            "l_orderkey": np.repeat(np.arange(100, dtype=np.int64), 2),
+            "l_returnflag": ["A", "R"] * 100,
+            "l_extendedprice": np.full(200, 10.0),
+            "l_discount": np.zeros(200),
+        }
+    )
+    out = (
+        SK.bloom_semi_join_revenue(
+            rd.from_pandas(li), rd.from_pandas(orders), m_bits=64, parts=4
+        )
+        .to_pandas()
+        .sort_values("l_returnflag")
+    )
+    # 10 urgent orders x 1 lineitem per flag -> 10 items, 100.0 per flag
+    assert out["l_returnflag"].tolist() == ["A", "R"]
+    assert out["n_items"].tolist() == [10, 10]
+    assert out["revenue"].tolist() == [100.0, 100.0]
+
+
+def test_bloom_filter_no_false_negatives():
+    from resume_ocr_ray.ops import sketch as SK
+
+    keys = np.arange(0, 100_000, 7, dtype=np.int64)
+    words = SK.bloom_bits(keys, 1 << 20)
+    assert SK.bloom_maybe(keys, words, 1 << 20).all()
+    probe = np.arange(1, 100_000, 13, dtype=np.int64)
+    fp = SK.bloom_maybe(probe, words, 1 << 20) & ~np.isin(probe, keys)
+    assert fp.mean() < 0.02  # ~1% FP at these parameters
