@@ -561,14 +561,16 @@ def extraction_pipeline(
         ncpu = _ncpu
         # Partition count trades per-partition shuffle overhead against the
         # straggler tail. The hash shuffle costs ~fixed work PER PARTITION
-        # (measured: 384 parts on a 10k-doc/18 MB stitch ran 3× slower
-        # end-to-end than 64 parts — aggregator wall was pure partition
-        # overhead), so the default is 2×CPUs; for much larger corpora pass
-        # stitch_partitions ≈ total_docs / 15k (stitch work is ~0.26 ms/doc,
-        # so that bounds any straggler partition to a few seconds).
+        # (measured sweeps on the 10k-doc sf0.1 stitch at 32 CPUs: 384
+        # parts 3× slower than 64; 64 parts median 5.4 s vs 32→3.7, 16→3.5,
+        # 8→3.4 — and at 4 CPUs under real per-page cost 8 vs 16 parts is a
+        # wash because the run is compute-bound), so the default is CPUs/2
+        # floored at 8; for much larger corpora pass stitch_partitions ≈
+        # total_docs / 15k (stitch work is ~0.26 ms/doc, so that bounds any
+        # straggler partition to a few seconds).
         nparts = stitch_partitions or int(
             _os.environ.get("GRAFT_STITCH_PARTS", 0)
-        ) or max(16, ncpu * 2)
+        ) or max(8, ncpu // 2)
         # Key-based repartition requires the HASH_SHUFFLE strategy. Scope it
         # to THIS PLAN by mutating the plan's captured DataContext (each
         # dataset chain carries its own snapshot) — other pipelines keep the
