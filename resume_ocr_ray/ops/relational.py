@@ -1068,3 +1068,65 @@ def grouped_count_distinct(ds, group_col: str, value_col: str):
         .aggregate(Sum("n_distinct", alias_name="n_distinct"))
         .map_batches(_cast, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# pivot, quantile gate
+# ---------------------------------------------------------------------------
+
+#: the events stream's closed event-type vocabulary (TESTDATA.md); a pivot
+#: needs the output columns fixed up front — at scale derive this once with
+#: a tiny distinct() pass and treat it as job config, never per batch
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_events(events_ds, types=EVENT_TYPES):
+    """Pivot the events stream to one row per user with per-type counts
+    (long → wide). Per-batch crosstab partials (each batch ships at most
+    |users-in-batch| rows with |types| int columns) → ONE groupby(user_id)
+    Sum over the fixed columns. The shuffle carries pre-aggregated
+    counts, not events; output width is |types|, known up front."""
+    from ray.data.aggregate import Sum
+
+    cols = [f"n_{t}" for t in types]
+
+    def _partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": b.column("user_id").to_numpy(zero_copy_only=False),
+                "event_type": b.column("event_type").to_pylist(),
+            }
+        )
+        ct = pd.crosstab(df["user_id"], df["event_type"])
+        ct = ct.reindex(columns=list(types), fill_value=0).astype("int64")
+        ct.columns = cols
+        return pa.Table.from_pandas(ct.reset_index(), preserve_index=False)
+
+    def _cast(df: pd.DataFrame) -> pd.DataFrame:
+        for c in cols:
+            df[c] = df[c].astype("int64")
+        return df
+
+    return (
+        events_ds.map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536,
+        )
+        .groupby("user_id")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+        .map_batches(_cast, batch_format="pandas")
+    )
+
+
+def length_gate(docs_ds_factory, p: float = 0.95):
+    """Quality gate: keep documents at or below the corpus' exact p-th
+    length percentile (drops the pathological long tail before training).
+
+    Reuses the two-pass histogram-prune quantile (``exact_quantile`` —
+    no sort, no shuffle beyond a bins-sized aggregate) to find the
+    threshold, then ONE streamed filter pass. The factory re-reads the
+    (columns-pruned) input per pass; passes never coexist in memory."""
+    q = exact_quantile(docs_ds_factory(), "n_chars", ps=(p,))
+    thr = float(q["value"].iloc[0])
+    ds = docs_ds_factory()
+    return ds.filter(expr=f"n_chars <= {int(thr)}")

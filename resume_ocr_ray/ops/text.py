@@ -204,3 +204,73 @@ class BpeTokenCounter:
                 "n_bpe_tokens": pa.array(counts, type=pa.int64()),
             }
         )
+
+
+def stopword_filter(docs_ds_factory, k: int = 20):
+    """Corpus-adaptive stopword filtering: find the global top-``k`` terms
+    by frequency (count desc, term asc tiebreak), broadcast them, and
+    report per-document token counts before/after dropping them — the
+    classic compute-small-side-then-broadcast shape.
+
+    Pass 1: per-batch term-count partials (vocabulary-bounded, not
+    token-bounded) → groupby(term) Sum → sort().limit(k) — only the
+    vocabulary crosses the shuffle, only k rows reach the driver.
+    Pass 2: ONE streamed pass re-tokenizing each batch (Arrow
+    split_pattern, no Python row loop) against the k-term set. At 100 TB
+    the k-term set is bytes; ship it by closure capture (ray.put for
+    bigger lookup sides). Tokenization is single-space split with empties
+    dropped — exactly DuckDB ``string_split(text, ' ')`` semantics, so
+    the op is oracle-checkable value-for-value."""
+    from ray.data.aggregate import Sum
+
+    def _term_counts(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)  # StructArray{values, counts}
+        return pa.table(
+            {
+                "term": vc.field("values"),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    top = (
+        docs_ds_factory()
+        .map_batches(_term_counts, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=65536)
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    top = top.sort_values(["n", "term"], ascending=[False, True]).head(k)
+    stop = set(top["term"])  # k strings — broadcast by closure capture
+
+    stop_arr = pa.array(sorted(stop), type=pa.string())
+
+    def _filter_counts(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "")
+        kept_mask = pc.and_(nonempty, pc.invert(
+            pc.is_in(flat, value_set=stop_arr)))
+        n_rows = b.num_rows
+        n_tokens = np.zeros(n_rows, dtype=np.int64)
+        np.add.at(n_tokens, parent,
+                  nonempty.to_numpy(zero_copy_only=False).astype(np.int64))
+        n_kept = np.zeros(n_rows, dtype=np.int64)
+        np.add.at(n_kept, parent,
+                  kept_mask.to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_tokens": pa.array(n_tokens),
+                "n_kept": pa.array(n_kept),
+            }
+        )
+
+    return docs_ds_factory().map_batches(
+        _filter_counts, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )

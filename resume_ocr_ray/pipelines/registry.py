@@ -450,6 +450,25 @@ def q_ivf_ann(sf_dir: str):
     )
 
 
+def q_pivot_events(sf_dir: str):
+    return R.pivot_events(
+        _read(sf_dir, "events", ["user_id", "event_type"])
+    )
+
+
+def q_length_gate(sf_dir: str):
+    return R.length_gate(
+        lambda: _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+        p=0.95,
+    )
+
+
+def q_stopword_filter(sf_dir: str):
+    return T.stopword_filter(
+        lambda: _read(sf_dir, "documents", ["doc_id", "text"]), k=20
+    )
+
+
 def queries() -> dict:
     return {
         # extraction engine (north rule) — non-SQL (synthetic media decode)
@@ -504,6 +523,9 @@ def queries() -> dict:
         "heavy_hitters": q_heavy_hitters,
         "bloom_semi_join": q_bloom_semi_join,
         "top_terms": q_top_terms,
+        "pivot_events": q_pivot_events,
+        "length_gate": q_length_gate,
+        "stopword_filter": q_stopword_filter,
         "stratified_sample": q_stratified_sample,
         "distinct_langs": q_distinct_langs,
         "point_lookup": q_point_lookup,
@@ -808,5 +830,35 @@ def oracle_sql() -> dict:
             "(SELECT o_orderkey FROM orders "
             "WHERE o_orderpriority = '1-URGENT') "
             "GROUP BY l_returnflag"
+        ),
+        "pivot_events": (
+            "SELECT user_id, "
+            "count(*) FILTER (event_type = 'click') AS n_click, "
+            "count(*) FILTER (event_type = 'error') AS n_error, "
+            "count(*) FILTER (event_type = 'purchase') AS n_purchase, "
+            "count(*) FILTER (event_type = 'signup') AS n_signup, "
+            "count(*) FILTER (event_type = 'view') AS n_view "
+            "FROM events GROUP BY user_id"
+        ),
+        # threshold = exact_quantile's quantile_disc convention
+        # (sorted value at 0-based rank ceil(p*n)-1) == DuckDB quantile_disc
+        "length_gate": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE n_chars <= "
+            "(SELECT quantile_disc(n_chars, 0.95) FROM documents)"
+        ),
+        # tokenization = string_split on a single space, empties dropped —
+        # mirrors ops.text.stopword_filter's Arrow split_pattern exactly
+        "stopword_filter": (
+            "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS t FROM documents), "
+            "toks2 AS (SELECT doc_id, t FROM toks WHERE t <> ''), "
+            "top AS (SELECT t FROM toks2 GROUP BY t "
+            "ORDER BY count(*) DESC, t LIMIT 20) "
+            "SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, "
+            "coalesce(s.n_kept, 0) AS n_kept FROM documents d LEFT JOIN "
+            "(SELECT doc_id, count(*) AS n_tokens, "
+            "count(*) FILTER (t NOT IN (SELECT t FROM top)) AS n_kept "
+            "FROM toks2 GROUP BY doc_id) s USING (doc_id)"
         ),
     }

@@ -62,7 +62,7 @@ def test_all_queries_run(ray_session, registry):
         "group_median", "rollup_agg", "top_terms", "ngram_jaccard",
         "shuffle_join", "range_join", "window_lag", "cosine_pairs",
         "exact_quantile", "distinct_users", "heavy_hitters",
-        "bloom_semi_join",
+        "bloom_semi_join", "pivot_events", "length_gate", "stopword_filter",
     ],
 )
 def test_query_matches_oracle(ray_session, registry, duck, name):
