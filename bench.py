@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "distinct_users",
     "heavy_hitters",
     "bloom_semi_join",
+    "pivot_events",
+    "length_gate",
+    "stopword_filter",
 ]
 
 
