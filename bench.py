@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "pivot_events",
     "length_gate",
     "stopword_filter",
+    "train_split",
+    "mixture_sample",
+    "pack_sequences",
 ]
 
 

@@ -1,0 +1,151 @@
+"""Deterministic corpus-sampling operators for training-data pipelines.
+
+The reference has no sampling at all (SURVEY §2.5 "Absent in the
+reference"); a 100-TB training-data engine needs these three constantly:
+
+- ``train_split``   — stable train/val/test assignment by content hash:
+                      re-running the job, adding shards, or changing
+                      parallelism never moves a document between splits.
+- ``mixture_sample`` — per-group weighted downsampling (data mixing, e.g.
+                      upweight English, downweight crawl): same stable
+                      hash-threshold trick, one streamed pass, no shuffle,
+                      no RNG state to coordinate across workers.
+- ``pack_sequences`` — greedy fixed-budget sequence packing (LLM sample
+                      packing) made scale-parallel by restarting the
+                      greedy scan at fixed doc_id-range boundaries, so
+                      ranges pack independently and the result is still
+                      deterministic.
+
+All three are exactly DuckDB-oracle-expressible: the hash is md5 of a
+salted decimal doc_id compared as an 8-hex-char string prefix (identical
+semantics in hashlib and DuckDB ``md5``), and packing is a per-range
+recursive scan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+#: default split fractions → half-open hex-prefix intervals. 0.9*16^8 and
+#: 0.95*16^8 floored, rendered as lowercase hex — string comparison on the
+#: md5 prefix is then identical in Python and SQL.
+SPLIT_T_TRAIN = "e6666666"  # frac < 0.90
+SPLIT_T_VAL = "f3333333"    # frac < 0.95
+
+#: language mixing weights (upweight en, downweight the tail) → keep-rate
+#: hex thresholds; weight 1.0 keeps everything (no hash compare).
+MIX_WEIGHTS = {
+    "en": ("ffffffff~", 1.0),   # sentinel above any hex prefix
+    "de": ("80000000", 0.5),
+    "es": ("80000000", 0.5),
+    "fr": ("40000000", 0.25),
+    "zh": ("40000000", 0.25),
+}
+
+PACK_RANGE = 256     # docs per independent packing range
+PACK_BUDGET = 4096   # chars per pack
+
+
+def _hash_prefix(ids: np.ndarray, salt: str) -> np.ndarray:
+    """8-hex-char md5 prefix of ``salt + str(id)`` per id (vector out)."""
+    return np.array(
+        [hashlib.md5((salt + str(i)).encode()).hexdigest()[:8] for i in ids],
+        dtype=object,
+    )
+
+
+def train_split(docs_ds):
+    """Stable 90/5/5 split keyed on md5(doc_id) — a pure streamed
+    ``map_batches``; no shuffle, no sort, no randomness to seed. At 100 TB
+    the split column is computed on the fly wherever it's needed instead
+    of being stored, because the hash makes it reproducible for free."""
+
+    def _assign(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        h = _hash_prefix(ids, "")
+        split = np.where(
+            h < SPLIT_T_TRAIN, "train",
+            np.where(h < SPLIT_T_VAL, "val", "test"),
+        )
+        return pa.table(
+            {"doc_id": b.column("doc_id"),
+             "split": pa.array(split, type=pa.string())}
+        )
+
+    return docs_ds.map_batches(
+        _assign, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )
+
+
+def mixture_sample(docs_ds, weights=MIX_WEIGHTS):
+    """Weighted per-language downsampling with a salted stable hash
+    (salt 'mix:' decorrelates it from the split hash). One streamed
+    filter pass; the weights table is a handful of bytes shipped by
+    closure capture — the degenerate broadcast join."""
+
+    thresholds = {k: t for k, (t, _w) in weights.items()}
+
+    def _keep(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        langs = b.column("lang").to_numpy(zero_copy_only=False)
+        h = _hash_prefix(ids, "mix:")
+        thr = np.array([thresholds.get(l, "00000000") for l in langs],
+                       dtype=object)
+        return b.filter(pa.array(h < thr))
+
+    return docs_ds.map_batches(
+        _keep, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )
+
+
+def pack_sequences(docs_ds, budget: int = PACK_BUDGET,
+                   rng: int = PACK_RANGE):
+    """Greedy sequence packing: walk docs in doc_id order accumulating
+    ``n_chars``; when adding a doc would exceed ``budget``, start a new
+    pack. Global greedy is inherently sequential, so the scan restarts at
+    every ``rng``-doc doc_id boundary — ranges pack independently and in
+    parallel (the documented partitioning assumption), and pack identity
+    is the deterministic pair (pack_range, pack_id).
+
+    Shape: ONE groupby(doc_id // rng) shuffle, then a tiny sorted scan
+    per range (``rng`` rows each). The per-range state never leaves the
+    worker; output is just the doc→pack assignment."""
+
+    def _tag(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "pack_range", pa.array((ids // rng).astype(np.int64))
+        )
+
+    def _pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        packs = np.zeros(len(g), dtype=np.int64)
+        acc, pack = 0, 0
+        for i, n in enumerate(g["n_chars"].to_numpy()):
+            if i > 0 and acc + n > budget:
+                pack += 1
+                acc = 0
+            acc += n
+            packs[i] = pack
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64"),
+                "pack_range": g["pack_range"].astype("int64"),
+                "pack_id": packs,
+            }
+        )
+
+    return (
+        docs_ds.map_batches(
+            _tag, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536,
+        )
+        .groupby("pack_range")
+        .map_groups(_pack, batch_format="pandas")
+    )

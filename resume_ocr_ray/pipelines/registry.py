@@ -21,6 +21,7 @@ from ..engine import pipeline as P
 from ..ops import dedup as D
 from ..ops import multimodal as MM
 from ..ops import relational as R
+from ..ops import sampling as S
 from ..ops import similarity as SIM
 from ..ops import text as T
 
@@ -450,6 +451,20 @@ def q_ivf_ann(sf_dir: str):
     )
 
 
+def q_train_split(sf_dir: str):
+    return S.train_split(_read(sf_dir, "documents", ["doc_id"]))
+
+
+def q_mixture_sample(sf_dir: str):
+    return S.mixture_sample(_read(sf_dir, "documents", ["doc_id", "lang"]))
+
+
+def q_pack_sequences(sf_dir: str):
+    return S.pack_sequences(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    )
+
+
 def q_pivot_events(sf_dir: str):
     return R.pivot_events(
         _read(sf_dir, "events", ["user_id", "event_type"])
@@ -523,6 +538,9 @@ def queries() -> dict:
         "heavy_hitters": q_heavy_hitters,
         "bloom_semi_join": q_bloom_semi_join,
         "top_terms": q_top_terms,
+        "train_split": q_train_split,
+        "mixture_sample": q_mixture_sample,
+        "pack_sequences": q_pack_sequences,
         "pivot_events": q_pivot_events,
         "length_gate": q_length_gate,
         "stopword_filter": q_stopword_filter,
@@ -830,6 +848,43 @@ def oracle_sql() -> dict:
             "(SELECT o_orderkey FROM orders "
             "WHERE o_orderpriority = '1-URGENT') "
             "GROUP BY l_returnflag"
+        ),
+        # hash convention shared with ops.sampling: 8-hex-char md5 prefix of
+        # the (salted) decimal doc_id, compared as a lowercase-hex string
+        "train_split": (
+            "SELECT doc_id, CASE "
+            "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' "
+            "THEN 'train' "
+            "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' "
+            "THEN 'val' ELSE 'test' END AS split FROM documents"
+        ),
+        "mixture_sample": (
+            "SELECT doc_id, lang FROM documents WHERE CASE "
+            "WHEN lang = 'en' THEN TRUE "
+            "WHEN lang IN ('de', 'es') THEN "
+            "substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) "
+            "< '80000000' "
+            "ELSE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) "
+            "< '40000000' END"
+        ),
+        # range-local greedy packing restated as a per-range recursive scan
+        "pack_sequences": (
+            "WITH RECURSIVE d AS ("
+            "SELECT doc_id, doc_id // 256 AS pack_range, n_chars, "
+            "row_number() OVER (PARTITION BY doc_id // 256 ORDER BY doc_id)"
+            " AS rn FROM documents), "
+            "p AS ("
+            "SELECT pack_range, rn, doc_id, n_chars AS acc, "
+            "CAST(0 AS BIGINT) AS pack_id FROM d WHERE rn = 1 "
+            "UNION ALL "
+            "SELECT d.pack_range, d.rn, d.doc_id, "
+            "CASE WHEN p.acc + d.n_chars > 4096 THEN d.n_chars "
+            "ELSE p.acc + d.n_chars END, "
+            "CASE WHEN p.acc + d.n_chars > 4096 THEN p.pack_id + 1 "
+            "ELSE p.pack_id END "
+            "FROM p JOIN d ON d.pack_range = p.pack_range "
+            "AND d.rn = p.rn + 1) "
+            "SELECT doc_id, pack_range, pack_id FROM p"
         ),
         "pivot_events": (
             "SELECT user_id, "
