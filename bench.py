@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "train_split",
     "mixture_sample",
     "pack_sequences",
+    "label_centroids",
 ]
 
 

@@ -239,3 +239,56 @@ def cosine_pairs_exact(emb_ds, threshold: float = 0.35):
     return emb_ds.map_batches(
         pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=2048,
     )
+
+
+def label_centroids(emb_ds, dim: int = 64):
+    """Per-label elementwise centroid of the embedding column — the
+    cluster-centroid primitive behind IVF training, k-means iterations
+    and class prototypes, distributed as a classic combiner:
+
+    each batch collapses to one (|labels| × dim) float64 partial-sum
+    matrix plus counts (``np.add.at`` on the label index — no Python
+    row loop), the partials groupby-sum on ``label`` (a |labels|-row
+    shuffle regardless of input size), and the final divide runs on the
+    tiny aggregated table. Output is long-form (label, i, v) with v
+    rounded to 6 dp so the float32→float64 summation-order noise cannot
+    leak into value comparison."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        mat = _as_matrix(b).astype(np.float64)
+        labels = b.column("label").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), mat.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv).astype(np.int64)
+        # long form: |uniq|×dim rows per batch — bounded by label
+        # cardinality, not batch rows
+        g = np.repeat(uniq, mat.shape[1])
+        i = np.tile(np.arange(1, mat.shape[1] + 1), len(uniq))
+        return pa.table(
+            {
+                "label": pa.array(g.astype(np.int64)),
+                "i": pa.array(i.astype(np.int64)),
+                "s": pa.array(sums.ravel()),
+                "n": pa.array(np.repeat(counts, mat.shape[1])),
+            }
+        )
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["v"] = (df["s"] / df["n"]).round(6)
+        df["label"] = df["label"].astype("int64")
+        df["i"] = df["i"].astype("int64")
+        return df[["label", "i", "v"]]
+
+    return (
+        emb_ds.map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=4096,
+        )
+        .groupby(["label", "i"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .map_batches(_finish, batch_format="pandas")
+    )

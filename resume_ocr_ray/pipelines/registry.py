@@ -451,6 +451,12 @@ def q_ivf_ann(sf_dir: str):
     )
 
 
+def q_label_centroids(sf_dir: str):
+    return SIM.label_centroids(
+        _read(sf_dir, "embeddings", ["embedding", "label"])
+    )
+
+
 def q_train_split(sf_dir: str):
     return S.train_split(_read(sf_dir, "documents", ["doc_id"]))
 
@@ -538,6 +544,7 @@ def queries() -> dict:
         "heavy_hitters": q_heavy_hitters,
         "bloom_semi_join": q_bloom_semi_join,
         "top_terms": q_top_terms,
+        "label_centroids": q_label_centroids,
         "train_split": q_train_split,
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
@@ -848,6 +855,12 @@ def oracle_sql() -> dict:
             "(SELECT o_orderkey FROM orders "
             "WHERE o_orderpriority = '1-URGENT') "
             "GROUP BY l_returnflag"
+        ),
+        # elementwise per-label mean; 1-based i matches DuckDB list indexing
+        "label_centroids": (
+            "SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) "
+            "AS v FROM embeddings, range(1, 65) t(i) "
+            "GROUP BY label, i"
         ),
         # hash convention shared with ops.sampling: 8-hex-char md5 prefix of
         # the (salted) decimal doc_id, compared as a lowercase-hex string
