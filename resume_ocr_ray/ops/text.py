@@ -235,12 +235,23 @@ def stopword_filter(docs_ds_factory, k: int = 20):
             }
         )
 
+    def _partial_topk(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas()
+        df = df.sort_values(["n", "term"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # partial top-k per aggregated block → ≤ k rows per block reach the
+    # driver (vocabulary never materializes anywhere whole), tiny final merge
     top = (
         docs_ds_factory()
         .map_batches(_term_counts, batch_format="pyarrow",
                      zero_copy_batch=True, batch_size=65536)
         .groupby("term")
         .aggregate(Sum("n", alias_name="n"))
+        .map_batches(_partial_topk, batch_format="pyarrow",
+                     zero_copy_batch=True)
         .to_pandas()
     )
     top = top.sort_values(["n", "term"], ascending=[False, True]).head(k)
