@@ -149,3 +149,63 @@ def pack_sequences(docs_ds, budget: int = PACK_BUDGET,
         .groupby("pack_range")
         .map_groups(_pack, batch_format="pandas")
     )
+
+
+def hash_sample(docs_ds, k: int = 50):
+    """Consistent bottom-k sample: the k docs with the smallest salted
+    hash — a uniform sample that is stable across runs, shards and
+    cluster sizes, and composable (the bottom-k of a union is the
+    bottom-k of the parts' bottom-ks, so samples of shards merge into a
+    sample of the corpus without resampling).
+
+    Distributed as partial bottom-k per batch (≤ k rows leave each
+    batch) and one tiny driver merge — the global 'ORDER BY hash LIMIT
+    k' without ever sorting the input."""
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        h = _hash_prefix(ids, "sample:")
+        keep = np.lexsort((ids, h))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep].astype(np.int64)),
+                "h": pa.array(h[keep].astype(str)),
+            }
+        )
+
+    parts = docs_ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    ).to_pandas()
+    out = parts.sort_values(["h", "doc_id"]).head(k)
+    return out[["doc_id"]].reset_index(drop=True)
+
+
+def group_split(docs_ds):
+    """Leakage-safe 90/5/5 split keyed on the *source* hash instead of
+    the doc hash: every document from one source lands in the same
+    split, so near-duplicates and templated families inside a source
+    can never straddle train/test. Same streamed no-shuffle shape as
+    ``train_split``; the hash input is the source string itself."""
+
+    def _assign(b: pa.Table) -> pa.Table:
+        src = b.column("source").to_numpy(zero_copy_only=False)
+        h = np.array(
+            [hashlib.md5(("grp:" + s).encode()).hexdigest()[:8]
+             for s in src],
+            dtype=object,
+        )
+        split = np.where(
+            h < SPLIT_T_TRAIN, "train",
+            np.where(h < SPLIT_T_VAL, "val", "test"),
+        )
+        return pa.table(
+            {"doc_id": b.column("doc_id"),
+             "source": b.column("source"),
+             "split": pa.array(split, type=pa.string())}
+        )
+
+    return docs_ds.map_batches(
+        _assign, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )

@@ -471,6 +471,14 @@ def q_pack_sequences(sf_dir: str):
     )
 
 
+def q_hash_sample(sf_dir: str):
+    return S.hash_sample(_read(sf_dir, "documents", ["doc_id"]), k=50)
+
+
+def q_group_split(sf_dir: str):
+    return S.group_split(_read(sf_dir, "documents", ["doc_id", "source"]))
+
+
 def q_pivot_events(sf_dir: str):
     return R.pivot_events(
         _read(sf_dir, "events", ["user_id", "event_type"])
@@ -546,6 +554,8 @@ def queries() -> dict:
         "top_terms": q_top_terms,
         "label_centroids": q_label_centroids,
         "train_split": q_train_split,
+        "group_split": q_group_split,
+        "hash_sample": q_hash_sample,
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
         "pivot_events": q_pivot_events,
@@ -870,6 +880,18 @@ def oracle_sql() -> dict:
             "THEN 'train' "
             "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' "
             "THEN 'val' ELSE 'test' END AS split FROM documents"
+        ),
+        "group_split": (
+            "SELECT doc_id, source, CASE "
+            "WHEN substr(md5('grp:' || source), 1, 8) < 'e6666666' "
+            "THEN 'train' "
+            "WHEN substr(md5('grp:' || source), 1, 8) < 'f3333333' "
+            "THEN 'val' ELSE 'test' END AS split FROM documents"
+        ),
+        "hash_sample": (
+            "SELECT doc_id FROM documents "
+            "ORDER BY substr(md5('sample:' || CAST(doc_id AS VARCHAR)), "
+            "1, 8), doc_id LIMIT 50"
         ),
         "mixture_sample": (
             "SELECT doc_id, lang FROM documents WHERE CASE "
