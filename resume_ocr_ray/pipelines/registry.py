@@ -11,6 +11,8 @@ None of these callables initialises Ray — the driver owns the session.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -451,6 +453,31 @@ def q_ivf_ann(sf_dir: str):
     )
 
 
+def q_extract_checkpointed(sf_dir: str):
+    """Extraction through the checkpoint/resume path: commit every input
+    shard under /tmp with per-partition manifests, then stream the
+    committed parquet back as the same per-doc summary the plain
+    extraction query returns (rows-only check — deterministic columns
+    only). A second call at the same sf_dir exercises the resume-skip
+    arm: every shard is already committed, so only the read-back runs."""
+    import ray.data as rd
+
+    from ..engine import checkpoint as CK
+
+    docs_dir, store = _extraction_inputs(sf_dir)
+    out_dir = os.path.join(
+        "/tmp/resume_ocr_ckpt", os.path.basename(os.path.normpath(sf_dir))
+    )
+    CK.run_checkpointed(docs_dir, store, out_dir)
+    parts = [
+        os.path.join(out_dir, d) for d in sorted(os.listdir(out_dir))
+        if d.startswith("part=")
+    ]
+    return rd.read_parquet(parts).map_batches(
+        _summarize_extracted, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_label_centroids(sf_dir: str):
     return SIM.label_centroids(
         _read(sf_dir, "embeddings", ["embedding", "label"])
@@ -504,6 +531,7 @@ def queries() -> dict:
         "extract_interleaved": q_extract_interleaved,
         "extract_rank": q_extract_rank,
         "extract_seniority": q_extract_seniority,
+        "extract_checkpointed": q_extract_checkpointed,
         # text analysis
         "doc_stats": q_doc_stats,
         "quality_score": q_quality,
