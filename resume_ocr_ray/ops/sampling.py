@@ -159,8 +159,12 @@ def hash_sample(docs_ds, k: int = 50):
     sample of the corpus without resampling).
 
     Distributed as partial bottom-k per batch (≤ k rows leave each
-    batch) and one tiny driver merge — the global 'ORDER BY hash LIMIT
-    k' without ever sorting the input."""
+    batch), one tree-reduce level (repartition the k-per-block partials
+    to a handful of blocks and take bottom-k again — the partial is
+    idempotent because the hash is recomputable from doc_id), then a
+    ≤ 8k-row driver merge — the global 'ORDER BY hash LIMIT k' without
+    ever sorting the input or funnelling one row per block per million
+    blocks through the driver."""
 
     def _partial(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
@@ -173,10 +177,15 @@ def hash_sample(docs_ds, k: int = 50):
             }
         )
 
-    parts = docs_ds.map_batches(
-        _partial, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=65536,
-    ).to_pandas()
+    parts = (
+        docs_ds.map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536,
+        )
+        .repartition(8)
+        .map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
     out = parts.sort_values(["h", "doc_id"]).head(k)
     return out[["doc_id"]].reset_index(drop=True)
 
