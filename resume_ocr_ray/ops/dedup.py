@@ -30,6 +30,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..common import per_worker_stage
+
 
 # ---------------------------------------------------------------------------
 # exact / prefix dedup
@@ -176,17 +178,21 @@ PAIR_SALT = 64
 
 
 def _raw_band_pairs(docs_ds, *, num_perm=64, bands=16, shingle=5,
-                    concurrency=2, explode_sides=False):
+                    concurrency=None, explode_sides=False):
     """Pre-aggregate LSH pair rows: one (a, b) row per band collision —
     the shared front half of minhash_candidates / minhash_verified."""
-    banded = docs_ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
-                               "shingle": shingle},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
-    )
+    kw = {"num_perm": num_perm, "bands": bands, "shingle": shingle}
+    if concurrency is None:  # elastic tasks, per-worker cached stage
+        banded = docs_ds.map_batches(
+            per_worker_stage(MinHashStage, **kw),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    else:
+        banded = docs_ds.map_batches(
+            MinHashStage, fn_constructor_kwargs=kw,
+            batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=concurrency,
+        )
     salted = banded.map_batches(
         lambda t: t.append_column(
             "salt", pc.cast(pc.bit_wise_and(t["band_hash"], PAIR_SALT - 1), pa.int32())
@@ -201,7 +207,7 @@ def _raw_band_pairs(docs_ds, *, num_perm=64, bands=16, shingle=5,
 
 
 def minhash_candidates(docs_ds, *, num_perm=64, bands=16, shingle=5,
-                       concurrency=2):
+                       concurrency=None):
     """LSH candidate pairs via SALTED bucket groupby: the shuffle key is
     (band, band_hash % SALT) so there are O(bands×SALT) groups — each
     map_groups call handles many buckets with vectorized pandas, instead of
@@ -216,7 +222,7 @@ def minhash_candidates(docs_ds, *, num_perm=64, bands=16, shingle=5,
 
 
 def minhash_verified(docs_ds, *, threshold: float = 0.5, num_perm=64, bands=16,
-                     shingle=5, concurrency=2):
+                     shingle=5, concurrency=None):
     """Candidate pairs verified with TRUE n-gram Jaccard — fully distributed.
 
     The candidate texts are fetched with a keyed hash join of pair-edge rows
@@ -460,15 +466,21 @@ def _simhash_salt_pairs(g: pd.DataFrame, max_hamming: int,
     return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_h})
 
 
-def simhash_candidates(docs_ds, max_hamming: int = 3, concurrency=2):
+def simhash_candidates(docs_ds, max_hamming: int = 3, concurrency=None):
     """SimHash near-dup candidates via salted block-key groupby (same salting
     rationale as minhash_candidates: bounded groups, vectorized inner work)."""
     from ray.data.aggregate import Min
 
-    hashed = docs_ds.map_batches(
-        SimHashStage, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency,
-    )
+    if concurrency is None:
+        hashed = docs_ds.map_batches(
+            per_worker_stage(SimHashStage),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    else:
+        hashed = docs_ds.map_batches(
+            SimHashStage, batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=concurrency,
+        )
     salted = hashed.map_batches(
         lambda t: t.append_column(
             "salt", pc.cast(pc.bit_wise_and(t["block_key"], PAIR_SALT - 1), pa.int32())
@@ -547,7 +559,7 @@ def _cosine_bucket_pairs(g: pd.DataFrame, threshold: float,
     )
 
 
-def embedding_near_dups(emb_ds, threshold: float = 0.95, concurrency=2,
+def embedding_near_dups(emb_ds, threshold: float = 0.95, concurrency=None,
                         n_planes: int = 8, max_bucket: int = 1000):
     """Embedding near-dup pairs via sign-LSH buckets + exact cosine verify.
 
@@ -557,11 +569,17 @@ def embedding_near_dups(emb_ds, threshold: float = 0.95, concurrency=2,
     inputs where many vectors share one bucket regardless of planes."""
     from ray.data.aggregate import Max
 
-    bucketed = emb_ds.map_batches(
-        EmbeddingDupStage, batch_format="pyarrow", zero_copy_batch=True,
-        fn_constructor_kwargs={"n_planes": n_planes},
-        concurrency=concurrency,
-    )
+    if concurrency is None:
+        bucketed = emb_ds.map_batches(
+            per_worker_stage(EmbeddingDupStage, n_planes=n_planes),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    else:
+        bucketed = emb_ds.map_batches(
+            EmbeddingDupStage, batch_format="pyarrow", zero_copy_batch=True,
+            fn_constructor_kwargs={"n_planes": n_planes},
+            concurrency=concurrency,
+        )
     pairs = bucketed.groupby("bucket").map_groups(
         lambda g: _cosine_bucket_pairs(g, threshold, max_bucket),
         batch_format="pandas",
