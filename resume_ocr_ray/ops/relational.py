@@ -1130,3 +1130,144 @@ def length_gate(docs_ds_factory, p: float = 0.95):
     thr = float(q["value"].iloc[0])
     ds = docs_ds_factory()
     return ds.filter(expr=f"n_chars <= {int(thr)}")
+
+
+# ---------------------------------------------------------------------------
+# set operations, grouped mode
+# ---------------------------------------------------------------------------
+
+def user_set_op(events_ds, type_a: str, type_b: str, op: str = "intersect"):
+    """Distinct-key set algebra between two cohorts (SQL INTERSECT/EXCEPT):
+    users seen in event_type ``type_a`` {∩ | −} users seen in ``type_b``.
+
+    Shape: filter-at-read to the two cohorts, per-batch COMBINER dedups
+    (user, side) pairs and emits at most one (user_id, in_a, in_b) row per
+    user per batch, then ONE groupby(user_id) Max-merge and a vectorized
+    membership filter. The shuffle carries distinct users only — never
+    events — so cost is bounded by cohort cardinality at any input size.
+    (Set ops are absent from the reference; SURVEY §2.5 'Absent'.)"""
+    from ray.data.aggregate import Max
+
+    if op not in ("intersect", "except"):
+        raise ValueError(f"op must be intersect|except, got {op!r}")
+
+    def _partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": b.column("user_id").to_numpy(zero_copy_only=False),
+                "event_type": b.column("event_type").to_pylist(),
+            }
+        )
+        df["in_a"] = (df["event_type"] == type_a).astype("int64")
+        df["in_b"] = (df["event_type"] == type_b).astype("int64")
+        g = df.groupby("user_id", as_index=False)[["in_a", "in_b"]].max()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    merged = (
+        events_ds.filter(
+            expr=f"event_type == '{type_a}' or event_type == '{type_b}'"
+        )
+        .map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536,
+        )
+        .groupby("user_id")
+        .aggregate(Max("in_a", alias_name="in_a"), Max("in_b", alias_name="in_b"))
+    )
+    want_b = 1 if op == "intersect" else 0
+    return (
+        merged.filter(expr=f"in_a == 1 and in_b == {want_b}")
+        .select_columns(["user_id"])
+    )
+
+
+def set_op_two(ds_a, ds_b, key: str, op: str = "except"):
+    """Distinct-key INTERSECT / EXCEPT across TWO datasets sharing ``key``
+    (e.g. customers without orders). Each side is tagged and reduced to
+    distinct keys per batch (combiner), then one union + groupby(key)
+    Max-merge + membership filter — the same single-shuffle shape as
+    ``user_set_op`` but for two sources instead of two cohorts of one."""
+    from ray.data.aggregate import Max
+
+    if op not in ("intersect", "except"):
+        raise ValueError(f"op must be intersect|except, got {op!r}")
+
+    def _tag(side_a: bool):
+        def _p(b: pa.Table) -> pa.Table:
+            keys = pd.unique(b.column(key).to_numpy(zero_copy_only=False))
+            one = np.ones(len(keys), dtype=np.int64)
+            zero = np.zeros(len(keys), dtype=np.int64)
+            return pa.table(
+                {key: pa.array(keys),
+                 "in_a": pa.array(one if side_a else zero),
+                 "in_b": pa.array(zero if side_a else one)}
+            )
+        return _p
+
+    tagged_a = ds_a.map_batches(_tag(True), batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=65536)
+    tagged_b = ds_b.map_batches(_tag(False), batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=65536)
+    merged = (
+        tagged_a.union(tagged_b)
+        .groupby(key)
+        .aggregate(Max("in_a", alias_name="in_a"), Max("in_b", alias_name="in_b"))
+    )
+    want_b = 1 if op == "intersect" else 0
+    return (
+        merged.filter(expr=f"in_a == 1 and in_b == {want_b}")
+        .select_columns([key])
+    )
+
+
+def grouped_mode(ds, group_col: str, value_col: str):
+    """Most-frequent value per group (grouped MODE), deterministic: ties
+    break toward the smallest value — restatable in SQL with row_number()
+    OVER (ORDER BY n DESC, value ASC), unlike DuckDB's arbitrary mode().
+
+    Two-stage: per-batch (group, value) count partials → ONE groupby
+    Sum-merge (counts now complete per pair) → per-batch best-per-group
+    partials → tiny final groupby over |groups| candidate rows per block.
+    No full-group materialization anywhere; the second shuffle carries at
+    most one row per (group, block)."""
+    from ray.data.aggregate import Sum
+
+    def _pair_counts(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                group_col: b.column(group_col).to_pylist(),
+                value_col: b.column(value_col).to_pylist(),
+            }
+        )
+        g = df.groupby([group_col, value_col], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _best_per_group(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df.sort_values([group_col, "n", value_col],
+                            ascending=[True, False, True])
+        return pa.Table.from_pandas(
+            df.groupby(group_col, as_index=False).head(1),
+            preserve_index=False,
+        )
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", value_col], ascending=[False, True]).head(1)
+        return g.rename(columns={value_col: "mode_value", "n": "n_occurrences"})
+
+    return (
+        ds.map_batches(
+            _pair_counts, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536,
+        )
+        .groupby([group_col, value_col])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            _best_per_group, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536,
+        )
+        .groupby(group_col)
+        .map_groups(_final, batch_format="pandas")
+    )

@@ -292,3 +292,94 @@ def label_centroids(emb_ds, dim: int = 64):
         .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
         .map_batches(_finish, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means clustering (iterative Lloyd's over the Dataset)
+# ---------------------------------------------------------------------------
+
+def kmeans_clusters(emb_ds_factory, k: int = 8, iters: int = 5):
+    """Distributed Lloyd's k-means over the embedding column; returns one
+    row per cluster: (cluster, n, inertia) — sizes and summed squared
+    distance, rounded for cross-run stability.
+
+    Iterative-broadcast pattern: centroids (k×d floats, tiny) ride the task
+    closure each sweep; every sweep is ONE streamed map_batches pass that
+    emits per-batch PARTIALS (k rows: count / vector-sum / sq-dist per
+    cluster), merged on the driver (≤ blocks×k tiny rows — the same small-
+    result contract as IVF centroid training above). No shuffle at any
+    step; per-sweep cost is one read of the input. The factory re-creates
+    the dataset per sweep, so sweeps never coexist in memory.
+
+    Init is deterministic: the k smallest vec_ids (block-order independent).
+    Non-SQL (iterative fixpoint) → rows-only driver check; pytest asserts
+    determinism, partition totals, and monotone non-increasing inertia."""
+    import pandas as pd
+
+    # deterministic init without a sort shuffle: vec_ids are dense from 0
+    # (TESTDATA.md), so a pushed-down filter reads exactly the k seed rows
+    first = sorted(
+        emb_ds_factory().filter(expr=f"vec_id < {k}").take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    cent = np.asarray([r["embedding"] for r in first], dtype=np.float64)
+
+    def sweep(c: np.ndarray):
+        def _partial(batch: pa.Table) -> pa.Table:
+            mat = _as_matrix(batch).astype(np.float64)
+            if mat.size == 0:
+                return pa.table(
+                    {"cluster": pa.array([], pa.int64()),
+                     "n": pa.array([], pa.int64()),
+                     "sq": pa.array([], pa.float64()),
+                     "vsum": pa.array([], pa.list_(pa.float64()))}
+                )
+            # ||x-c||² = ||x||² - 2x·c + ||c||²  (one matmul per batch)
+            d2 = (
+                (mat * mat).sum(axis=1)[:, None]
+                - 2.0 * (mat @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            )
+            assign = d2.argmin(axis=1)
+            best = d2[np.arange(len(mat)), assign]
+            n = np.bincount(assign, minlength=len(c))
+            sq = np.bincount(assign, weights=best, minlength=len(c))
+            vsum = np.zeros((len(c), mat.shape[1]))
+            np.add.at(vsum, assign, mat)
+            return pa.table(
+                {"cluster": pa.array(np.arange(len(c), dtype=np.int64)),
+                 "n": pa.array(n.astype(np.int64)),
+                 "sq": pa.array(sq),
+                 "vsum": pa.array(list(vsum))}
+            )
+
+        parts = (
+            emb_ds_factory()
+            .map_batches(_partial, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=4096)
+            .take_all()
+        )
+        n = np.zeros(len(c))
+        sq = np.zeros(len(c))
+        vs = np.zeros_like(c)
+        for r in parts:
+            i = r["cluster"]
+            n[i] += r["n"]
+            sq[i] += r["sq"]
+            vs[i] += np.asarray(r["vsum"])
+        return n, sq, vs
+
+    inertia_path = []
+    for _ in range(iters):
+        n, sq, vs = sweep(cent)
+        inertia_path.append(float(sq.sum()))
+        nz = n > 0
+        cent[nz] = vs[nz] / n[nz, None]  # empty clusters keep their centroid
+    n, sq, _ = sweep(cent)  # final assignment under converged centroids
+    out = pd.DataFrame(
+        {"cluster": np.arange(k, dtype=np.int64),
+         "n": n.astype(np.int64),
+         "inertia": np.round(sq, 4)}
+    )
+    out.attrs["inertia_path"] = inertia_path
+    return out

@@ -525,6 +525,52 @@ def q_stopword_filter(sf_dir: str):
     )
 
 
+def q_user_intersect(sf_dir: str):
+    """Set op (SQL INTERSECT): users who both purchased and signed up."""
+    return R.user_set_op(
+        _read(sf_dir, "events", ["user_id", "event_type"]),
+        type_a="purchase", type_b="signup", op="intersect",
+    )
+
+
+def q_cust_except(sf_dir: str):
+    """Set op (SQL EXCEPT), two-source form: customers who never placed an
+    URGENT order. (The unfiltered differences — events users per type,
+    customers vs orders — are all empty in this synthetic data, which
+    would make the check vacuous and the result schema-less.)"""
+
+    def _rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["c_custkey"])
+
+    urgent = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .filter(expr="o_orderpriority == '1-URGENT'")
+        .select_columns(["o_custkey"])
+        .map_batches(_rename, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return R.set_op_two(
+        _read(sf_dir, "customer", ["c_custkey"]), urgent,
+        key="c_custkey", op="except",
+    )
+
+
+def q_mode_lang(sf_dir: str):
+    """Grouped MODE: each source's most common language (ties → smallest)."""
+    return R.grouped_mode(
+        _read(sf_dir, "documents", ["source", "lang"]),
+        group_col="source", value_col="lang",
+    )
+
+
+def q_kmeans(sf_dir: str):
+    """Iterative Lloyd's k-means over the embeddings (broadcast centroids,
+    partial-aggregate sweeps; non-SQL — iterative fixpoint)."""
+    return SIM.kmeans_clusters(
+        lambda: _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=8, iters=5,
+    )
+
+
 def queries() -> dict:
     return {
         # extraction engine (north rule) — non-SQL (synthetic media decode)
@@ -592,6 +638,10 @@ def queries() -> dict:
         "stratified_sample": q_stratified_sample,
         "distinct_langs": q_distinct_langs,
         "point_lookup": q_point_lookup,
+        "user_intersect": q_user_intersect,
+        "cust_except": q_cust_except,
+        "mode_lang": q_mode_lang,
+        "kmeans": q_kmeans,
     }
 
 
@@ -978,5 +1028,23 @@ def oracle_sql() -> dict:
             "(SELECT doc_id, count(*) AS n_tokens, "
             "count(*) FILTER (t NOT IN (SELECT t FROM top)) AS n_kept "
             "FROM toks2 GROUP BY doc_id) s USING (doc_id)"
+        ),
+        "user_intersect": (
+            "SELECT user_id FROM events WHERE event_type = 'purchase' "
+            "INTERSECT "
+            "SELECT user_id FROM events WHERE event_type = 'signup'"
+        ),
+        "cust_except": (
+            "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey "
+            "FROM orders WHERE o_orderpriority = '1-URGENT'"
+        ),
+        # deterministic mode: ties break toward the smallest value, so the
+        # oracle uses an explicit row_number ordering, not DuckDB's mode()
+        "mode_lang": (
+            "WITH c AS (SELECT source, lang, count(*) AS n FROM documents "
+            "GROUP BY source, lang) "
+            "SELECT source, lang AS mode_value, n AS n_occurrences FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY source "
+            "ORDER BY n DESC, lang ASC) AS rn FROM c) WHERE rn = 1"
         ),
     }

@@ -455,3 +455,87 @@ def test_bloom_filter_no_false_negatives():
     probe = np.arange(1, 100_000, 13, dtype=np.int64)
     fp = SK.bloom_maybe(probe, words, 1 << 20) & ~np.isin(probe, keys)
     assert fp.mean() < 0.02  # ~1% FP at these parameters
+
+
+def test_set_ops_intersect_except(ray_session):
+    import ray.data as rd
+    from resume_ocr_ray.ops import relational as R
+
+    events = pa.table(
+        {
+            "user_id": [1, 1, 2, 2, 3, 3, 4, 5, 5],
+            "event_type": ["purchase", "signup", "purchase", "error",
+                           "signup", "view", "purchase", "purchase",
+                           "signup"],
+        }
+    )
+    inter = R.user_set_op(rd.from_arrow(events), "purchase", "signup",
+                          op="intersect").to_pandas()
+    assert sorted(inter["user_id"]) == [1, 5]
+    exc = R.user_set_op(rd.from_arrow(events), "purchase", "signup",
+                        op="except").to_pandas()
+    assert sorted(exc["user_id"]) == [2, 4]
+    # two-source form: keys only on side A survive except
+    a = rd.from_arrow(pa.table({"k": [1, 2, 3, 4, 4]}))
+    b = rd.from_arrow(pa.table({"k": [2, 4, 9]}))
+    two = R.set_op_two(a, b, key="k", op="except").to_pandas()
+    assert sorted(two["k"]) == [1, 3]
+    both = R.set_op_two(
+        rd.from_arrow(pa.table({"k": [1, 2, 3, 4, 4]})),
+        rd.from_arrow(pa.table({"k": [2, 4, 9]})),
+        key="k", op="intersect",
+    ).to_pandas()
+    assert sorted(both["k"]) == [2, 4]
+
+
+def test_grouped_mode_tie_breaks_to_smallest(ray_session):
+    import ray.data as rd
+    from resume_ocr_ray.ops import relational as R
+
+    t = pa.table(
+        {
+            "g": ["x", "x", "x", "x", "y", "y"],
+            "v": ["b", "b", "a", "a", "q", "p"],  # x: tie b/a → a; y: tie → p
+        }
+    )
+    out = (
+        R.grouped_mode(rd.from_arrow(t), "g", "v")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert list(out["g"]) == ["x", "y"]
+    assert list(out["mode_value"]) == ["a", "p"]
+    assert list(out["n_occurrences"]) == [2, 1]
+
+
+def test_kmeans_partitions_and_converges(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    # three well-separated blobs, ids dense from 0 (init contract)
+    centers = np.array([[5.0] * 64, [-5.0] * 64, [0.0] * 64])
+    vecs = np.concatenate(
+        [c + 0.1 * rng.standard_normal((30, 64)) for c in centers]
+    ).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+
+    def factory():
+        import ray.data as rd
+
+        return rd.from_arrow(tbl)
+
+    out = SIM.kmeans_clusters(factory, k=3, iters=4)
+    assert list(out["cluster"]) == [0, 1, 2]
+    assert int(out["n"].sum()) == len(vecs)
+    path = out.attrs["inertia_path"]
+    assert all(b <= a + 1e-9 for a, b in zip(path, path[1:])), path
+    # deterministic re-run
+    out2 = SIM.kmeans_clusters(factory, k=3, iters=4)
+    assert out.equals(out2)
