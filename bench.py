@@ -62,6 +62,11 @@ BENCH_QUERIES = [
     "train_split",
     "mixture_sample",
     "pack_sequences",
+    "user_intersect",
+    "cust_except",
+    "mode_lang",
+    "html_main",
+    "kmeans",
     "label_centroids",
 ]
 

@@ -285,3 +285,28 @@ def stopword_filter(docs_ds_factory, k: int = 20):
         _filter_counts, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=65536,
     )
+
+
+def html_main(docs_ds):
+    """HTML main-content extraction (north rule: boilerplate strip + DOM
+    heuristics): each document's text is wrapped in a deterministic
+    synthetic crawl page (nav/sidebar/ads/cookie-banner boilerplate, seeded
+    per doc), then recovered with the readability-style block scorer in
+    ``core.html.extract_main``. Per-row parse is inherent (a DOM is not
+    columnar); wrap+extract run fused in ONE map_batches pass so the
+    synthetic page bytes never cross a stage boundary. Exact invariant:
+    main_text == the original text, oracle-checked value-for-value."""
+    from ..core import html as H
+
+    def _batch(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out = [H.extract_main(H.wrap_page(i, t or "")) for i, t in zip(ids, texts)]
+        return pa.table(
+            {"doc_id": b.column("doc_id"),
+             "main_text": pa.array(out, type=pa.string())}
+        )
+
+    return docs_ds.map_batches(
+        _batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=2048
+    )

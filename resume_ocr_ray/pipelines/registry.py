@@ -525,6 +525,12 @@ def q_stopword_filter(sf_dir: str):
     )
 
 
+def q_html_main(sf_dir: str):
+    """HTML boilerplate strip / DOM-heuristic main-content extraction over
+    synthetic crawl pages; exact oracle: main_text == documents.text."""
+    return T.html_main(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_user_intersect(sf_dir: str):
     """Set op (SQL INTERSECT): users who both purchased and signed up."""
     return R.user_set_op(
@@ -638,6 +644,7 @@ def queries() -> dict:
         "stratified_sample": q_stratified_sample,
         "distinct_langs": q_distinct_langs,
         "point_lookup": q_point_lookup,
+        "html_main": q_html_main,
         "user_intersect": q_user_intersect,
         "cust_except": q_cust_except,
         "mode_lang": q_mode_lang,
@@ -1028,6 +1035,12 @@ def oracle_sql() -> dict:
             "(SELECT doc_id, count(*) AS n_tokens, "
             "count(*) FILTER (t NOT IN (SELECT t FROM top)) AS n_kept "
             "FROM toks2 GROUP BY doc_id) s USING (doc_id)"
+        ),
+        # wrap_page/extract_main round-trip exactly by construction, so the
+        # oracle is the identity projection — any boilerplate leak or text
+        # loss in the DOM heuristics breaks the value hash
+        "html_main": (
+            "SELECT doc_id, text AS main_text FROM documents"
         ),
         "user_intersect": (
             "SELECT user_id FROM events WHERE event_type = 'purchase' "

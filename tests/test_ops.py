@@ -539,3 +539,34 @@ def test_kmeans_partitions_and_converges(ray_session):
     # deterministic re-run
     out2 = SIM.kmeans_clusters(factory, k=3, iters=4)
     assert out.equals(out2)
+
+
+def test_html_extract_round_trip_and_heuristics(ray_session):
+    import ray.data as rd
+    from resume_ocr_ray.core import html as H
+    from resume_ocr_ray.ops import text as T
+
+    cases = ["hello world", "", "a <b> & c &amp; raw", "p1\n\np2\n\np3",
+             "  leading and trailing  ", "multi\nline\ntext"]
+    for i, t in enumerate(cases):
+        assert H.extract_main(H.wrap_page(i, t)) == t, repr(t)
+    # boilerplate never leaks into the extraction
+    main = H.extract_main(H.wrap_page(7, "real article body"))
+    assert main == "real article body"
+    page = H.wrap_page(7, "real article body")
+    assert "cookie" in page.lower() and "Sponsored" in page  # wrapper is real
+    # unmarked link-heavy block rejected by link density, not by class name
+    page2 = ("<html><body><div><a href='/a'>aaa bbb ccc</a> "
+             "<a href='/b'>ddd eee</a></div>"
+             "<div><p>actual article text with plenty of words here"
+             "</p></div></body></html>")
+    assert H.extract_main(page2).startswith("actual article")
+    # Ray op end-to-end: exact recovery per row
+    tbl = pa.table({"doc_id": list(range(len(cases))), "text": cases})
+    out = (
+        T.html_main(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["main_text"]) == cases
