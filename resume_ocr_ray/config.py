@@ -42,7 +42,8 @@ ERR_TOO_LARGE = "Arquivo {name} excede o tamanho máximo de 10MB."
 #: error (app/services/ocr_service.py:126-127 maps extensions the same way).
 MEDIA_KIND_IMAGE = "image"
 MEDIA_KIND_PDF = "pdf"
-ALLOWED_MEDIA_KINDS = (MEDIA_KIND_IMAGE, MEDIA_KIND_PDF)
+MEDIA_KIND_HTML = "html"
+ALLOWED_MEDIA_KINDS = (MEDIA_KIND_IMAGE, MEDIA_KIND_PDF, MEDIA_KIND_HTML)
 
 # Error message templates (reference parity; Portuguese strings preserved).
 ERR_NOT_RESUME = "Arquivo {name} rejeitado, não é um currículo."
@@ -54,6 +55,7 @@ ERR_OCR_EMPTY = (
 )
 ERR_IMAGE_PROCESS = "Erro ao processar imagem {name} com OCR: {err}"
 ERR_PDF_CRITICAL = "Erro crítico no fallback de OCR para PDF: {err}"
+ERR_HTML_PROCESS = "Erro ao processar HTML {name}: {err}"
 ERR_UNSUPPORTED = "Erro: Tipo de arquivo não suportado. Use PDF, PNG, JPG ou JPEG."
 ERR_EMPTY_FILE = "Arquivo {name} está vazio."
 ERR_BAD_REF = "Erro: referência de mídia inválida ou não resolvida: {ref}"

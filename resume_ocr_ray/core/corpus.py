@@ -23,6 +23,7 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
+from . import html as H
 from . import media as M
 from . import schema as S
 
@@ -43,7 +44,12 @@ FAMILIES = (
     "flaky_validation",
     "empty_doc",
     "bad_ref",
+    "html_page",
 )
+
+#: bump when _build_doc / family content changes — keys the derived-corpus
+#: disk cache (engine/io.py) so stale cached corpora are never served
+CORPUS_VERSION = 2
 
 
 def _rng_for(doc_id: str) -> np.random.Generator:
@@ -68,6 +74,17 @@ def _image_media(doc_id: str, k: int, page_text: str):
     page = M.render_page(page_text, zlib.crc32(ref.encode()))
     payload = M.encode_media("image", [page])
     return ref, {"media_ref": ref, "payload": payload, "media_kind": "image", "n_pages": 1}
+
+
+def _html_media(doc_id: str, k: int, body_text: str):
+    """HTML media: a synthetic crawl page (seeded nav/sidebar/ads/cookie
+    boilerplate, core/html.wrap_page) whose main content is body_text;
+    extraction must strip the boilerplate and recover body_text exactly."""
+    ref = _media_ref(doc_id, k)
+    page = H.wrap_page(ref, body_text).encode("utf-8")
+    payload = M.encode_media("html", [page])
+    return ref, {"media_ref": ref, "payload": payload, "media_kind": "html",
+                 "n_pages": 1}
 
 
 def _pdf_media(doc_id: str, k: int, page_texts: list, direct_text: str = ""):
@@ -186,6 +203,16 @@ def _build_doc(doc_id: str, family: str, rng: np.random.Generator, text_material
             ref, row = _pdf_media(doc_id, 0, [salad(30), flagged])
         media_rows.append(row)
         media_span(0, ref)
+    elif family == "html_page":
+        # crawl-page doc: text span + html media span (¼ are non-resume
+        # pages so the post-extraction text validation reject arm runs)
+        resume = int(rng.integers(0, 4)) != 0
+        text_span(0, salad(int(rng.integers(10, 25))))
+        ref, row = _html_media(
+            doc_id, 1, salad(int(rng.integers(40, 90)), resume=resume)
+        )
+        media_rows.append(row)
+        media_span(1, ref)
     elif family == "empty_doc":
         pass  # zero spans → error row, never an exception
     elif family == "bad_ref":
@@ -237,6 +264,7 @@ _DERIVE_FAMILIES = (
     "interleaved",
     "multipage_media",
     "below_threshold",
+    "html_page",
 )
 
 

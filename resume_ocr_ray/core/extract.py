@@ -30,6 +30,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from .. import config as C
+from . import html as H
 from . import llm as L
 from . import media as M
 from . import schema as S
@@ -107,6 +108,27 @@ def stitch_pdf_pages(page_texts: list) -> tuple:
     return ocr_text, None
 
 
+def extract_html(payload: bytes, name: str):
+    """HTML media → (main_text, error): DOM-heuristic boilerplate strip
+    (core/html.py — the north rule's HTML arm; no reference analog), then
+    the text-PDF validation semantics (ocr_service.py:60-77) on the
+    extracted main content: ValidationError → reject, False → reject."""
+    try:
+        doc = M.decode_media(payload)
+        page_html = doc.pages[0].decode("utf-8") if doc.pages else ""
+        main = H.extract_main(page_html)
+    except Exception as e:
+        return None, C.ERR_HTML_PROCESS.format(name=name, err=e)
+    if not main.strip():
+        return None, C.ERR_OCR_EMPTY
+    verdict = M.validate_text_content(main, name)
+    if isinstance(verdict, M.ValidationError):
+        return None, C.ERR_NOT_RESUME_TEXT_WITH.format(name=name, err=verdict.error)
+    if not verdict:
+        return None, C.ERR_NOT_RESUME_TEXT.format(name=name)
+    return main, None
+
+
 def extract_media_span(media_kind: str, payload, name: str, engine: M.OcrEngine):
     """Full per-span dispatch (ocr_service.py:20-127) → (text, error)."""
     if payload is None:
@@ -117,6 +139,8 @@ def extract_media_span(media_kind: str, payload, name: str, engine: M.OcrEngine)
         return None, C.ERR_TOO_LARGE.format(name=name)
     if media_kind == C.MEDIA_KIND_IMAGE:
         return extract_image(payload, name, engine)
+    if media_kind == C.MEDIA_KIND_HTML:
+        return extract_html(payload, name)
     if media_kind == C.MEDIA_KIND_PDF:
         direct = pdf_direct_text(payload)
         if len(direct.strip()) > C.TEXT_PDF_THRESHOLD:

@@ -134,7 +134,9 @@ DERIVED_CACHE_ROOT = os.environ.get("GRAFT_CORPUS_CACHE", "/tmp/graft_corpus")
 
 def derived_corpus_dirs(sf_dir: str, repeat: int) -> tuple:
     tag = sf_dir.strip("/").replace("/", "_")
-    cache = os.path.join(DERIVED_CACHE_ROOT, f"{tag}_r{repeat}")
+    from ..core.corpus import CORPUS_VERSION
+
+    cache = os.path.join(DERIVED_CACHE_ROOT, f"{tag}_r{repeat}_v{CORPUS_VERSION}")
     return cache, os.path.join(cache, "documents"), os.path.join(cache, "media")
 
 
@@ -209,6 +211,8 @@ def build_media_meta(media: pa.Table) -> dict:
         kind = hdr.get("media_kind")
         if kind == C.MEDIA_KIND_IMAGE:
             meta[ref] = ("image", 1)
+        elif kind == C.MEDIA_KIND_HTML:
+            meta[ref] = ("html", 1)
         elif kind == C.MEDIA_KIND_PDF:
             direct = hdr.get("direct_text", "")
             if len(direct.strip()) > C.TEXT_PDF_THRESHOLD:

@@ -47,6 +47,7 @@ from .io import MediaStore
 U_TEXT = "text"
 U_EMPTY_DOC = "empty_doc"
 U_IMAGE = "image"
+U_HTML = "html"  # DOM-heuristic main-content extraction (north-rule HTML arm)
 U_PDF_DIRECT = "pdf_direct"
 U_PDF_PAGE = "pdf_page"
 U_PDF_EMPTY = "pdf_empty"  # zero-page scanned PDF → ERR_OCR_EMPTY (oracle parity)
@@ -228,6 +229,8 @@ class OcrStage:
             return None, C.ERR_BAD_REF.format(ref=ref)
         if unit == U_IMAGE:
             return X.extract_image(payload, ref, self.engine)
+        if unit == U_HTML:
+            return X.extract_html(payload, ref)
         if unit == U_PDF_DIRECT:
             return X.extract_pdf_direct(X.pdf_direct_text(payload), ref)
         if unit == U_PDF_PAGE:
@@ -311,7 +314,7 @@ def _stitch_rows(doc_id: str, rows: list):
                 {"kind": S.KIND_TEXT, "text": r0["out_text"], "media_ref": "",
                  "offset": offset}
             )
-        elif r0["unit"] in (U_IMAGE, U_PDF_DIRECT):
+        elif r0["unit"] in (U_IMAGE, U_PDF_DIRECT, U_HTML):
             spans_out.append(
                 {"kind": S.KIND_MEDIA, "text": r0["out_text"],
                  "media_ref": r0["media_ref"], "offset": offset}

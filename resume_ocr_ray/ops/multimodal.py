@@ -87,9 +87,13 @@ class ImageDecodeStage:
                 refs.append(ref)
                 pages_out.append(i)
                 try:
-                    text = self.engine.image_to_string(page)
+                    if doc.media_kind == "html":
+                        # html pages are raw utf-8 markup, not codec images
+                        text = page.decode("utf-8")
+                    else:
+                        text = self.engine.image_to_string(page)
                     feat_len.append(len(text))
-                except M.OcrDecodeError:
+                except (M.OcrDecodeError, UnicodeDecodeError):
                     feat_len.append(-1)
                 arr = np.frombuffer(page, dtype=np.uint8)
                 counts = np.bincount(arr, minlength=256).astype(np.float64)

@@ -176,3 +176,55 @@ def test_pipeline_from_documents_table(ray_session):
     for doc_id in exp:
         assert exp[doc_id]["error"] is None
         assert _span_key(act[doc_id]["spans_out"]) == _span_key(exp[doc_id]["spans_out"])
+
+
+def test_html_unit_matches_oracle(ray_session):
+    """HTML media spans: boilerplate strip in the Ray pipeline equals the
+    single-process oracle, both for recovered main text and for the
+    non-resume validation reject arm."""
+    from resume_ocr_ray.core import corpus, extract
+    from resume_ocr_ray.engine import io as EIO
+    from resume_ocr_ray.engine import pipeline as P
+
+    rows, media_rows = [], []
+    for i in range(8):
+        doc_id = f"html-{i:04d}"
+        spans, mrows = corpus._build_doc(
+            doc_id, "html_page", corpus._rng_for(doc_id)
+        )
+        rows.append({"doc_id": doc_id, "spans": spans})
+        media_rows.extend(mrows)
+    import pyarrow as pa
+
+    from resume_ocr_ray.core import schema as S
+
+    docs = pa.Table.from_pydict(
+        {"doc_id": [r["doc_id"] for r in rows],
+         "spans": [r["spans"] for r in rows]},
+        schema=S.DOCUMENTS_SCHEMA,
+    )
+    media = corpus._media_table(media_rows)
+    assert "html" in set(media.column("media_kind").to_pylist())
+    lookup = dict(zip(media.column("media_ref").to_pylist(),
+                      media.column("payload").to_pylist()))
+    expected = extract.extract_table(docs, lookup).to_pylist()
+    import ray.data as rd
+
+    store = EIO.MediaStore.from_table(media)
+    actual = {
+        r["doc_id"]: r
+        for r in P.extraction_pipeline(
+            rd.from_arrow(docs), store, batch_size=32, ocr_concurrency=2
+        ).take_all()
+    }
+    n_err = 0
+    for e in expected:
+        a = actual[e["doc_id"]]
+        assert a["error"] == e["error"]
+        ka = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+              for s in (a["spans_out"] or [])]
+        ke = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+              for s in (e["spans_out"] or [])]
+        assert ka == ke, e["doc_id"]
+        n_err += e["error"] is not None
+    assert 0 < n_err < len(expected)  # both arms exercised
