@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "cust_except",
     "mode_lang",
     "html_main",
+    "section_flags",
     "kmeans",
     "label_centroids",
 ]

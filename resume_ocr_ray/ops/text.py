@@ -310,3 +310,37 @@ def html_main(docs_ds):
     return docs_ds.map_batches(
         _batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=2048
     )
+
+
+#: section-heuristic vocabulary: analog of the north star's contact/skills/
+#: experience block detection, re-voweled for the testdata corpus' lexicon
+SKILL_RX = r"\b(spark|sql|join|hash|merge|scan|query|table)\b"
+CONTACT_MARK = "customer"
+EXPERIENCE_MARKS = ("window", "agg")
+
+
+def section_flags(docs_ds):
+    """Section heuristics over document text (north star: contact/skills/
+    experience block detection): fully Arrow-native — one
+    ``count_substring_regex`` and three ``match_substring`` kernels per
+    batch, zero Python rows, exactly restated in the DuckDB oracle."""
+
+    def _batch(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(b.column("text"))
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "has_contact": pc.match_substring(low, CONTACT_MARK),
+                "has_experience": pc.or_(
+                    pc.match_substring(low, EXPERIENCE_MARKS[0]),
+                    pc.match_substring(low, EXPERIENCE_MARKS[1]),
+                ),
+                "n_skill_terms": pc.count_substring_regex(
+                    low, SKILL_RX
+                ).cast(pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(
+        _batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+    )

@@ -525,6 +525,12 @@ def q_stopword_filter(sf_dir: str):
     )
 
 
+def q_section_flags(sf_dir: str):
+    """Section heuristics (contact/skills/experience analogs) — pure Arrow
+    kernels, exact SQL oracle."""
+    return T.section_flags(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_html_main(sf_dir: str):
     """HTML boilerplate strip / DOM-heuristic main-content extraction over
     synthetic crawl pages; exact oracle: main_text == documents.text."""
@@ -645,6 +651,7 @@ def queries() -> dict:
         "distinct_langs": q_distinct_langs,
         "point_lookup": q_point_lookup,
         "html_main": q_html_main,
+        "section_flags": q_section_flags,
         "user_intersect": q_user_intersect,
         "cust_except": q_cust_except,
         "mode_lang": q_mode_lang,
@@ -1041,6 +1048,14 @@ def oracle_sql() -> dict:
         # loss in the DOM heuristics breaks the value hash
         "html_main": (
             "SELECT doc_id, text AS main_text FROM documents"
+        ),
+        "section_flags": (
+            "SELECT doc_id, contains(lower(text), 'customer') AS has_contact, "
+            "(contains(lower(text), 'window') OR contains(lower(text), 'agg'))"
+            " AS has_experience, "
+            "len(regexp_extract_all(lower(text), "
+            r"'\b(spark|sql|join|hash|merge|scan|query|table)\b')) "
+            "AS n_skill_terms FROM documents"
         ),
         "user_intersect": (
             "SELECT user_id FROM events WHERE event_type = 'purchase' "
