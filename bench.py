@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "window_lag",
     "cosine_pairs",
     "approx_distinct",
+    "approx_quantile",
     "exact_quantile",
     "distinct_users",
     "heavy_hitters",

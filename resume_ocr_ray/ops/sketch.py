@@ -367,3 +367,76 @@ def bloom_semi_join_revenue(lineitem_ds, orders_ds,
         )
         .map_batches(_round, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# DDSketch-style approximate quantiles (log-bin histogram)
+# ---------------------------------------------------------------------------
+
+def ddsketch_quantiles(ds, value_col: str, ps=(0.5, 0.95, 0.99),
+                       rel_err: float = 0.01):
+    """Relative-error quantile sketch (DDSketch scheme: fixed log-γ bins,
+    γ = (1+α)/(1−α)): the mergeable-continuous-domain companion to
+    ``relational.exact_quantile`` (whose histogram-prune needs a second
+    input pass; this is ONE pass and ~KB of state at any input size).
+
+    Per-batch partials are (bin, n) counts from a vectorized
+    ``ceil(log(x)/log γ)`` — bin index is a pure function of the value, so
+    merge (Sum per bin) is associative/commutative and the estimate is
+    DETERMINISTIC at any parallelism, unlike centroid sketches (t-digest)
+    whose result depends on merge order. Zero/negative values collapse into
+    a dedicated bin 0 at their exact value only when 0 (negatives are out
+    of contract for the length/price domains this serves).
+
+    Returns one row per p: (p, value) where value is the γ-midpoint of the
+    bin holding rank ceil(p·n) — guaranteed within ±rel_err relative error
+    of the true quantile."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    gamma = (1.0 + rel_err) / (1.0 - rel_err)
+    log_g = math.log(gamma)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        pos = v[v > 0]
+        bins = np.ceil(np.log(pos) / log_g).astype(np.int64)
+        n_zero = int((v <= 0).sum())
+        idx, cnt = np.unique(bins, return_counts=True)
+        out_bin = list(idx)
+        out_n = list(cnt.astype(np.int64))
+        if n_zero:
+            out_bin.append(np.iinfo(np.int64).min)  # dedicated zero bin
+            out_n.append(n_zero)
+        return pa.table({"bin": pa.array(out_bin, pa.int64()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    merged = (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=65536)
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # tiny: one row per log-bin (~1k rows at α=1%)
+        .sort_values("bin")
+    )
+    bins = merged["bin"].to_numpy()
+    counts = merged["n"].to_numpy()
+    cum = np.cumsum(counts)
+    total = int(cum[-1]) if len(cum) else 0
+    out_p, out_v = [], []
+    for p in ps:
+        out_p.append(float(p))
+        if total == 0:
+            out_v.append(float("nan"))
+            continue
+        rank = max(1, math.ceil(p * total))
+        b = int(bins[np.searchsorted(cum, rank)])
+        if b == np.iinfo(np.int64).min:
+            out_v.append(0.0)
+        else:
+            # γ-midpoint of bin b: 2·γ^b/(γ+1) — within ±rel_err of any x
+            # mapped into the bin
+            out_v.append(round(2.0 * gamma ** b / (gamma + 1.0), 6))
+    return pd.DataFrame({"p": out_p, "value": out_v})

@@ -332,6 +332,17 @@ def q_approx_distinct(sf_dir: str):
     )
 
 
+def q_approx_quantile(sf_dir: str):
+    """DDSketch-style log-bin quantiles (rows-only: the estimate is exactly
+    deterministic, but restating ceil(ln x/ln γ) in SQL risks last-ulp bin
+    flips vs Python's libm — pytest carries the ±1% error-bound check)."""
+    from ..ops import sketch as SK
+
+    return SK.ddsketch_quantiles(
+        _read(sf_dir, "lineitem", ["l_extendedprice"]), "l_extendedprice"
+    )
+
+
 def q_stratified_sample(sf_dir: str):
     return R.stratified_sample(_read(sf_dir, "documents", ["doc_id", "source"]))
 
@@ -633,6 +644,7 @@ def queries() -> dict:
         "window_lag": q_window_lag,
         "cosine_pairs": q_cosine_pairs,
         "approx_distinct": q_approx_distinct,
+        "approx_quantile": q_approx_quantile,
         "exact_quantile": q_exact_quantile,
         "distinct_users": q_distinct_users,
         "heavy_hitters": q_heavy_hitters,

@@ -570,3 +570,27 @@ def test_html_extract_round_trip_and_heuristics(ray_session):
         .reset_index(drop=True)
     )
     assert list(out["main_text"]) == cases
+
+
+def test_ddsketch_quantile_error_bound_and_determinism(ray_session):
+    import math
+
+    import ray.data as rd
+    from resume_ocr_ray.ops import sketch as SK
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([
+        rng.lognormal(3, 1, 5000),  # heavy continuous tail
+        np.zeros(25),               # zero bin
+    ])
+    t = pa.table({"v": vals})
+    out = SK.ddsketch_quantiles(rd.from_arrow(t), "v", ps=(0.5, 0.9, 0.99),
+                                rel_err=0.01)
+    srt = np.sort(vals)
+    for _, r in out.iterrows():
+        exact = srt[max(1, math.ceil(r.p * len(srt))) - 1]
+        assert abs(r.value - exact) <= 0.0101 * exact + 1e-9, (r.p, r.value, exact)
+    # merge-order independence: different partitioning, identical estimate
+    out2 = SK.ddsketch_quantiles(rd.from_arrow(t).repartition(13), "v",
+                                 ps=(0.5, 0.9, 0.99), rel_err=0.01)
+    assert out.equals(out2)
