@@ -594,8 +594,35 @@ def q_kmeans(sf_dir: str):
     )
 
 
+#: user-extension registry (the reference has NO extension surface —
+#: SURVEY §2.5 "Absent"; extension there means editing the code). register()
+#: plugs external pipelines into the same driver/bench/correctness machinery.
+_EXT_QUERIES: dict = {}
+_EXT_SQL: dict = {}
+
+
+def register(name: str, fn, sql: str | None = None) -> None:
+    """Register a user-defined pipeline: ``fn(sf_dir) -> Dataset|DataFrame|
+    Table`` appears in ``queries()``; when ``sql`` is given it becomes the
+    query's DuckDB oracle in ``oracle_sql()`` (same column-name contract as
+    built-ins). Re-registering a name overwrites it; built-in names are
+    reserved."""
+    if name in queries() and name not in _EXT_QUERIES:
+        raise ValueError(f"{name!r} is a built-in query name")
+    _EXT_QUERIES[name] = fn
+    if sql is not None:
+        _EXT_SQL[name] = sql
+    elif name in _EXT_SQL:
+        del _EXT_SQL[name]
+
+
+def unregister(name: str) -> None:
+    _EXT_QUERIES.pop(name, None)
+    _EXT_SQL.pop(name, None)
+
+
 def queries() -> dict:
-    return {
+    return {**_EXT_QUERIES, **{
         # extraction engine (north rule) — non-SQL (synthetic media decode)
         "extract_interleaved": q_extract_interleaved,
         "extract_rank": q_extract_rank,
@@ -668,7 +695,7 @@ def queries() -> dict:
         "cust_except": q_cust_except,
         "mode_lang": q_mode_lang,
         "kmeans": q_kmeans,
-    }
+    }}
 
 
 def _lang_profile_sql(words) -> str:
@@ -694,7 +721,7 @@ def oracle_sql() -> dict:
     es = _lang_profile_sql(T._LANG_PROFILES["es"])
     fr = _lang_profile_sql(T._LANG_PROFILES["fr"])
     de = _lang_profile_sql(T._LANG_PROFILES["de"])
-    return {
+    return {**_EXT_SQL, **{
         "doc_stats": (
             "SELECT doc_id, length(text) AS n_chars_actual, "
             "len(string_split(text, ' ')) AS n_tokens FROM documents"
@@ -1087,4 +1114,4 @@ def oracle_sql() -> dict:
             "SELECT *, row_number() OVER (PARTITION BY source "
             "ORDER BY n DESC, lang ASC) AS rn FROM c) WHERE rn = 1"
         ),
-    }
+    }}

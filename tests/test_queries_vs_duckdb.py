@@ -81,3 +81,26 @@ def test_query_matches_oracle(ray_session, registry, duck, name):
 
 def test_oracle_keys_subset_of_queries(registry):
     assert set(registry.oracle_sql()) <= set(registry.queries())
+
+
+def test_extension_registry_round_trip(ray_session):
+    """User-registered pipelines plug into queries()/oracle_sql() and run
+    through the same machinery as built-ins."""
+    from resume_ocr_ray.pipelines import registry as REG
+
+    def my_regions(sf_dir):
+        import ray.data as rd
+
+        return rd.read_parquet(f"{sf_dir}/region.parquet")
+
+    try:
+        REG.register("ext_regions", my_regions, sql="SELECT * FROM region")
+        assert "ext_regions" in REG.queries()
+        assert REG.oracle_sql()["ext_regions"] == "SELECT * FROM region"
+        out = REG.queries()["ext_regions"]("/root/testdata/sf0.001")
+        assert out.count() > 0
+        with pytest.raises(ValueError):
+            REG.register("lineitem_agg", my_regions)  # built-ins reserved
+    finally:
+        REG.unregister("ext_regions")
+    assert "ext_regions" not in REG.queries()
