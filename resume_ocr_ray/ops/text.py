@@ -344,3 +344,104 @@ def section_flags(docs_ds):
     return docs_ds.map_batches(
         _batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (north star: the reference pipeline handles resumes, i.e.
+# contact-bearing text — analyze_service.py:11-25 ingests them verbatim; a
+# training-data engine over the same corpus must be able to scrub them)
+# ---------------------------------------------------------------------------
+
+#: RE2-compatible patterns (no lookahead/backrefs) so the exact same strings
+#: run in Arrow's RE2 kernels here AND in the DuckDB (RE2) oracle.
+PII_EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RX = r"\+[0-9][0-9 ()\-]{6,}[0-9]"
+
+
+def redact_pii(docs_ds, text_col: str = "text"):
+    """Scrub emails / international-format phone numbers from ``text_col``,
+    returning (doc_id, n_emails, n_phones, clean_text).
+
+    Fully Arrow-native: two ``count_substring_regex`` + two
+    ``replace_substring_regex`` RE2 kernels per batch, zero Python rows —
+    byte-identical to the DuckDB oracle because both engines are RE2.
+    Emails are redacted first; phones are counted/redacted over the
+    email-redacted text (the oracle restates the same order)."""
+
+    def _batch(b: pa.Table) -> pa.Table:
+        t = b.column(text_col)
+        n_em = pc.count_substring_regex(t, PII_EMAIL_RX)
+        clean = pc.replace_substring_regex(t, PII_EMAIL_RX, "<EMAIL>")
+        n_ph = pc.count_substring_regex(clean, PII_PHONE_RX)
+        clean = pc.replace_substring_regex(clean, PII_PHONE_RX, "<PHONE>")
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_emails": n_em.cast(pa.int64()),
+                "n_phones": n_ph.cast(pa.int64()),
+                "clean_text": clean,
+            }
+        )
+
+    return docs_ds.map_batches(
+        _batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicate-phrase detection (boilerplate discovery)
+# ---------------------------------------------------------------------------
+
+
+def dup_phrases(docs_ds, n: int = 3, min_docs: int = 3, top: int = 50):
+    """Find word ``n``-grams shared by >= ``min_docs`` distinct documents —
+    the boilerplate-discovery primitive of web-corpus cleaning (CCNet-style
+    repeated-line removal, generalized to token shingles since this corpus
+    is single-line).
+
+    Shape: per-batch shingle explode with WITHIN-DOC dedup (exact, because a
+    document is one row and therefore never splits across batches) and a
+    batch-local (gram -> partial doc count) combine, then ONE keyed
+    groupby-sum over ``gram``, post-agg ``min_docs`` filter, total-order
+    sort (count desc, gram asc — gram is unique so the ``top`` cut is
+    deterministic). Only (gram, int) pairs ever shuffle.
+
+    At 100 TB the gram key space is enormous; the partial combine collapses
+    within-batch duplicates before the exchange, and a production run would
+    put a count-min/bloom prepass in front to drop singleton grams early —
+    the post-agg filter here keeps the op exact for the oracle."""
+
+    def _partial(b: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for t in b.column("text").to_pylist():
+            toks = (t or "").split(" ")
+            if len(toks) < n:
+                continue
+            for g in {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}:
+                counts[g] = counts.get(g, 0) + 1
+        return pa.table(
+            {
+                "gram": pa.array(list(counts), type=pa.string()),
+                "partial": pa.array(list(counts.values()), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        docs_ds.map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+        )
+        .groupby("gram")
+        .sum("partial")
+    )
+
+    def _finish(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"gram": b.column("gram"), "n_docs": b.column("sum(partial)")}
+        )
+        return t.filter(pc.greater_equal(t.column("n_docs"), min_docs))
+
+    return (
+        agg.map_batches(_finish, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(key=["n_docs", "gram"], descending=[True, False])
+        .limit(top)
+    )

@@ -548,6 +548,51 @@ def q_html_main(sf_dir: str):
     return T.html_main(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_redact_pii(sf_dir: str):
+    """PII scrub (emails + phone numbers) over contact-enriched documents.
+
+    The synthetic corpus carries no PII, so the query deterministically
+    plants a contact line from (doc_id, n_chars) — identically restated in
+    the SQL oracle — and the redaction itself runs in Arrow RE2 kernels, so
+    the oracle genuinely exercises both regexes (every doc gets an email;
+    docs with even n_chars also get a phone)."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    def _enrich(b):
+        phone = _pc.if_else(
+            _pc.equal(
+                _pc.bit_wise_and(b.column("n_chars").cast(_pa.int64()), 1), 0
+            ),
+            _pa.scalar(" call +55 11 9124-7777"),
+            _pa.scalar(""),
+        )
+        t = _pc.binary_join_element_wise(
+            _pa.scalar("reach "),
+            b.column("doc_id").cast(_pa.string()),
+            _pa.scalar("@mail.example.com"),
+            phone,
+            _pa.scalar(" "),
+            b.column("text"),
+            _pa.scalar(""),
+        )
+        return _pa.table({"doc_id": b.column("doc_id"), "text": t})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars", "text"]).map_batches(
+        _enrich, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return T.redact_pii(ds)
+
+
+def q_dup_phrases(sf_dir: str):
+    """Cross-document duplicate 3-gram phrases (boilerplate discovery):
+    within-doc-deduped shingle explode -> partial combine -> one keyed
+    groupby-sum -> min_docs filter -> total-order top-50."""
+    return T.dup_phrases(
+        _read(sf_dir, "documents", ["text"]), n=3, min_docs=3, top=50
+    )
+
+
 def q_user_intersect(sf_dir: str):
     """Set op (SQL INTERSECT): users who both purchased and signed up."""
     return R.user_set_op(
@@ -690,6 +735,8 @@ def queries() -> dict:
         "distinct_langs": q_distinct_langs,
         "point_lookup": q_point_lookup,
         "html_main": q_html_main,
+        "redact_pii": q_redact_pii,
+        "dup_phrases": q_dup_phrases,
         "section_flags": q_section_flags,
         "user_intersect": q_user_intersect,
         "cust_except": q_cust_except,
@@ -1087,6 +1134,36 @@ def oracle_sql() -> dict:
         # loss in the DOM heuristics breaks the value hash
         "html_main": (
             "SELECT doc_id, text AS main_text FROM documents"
+        ),
+        # mirrors ops.text.redact_pii exactly: both sides are RE2; phones are
+        # counted/redacted over the email-redacted string, same as the op
+        "redact_pii": (
+            "WITH enriched AS (SELECT doc_id, "
+            "'reach ' || doc_id || '@mail.example.com' || "
+            "CASE WHEN n_chars % 2 = 0 THEN ' call +55 11 9124-7777' "
+            "ELSE '' END || ' ' || text AS t FROM documents), "
+            "em AS (SELECT doc_id, "
+            "len(regexp_extract_all(t, "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'"
+            ")) AS n_emails, "
+            "regexp_replace(t, "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'"
+            ", '<EMAIL>', 'g') AS t2 FROM enriched) "
+            "SELECT doc_id, n_emails, "
+            r"len(regexp_extract_all(t2, '\+[0-9][0-9 ()\-]{6,}[0-9]')) "
+            "AS n_phones, "
+            r"regexp_replace(t2, '\+[0-9][0-9 ()\-]{6,}[0-9]', "
+            "'<PHONE>', 'g') AS clean_text FROM em"
+        ),
+        "dup_phrases": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS l "
+            "FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_transform(range(1, len(l)-1), "
+            "i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS gram "
+            "FROM w WHERE len(l) >= 3) "
+            "SELECT gram, count(DISTINCT doc_id) AS n_docs FROM g "
+            "GROUP BY gram HAVING count(DISTINCT doc_id) >= 3 "
+            "ORDER BY n_docs DESC, gram LIMIT 50"
         ),
         "section_flags": (
             "SELECT doc_id, contains(lower(text), 'customer') AS has_contact, "

@@ -594,3 +594,51 @@ def test_ddsketch_quantile_error_bound_and_determinism(ray_session):
     out2 = SK.ddsketch_quantiles(rd.from_arrow(t).repartition(13), "v",
                                  ps=(0.5, 0.9, 0.99), rel_err=0.01)
     assert out.equals(out2)
+
+
+def test_redact_pii_scrubs_planted_contacts(ray_session):
+    import ray.data as rd
+    from resume_ocr_ray.ops import text as T
+
+    tbl = pa.table(
+        {
+            "doc_id": ["a", "b", "c"],
+            "text": [
+                "cv of jo: jo.smith+hr@corp.example.io call +55 (11) 9124-7777 now",
+                "no contact info here",
+                "two mails x@y.co and z@w.org, phone +1 415 555 0000",
+            ],
+        }
+    )
+    out = (
+        T.redact_pii(rd.from_arrow(tbl))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc["a", "n_emails"] == 1 and out.loc["a", "n_phones"] == 1
+    assert "<EMAIL>" in out.loc["a", "clean_text"]
+    assert "<PHONE>" in out.loc["a", "clean_text"]
+    assert "jo.smith" not in out.loc["a", "clean_text"]
+    assert "9124" not in out.loc["a", "clean_text"]
+    assert out.loc["b", "n_emails"] == 0 and out.loc["b", "n_phones"] == 0
+    assert out.loc["b", "clean_text"] == "no contact info here"
+    assert out.loc["c", "n_emails"] == 2 and out.loc["c", "n_phones"] == 1
+
+
+def test_dup_phrases_finds_planted_boilerplate(ray_session):
+    import ray.data as rd
+    from resume_ocr_ray.ops import text as T
+
+    boiler = "click here to subscribe"
+    docs = [f"doc {i} unique words {i * 7} then {boiler} end" for i in range(5)]
+    docs += ["totally unrelated text one", "totally unrelated text two"]
+    tbl = pa.table({"text": docs})
+    out = T.dup_phrases(rd.from_arrow(tbl), n=4, min_docs=4, top=10).to_pandas()
+    assert boiler in set(out["gram"])
+    row = out[out["gram"] == boiler].iloc[0]
+    assert row["n_docs"] == 5
+    # within-doc dedup: a gram repeated inside ONE doc counts once
+    rep = pa.table({"text": ["spam spam spam spam spam spam spam spam"]})
+    out2 = T.dup_phrases(rd.from_arrow(rep), n=2, min_docs=1, top=5).to_pandas()
+    assert (out2["n_docs"] == 1).all()

@@ -64,7 +64,7 @@ def test_all_queries_run(ray_session, registry):
         "exact_quantile", "distinct_users", "heavy_hitters",
         "bloom_semi_join", "pivot_events", "length_gate", "stopword_filter",
         "train_split", "mixture_sample", "pack_sequences", "label_centroids",
-        "hash_sample", "group_split",
+        "hash_sample", "group_split", "redact_pii", "dup_phrases",
     ],
 )
 def test_query_matches_oracle(ray_session, registry, duck, name):
