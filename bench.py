@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "section_flags",
     "kmeans",
     "label_centroids",
+    "redact_pii",
+    "dup_phrases",
+    "decontaminate",
 ]
 
 

@@ -445,3 +445,65 @@ def dup_phrases(docs_ds, n: int = 3, min_docs: int = 3, top: int = 50):
         .sort(key=["n_docs", "gram"], descending=[True, False])
         .limit(top)
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (test-set n-gram overlap flagging)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(docs_ds, bench_ds, n: int = 5):
+    """Flag training documents that share any word ``n``-gram with a
+    benchmark/test set — the GPT-3/Pile-style decontamination primitive.
+
+    Shape: the benchmark side is reduced to a distinct-gram set with
+    per-batch partial sets (batch-local dedup) unioned driver-side — test
+    sets are SMALL by nature, so one ``ray.put`` broadcast of the frozen
+    set is the right scale path (a benchmark too big to broadcast would
+    hash-partition grams on both sides and semi-join instead). Each
+    training batch then does set-membership probes against the worker-local
+    cached set — no shuffle of the big side at all.
+
+    Docs with fewer than ``n`` tokens carry no shingle and are excluded on
+    both sides (the oracle restates the same ``len >= n`` guard)."""
+    import ray
+
+    from ..common import cached_broadcast
+
+    def _grams(text: str) -> set:
+        toks = (text or "").split(" ")
+        if len(toks) < n:
+            return set()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    def _bench_partial(b: pa.Table) -> pa.Table:
+        s: set = set()
+        for t in b.column("text").to_pylist():
+            s |= _grams(t)
+        return pa.table({"gram": pa.array(sorted(s), type=pa.string())})
+
+    bench_grams: set = set()
+    for bt in bench_ds.map_batches(
+        _bench_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        bench_grams.update(bt.column("gram").to_pylist())
+    ref = ray.put(frozenset(bench_grams))
+
+    def _flag(b: pa.Table) -> pa.Table:
+        bg = cached_broadcast(ref)
+        keep, flags = [], []
+        for t in b.column("text").to_pylist():
+            g = _grams(t)
+            keep.append(bool(g))
+            flags.append(bool(g) and not bg.isdisjoint(g))
+        out = pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "contaminated": pa.array(flags, type=pa.bool_()),
+            }
+        )
+        return out.filter(pa.array(keep, type=pa.bool_()))
+
+    return docs_ds.map_batches(
+        _flag, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+    )

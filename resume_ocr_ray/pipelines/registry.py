@@ -593,6 +593,37 @@ def q_dup_phrases(sf_dir: str):
     )
 
 
+def q_decontaminate(sf_dir: str):
+    """GPT-3/Pile-style benchmark decontamination: docs with doc_id % 10 == 7
+    act as the held-out benchmark; every other doc is flagged if it shares
+    any 5-gram with it. Benchmark gram set is broadcast (ray.put once);
+    the big side never shuffles."""
+    import pyarrow.compute as _pc
+
+    def _mod7(b, want: bool):
+        m = _pc.equal(
+            _pc.subtract(
+                b.column("doc_id"),
+                _pc.multiply(
+                    _pc.divide(b.column("doc_id"), 10), 10
+                ),
+            ),
+            7,
+        )
+        return b.filter(m if want else _pc.invert(m))
+
+    def _docs():
+        return _read(sf_dir, "documents", ["doc_id", "text"])
+
+    bench = _docs().map_batches(
+        lambda b: _mod7(b, True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    train = _docs().map_batches(
+        lambda b: _mod7(b, False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return T.decontaminate(train, bench, n=5)
+
+
 def q_user_intersect(sf_dir: str):
     """Set op (SQL INTERSECT): users who both purchased and signed up."""
     return R.user_set_op(
@@ -737,6 +768,7 @@ def queries() -> dict:
         "html_main": q_html_main,
         "redact_pii": q_redact_pii,
         "dup_phrases": q_dup_phrases,
+        "decontaminate": q_decontaminate,
         "section_flags": q_section_flags,
         "user_intersect": q_user_intersect,
         "cust_except": q_cust_except,
@@ -1154,6 +1186,21 @@ def oracle_sql() -> dict:
             "AS n_phones, "
             r"regexp_replace(t2, '\+[0-9][0-9 ()\-]{6,}[0-9]', "
             "'<PHONE>', 'g') AS clean_text FROM em"
+        ),
+        # mirrors ops.text.decontaminate: docs with < 5 tokens excluded on
+        # both sides; benchmark = doc_id % 10 == 7
+        "decontaminate": (
+            "WITH bg AS (SELECT DISTINCT unnest(list_transform("
+            "range(1, len(l)-3), i -> l[i]||' '||l[i+1]||' '||l[i+2]||' '||"
+            "l[i+3]||' '||l[i+4])) AS gram FROM (SELECT string_split(text,"
+            "' ') AS l FROM documents WHERE doc_id % 10 = 7) "
+            "WHERE len(l) >= 5), "
+            "dg AS (SELECT doc_id, unnest(list_transform(range(1, len(l)-3),"
+            " i -> l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3]||' '||l[i+4]))"
+            " AS gram FROM (SELECT doc_id, string_split(text, ' ') AS l "
+            "FROM documents WHERE doc_id % 10 <> 7) WHERE len(l) >= 5) "
+            "SELECT dg.doc_id, count(bg.gram) > 0 AS contaminated "
+            "FROM dg LEFT JOIN bg USING (gram) GROUP BY dg.doc_id"
         ),
         "dup_phrases": (
             "WITH w AS (SELECT doc_id, string_split(text, ' ') AS l "

@@ -642,3 +642,30 @@ def test_dup_phrases_finds_planted_boilerplate(ray_session):
     rep = pa.table({"text": ["spam spam spam spam spam spam spam spam"]})
     out2 = T.dup_phrases(rd.from_arrow(rep), n=2, min_docs=1, top=5).to_pandas()
     assert (out2["n_docs"] == 1).all()
+
+
+def test_decontaminate_flags_benchmark_overlap(ray_session):
+    import ray.data as rd
+    from resume_ocr_ray.ops import text as T
+
+    bench = pa.table(
+        {"doc_id": [100], "text": ["the quick brown fox jumps over the lazy dog"]}
+    )
+    train = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "intro words then the quick brown fox jumps right here",  # overlaps
+                "completely different content with no shared shingles at all",
+                "tiny",  # < n tokens -> excluded
+            ],
+        }
+    )
+    out = (
+        T.decontaminate(rd.from_arrow(train), rd.from_arrow(bench), n=5)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert set(out.index) == {1, 2}
+    assert bool(out.loc[1, "contaminated"]) is True
+    assert bool(out.loc[2, "contaminated"]) is False
