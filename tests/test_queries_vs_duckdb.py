@@ -65,7 +65,8 @@ def test_all_queries_run(ray_session, registry):
         "bloom_semi_join", "pivot_events", "length_gate", "stopword_filter",
         "train_split", "mixture_sample", "pack_sequences", "label_centroids",
         "hash_sample", "group_split", "redact_pii", "dup_phrases",
-        "decontaminate",
+        "decontaminate", "cust_except", "html_main", "mode_lang",
+        "section_flags", "user_intersect",
     ],
 )
 def test_query_matches_oracle(ray_session, registry, duck, name):
