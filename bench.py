@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "redact_pii",
     "dup_phrases",
     "decontaminate",
+    "boilerplate_gate",
 ]
 
 

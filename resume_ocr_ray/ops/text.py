@@ -393,6 +393,36 @@ def redact_pii(docs_ds, text_col: str = "text"):
 # ---------------------------------------------------------------------------
 
 
+def _gram_doc_counts(docs_ds, n: int):
+    """(gram, sum(partial)=distinct-doc count) for every word ``n``-gram:
+    per-batch shingle explode with WITHIN-DOC dedup (exact — a document is
+    one row and never splits across batches) and a batch-local combine, then
+    one keyed groupby-sum. Only (gram, int) pairs ever shuffle."""
+
+    def _partial(b: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for t in b.column("text").to_pylist():
+            toks = (t or "").split(" ")
+            if len(toks) < n:
+                continue
+            for g in {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}:
+                counts[g] = counts.get(g, 0) + 1
+        return pa.table(
+            {
+                "gram": pa.array(list(counts), type=pa.string()),
+                "partial": pa.array(list(counts.values()), type=pa.int64()),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+        )
+        .groupby("gram")
+        .sum("partial")
+    )
+
+
 def dup_phrases(docs_ds, n: int = 3, min_docs: int = 3, top: int = 50):
     """Find word ``n``-grams shared by >= ``min_docs`` distinct documents —
     the boilerplate-discovery primitive of web-corpus cleaning (CCNet-style
@@ -411,28 +441,7 @@ def dup_phrases(docs_ds, n: int = 3, min_docs: int = 3, top: int = 50):
     put a count-min/bloom prepass in front to drop singleton grams early —
     the post-agg filter here keeps the op exact for the oracle."""
 
-    def _partial(b: pa.Table) -> pa.Table:
-        counts: dict = {}
-        for t in b.column("text").to_pylist():
-            toks = (t or "").split(" ")
-            if len(toks) < n:
-                continue
-            for g in {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}:
-                counts[g] = counts.get(g, 0) + 1
-        return pa.table(
-            {
-                "gram": pa.array(list(counts), type=pa.string()),
-                "partial": pa.array(list(counts.values()), type=pa.int64()),
-            }
-        )
-
-    agg = (
-        docs_ds.map_batches(
-            _partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
-        )
-        .groupby("gram")
-        .sum("partial")
-    )
+    agg = _gram_doc_counts(docs_ds, n)
 
     def _finish(b: pa.Table) -> pa.Table:
         t = pa.table(
@@ -506,4 +515,75 @@ def decontaminate(docs_ds, bench_ds, n: int = 5):
 
     return docs_ds.map_batches(
         _flag, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+    )
+
+
+def boilerplate_gate(
+    docs_ds_factory, n: int = 3, min_docs: int = 3, max_frac_num: int = 1,
+    max_frac_den: int = 20,
+):
+    """CCNet-style boilerplate gate: docs whose shingle stream is dominated
+    by corpus-wide duplicated phrases get flagged for removal.
+
+    Pass 1: ``_gram_doc_counts`` (one keyed shuffle) -> grams appearing in
+    >= ``min_docs`` docs, collected and broadcast via ``ray.put`` (the
+    ``min_docs`` cutoff keeps the set small; a corpus whose boilerplate set
+    outgrows a broadcast would hash-join grams instead).
+    Pass 2: ONE streamed pass re-shingling each doc (occurrence counts, not
+    deduped — a doc that repeats boilerplate counts it every time) against
+    the worker-cached set.
+
+    ``keep`` is the integer-exact gate ``n_boiler * max_frac_den <=
+    n_grams * max_frac_num`` (i.e. boiler fraction <= num/den) — no float
+    division anywhere, so the DuckDB oracle matches bit-for-bit. Docs with
+    fewer than ``n`` tokens carry no shingle and are excluded."""
+    import ray
+
+    from ..common import cached_broadcast
+
+    counts = _gram_doc_counts(docs_ds_factory(), n)
+
+    def _boiler_only(b: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(b.column("sum(partial)"), min_docs)
+        return pa.table({"gram": b.column("gram").filter(keep)})
+
+    boiler: set = set()
+    for bt in counts.map_batches(
+        _boiler_only, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        boiler.update(bt.column("gram").to_pylist())
+    ref = ray.put(frozenset(boiler))
+
+    def _gate(b: pa.Table) -> pa.Table:
+        bg = cached_broadcast(ref)
+        keep_rows, n_grams, n_boiler, keep = [], [], [], []
+        for t in b.column("text").to_pylist():
+            toks = (t or "").split(" ")
+            total = len(toks) - n + 1
+            keep_rows.append(total > 0)
+            if total <= 0:
+                n_grams.append(0)
+                n_boiler.append(0)
+                keep.append(True)
+                continue
+            nb = sum(
+                1
+                for i in range(total)
+                if " ".join(toks[i : i + n]) in bg
+            )
+            n_grams.append(total)
+            n_boiler.append(nb)
+            keep.append(nb * max_frac_den <= total * max_frac_num)
+        out = pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_grams": pa.array(n_grams, type=pa.int64()),
+                "n_boiler": pa.array(n_boiler, type=pa.int64()),
+                "keep": pa.array(keep, type=pa.bool_()),
+            }
+        )
+        return out.filter(pa.array(keep_rows, type=pa.bool_()))
+
+    return docs_ds_factory().map_batches(
+        _gate, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
     )

@@ -624,6 +624,17 @@ def q_decontaminate(sf_dir: str):
     return T.decontaminate(train, bench, n=5)
 
 
+def q_boilerplate_gate(sf_dir: str):
+    """CCNet-style boilerplate gate: corpus-wide duplicated 3-grams
+    (>= 4 docs) broadcast, each doc gated on integer-exact boiler fraction
+    <= 1/12. min_docs=4 / 1-in-12 chosen to split this corpus near its
+    median boiler fraction so both keep branches are exercised."""
+    return T.boilerplate_gate(
+        lambda: _read(sf_dir, "documents", ["doc_id", "text"]),
+        n=3, min_docs=4, max_frac_num=1, max_frac_den=12,
+    )
+
+
 def q_user_intersect(sf_dir: str):
     """Set op (SQL INTERSECT): users who both purchased and signed up."""
     return R.user_set_op(
@@ -769,6 +780,7 @@ def queries() -> dict:
         "redact_pii": q_redact_pii,
         "dup_phrases": q_dup_phrases,
         "decontaminate": q_decontaminate,
+        "boilerplate_gate": q_boilerplate_gate,
         "section_flags": q_section_flags,
         "user_intersect": q_user_intersect,
         "cust_except": q_cust_except,
@@ -1201,6 +1213,23 @@ def oracle_sql() -> dict:
             "FROM documents WHERE doc_id % 10 <> 7) WHERE len(l) >= 5) "
             "SELECT dg.doc_id, count(bg.gram) > 0 AS contaminated "
             "FROM dg LEFT JOIN bg USING (gram) GROUP BY dg.doc_id"
+        ),
+        # mirrors ops.text.boilerplate_gate: occurrence counts (not deduped)
+        # on the per-doc side; integer-exact gate n_boiler*12 <= n_grams*1
+        "boilerplate_gate": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS l "
+            "FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_transform(range(1, len(l)-1), "
+            "i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS gram "
+            "FROM w WHERE len(l) >= 3), "
+            "b AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) "
+            "AS c FROM g GROUP BY gram) WHERE c >= 4) "
+            "SELECT g.doc_id, count(*) AS n_grams, "
+            "coalesce(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END), "
+            "0)::BIGINT AS n_boiler, "
+            "coalesce(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END), "
+            "0) * 12 <= count(*) * 1 AS keep "
+            "FROM g LEFT JOIN b USING (gram) GROUP BY g.doc_id"
         ),
         "dup_phrases": (
             "WITH w AS (SELECT doc_id, string_split(text, ' ') AS l "

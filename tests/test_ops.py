@@ -669,3 +669,36 @@ def test_decontaminate_flags_benchmark_overlap(ray_session):
     assert set(out.index) == {1, 2}
     assert bool(out.loc[1, "contaminated"]) is True
     assert bool(out.loc[2, "contaminated"]) is False
+
+
+def test_boilerplate_gate_occurrence_counts(ray_session):
+    import ray.data as rd
+    from resume_ocr_ray.ops import text as T
+
+    boiler = "copyright acme corp"
+    docs = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                f"{boiler} page one content here",
+                f"{boiler} other page body text",
+                f"{boiler} {boiler} {boiler}",  # boiler-dominated
+                "entirely original writing with no repeats",
+            ],
+        }
+    )
+    out = (
+        T.boilerplate_gate(
+            lambda: rd.from_arrow(docs), n=3, min_docs=3,
+            max_frac_num=1, max_frac_den=3,
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(out) == 4
+    # doc 3: 3 boiler occurrences of 7 grams (3/7 > 1/3) -> gated out
+    assert not bool(out.loc[3, "keep"])
+    assert bool(out.loc[4, "keep"]) and out.loc[4, "n_boiler"] == 0
+    # occurrence counting: doc 3 counts the boiler gram every time it occurs
+    assert out.loc[3, "n_boiler"] > 1

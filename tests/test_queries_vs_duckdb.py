@@ -66,7 +66,7 @@ def test_all_queries_run(ray_session, registry):
         "train_split", "mixture_sample", "pack_sequences", "label_centroids",
         "hash_sample", "group_split", "redact_pii", "dup_phrases",
         "decontaminate", "cust_except", "html_main", "mode_lang",
-        "section_flags", "user_intersect",
+        "section_flags", "user_intersect", "boilerplate_gate",
     ],
 )
 def test_query_matches_oracle(ray_session, registry, duck, name):
