@@ -464,6 +464,19 @@ def q_ivf_ann(sf_dir: str):
     )
 
 
+def q_ivf_full_probe(sf_dir: str):
+    """IVF ANN with nprobe == n_cells (no pruning): recall must be exactly
+    1.0, so the full assignment -> cell-filter -> score path is verifiable
+    against the exact-top-k SQL oracle (same oracle as ann_cosine). This
+    oracle-greens the IVF machinery; q_ivf_ann (nprobe=4) measures the
+    pruned path whose recall is data-dependent (pytest overlap gate)."""
+    qv = SIM.query_vector(64, seed=7)
+    return SIM.ivf_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), qv, k=10,
+        n_cells=16, nprobe=16,
+    )
+
+
 def q_extract_checkpointed(sf_dir: str):
     """Extraction through the checkpoint/resume path: commit every input
     shard under /tmp with per-partition manifests, then stream the
@@ -781,6 +794,7 @@ def queries() -> dict:
         "dup_phrases": q_dup_phrases,
         "decontaminate": q_decontaminate,
         "boilerplate_gate": q_boilerplate_gate,
+        "ivf_full_probe": q_ivf_full_probe,
         "section_flags": q_section_flags,
         "user_intersect": q_user_intersect,
         "cust_except": q_cust_except,
@@ -888,6 +902,12 @@ def oracle_sql() -> dict:
             "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42"
         ),
         "ann_cosine": (
+            f"SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), [{qv}]), 6) AS cosine "
+            "FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        # full-probe IVF (nprobe == n_cells) has recall exactly 1.0, so the
+        # exact-top-k oracle applies — this greens the IVF machinery itself
+        "ivf_full_probe": (
             f"SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), [{qv}]), 6) AS cosine "
             "FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"
         ),
