@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "dup_phrases",
     "decontaminate",
     "boilerplate_gate",
+    "neardup_pairs",
 ]
 
 

@@ -146,20 +146,51 @@ def _cg_part(key: pd.Series, parts: int = COGROUP_PARTS) -> pd.Series:
     return (pd.util.hash_pandas_object(key, index=False) % parts).astype("int64")
 
 
+#: buckets up to this size emit ALL within-bucket pairs (standard LSH
+#: candidate semantics); bigger buckets (skewed keys) fall back to star
+#: pairs with the bucket min — bounds the quadratic blowup while keeping
+#: min-label connected components correct.
+MAX_ALLPAIRS_BUCKET = 64
+
+
 def _pairs_from_salt_group(g: pd.DataFrame, explode_sides: bool = False) -> pd.DataFrame:
-    """Vectorized star-pair emission for ALL buckets in one salted group:
-    within each (band, band_hash) bucket, pair every doc with the bucket's
-    min doc_id (sufficient for min-label connected components).
+    """Pair emission for ALL buckets in one salted group: all C(k,2) pairs
+    per (band, band_hash) bucket up to ``MAX_ALLPAIRS_BUCKET`` docs, star
+    pairs with the bucket min beyond that. Star-only emission (round-2
+    change) under-reported verified near-dup PAIRS: a triple a~b~c in one
+    bucket surfaced only as (a,b),(a,c), silently dropping (b,c). The
+    Python loop below runs only over buckets with >= 2 members (rare —
+    near-dup collisions), with numpy pair enumeration inside.
 
     With ``explode_sides`` each pair row is emitted twice — keyed once by
     each side (``key=a`` / ``key=b``) — in the full cogroup edge schema
     (a, b, key, text, is_text, part), so even empty output blocks carry the
     columns the downstream partition-groupby needs."""
-    first = g.groupby(["band", "band_hash"])["doc_id"].transform("min")
-    sel = g["doc_id"] != first
-    pairs = pd.DataFrame(
-        {"a": first[sel].to_numpy(), "b": g.loc[sel, "doc_id"].to_numpy()}
-    )
+    doc_ids = g["doc_id"].to_numpy()
+    a_parts, b_parts = [], []
+    for idx in g.groupby(["band", "band_hash"]).indices.values():
+        ids = np.unique(doc_ids[idx])
+        k = len(ids)
+        if k < 2:
+            continue
+        if k <= MAX_ALLPAIRS_BUCKET:
+            iu, ju = np.triu_indices(k, 1)
+            a_parts.append(ids[iu])
+            b_parts.append(ids[ju])
+        else:  # skew cap: star with the bucket min
+            a_parts.append(np.full(k - 1, ids[0], dtype=ids.dtype))
+            b_parts.append(ids[1:])
+    if a_parts:
+        pairs = pd.DataFrame(
+            {"a": np.concatenate(a_parts), "b": np.concatenate(b_parts)}
+        )
+    else:
+        pairs = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype=doc_ids.dtype),
+                "b": pd.Series([], dtype=doc_ids.dtype),
+            }
+        )
     if not explode_sides:
         return pairs
     both = pd.concat(
@@ -281,15 +312,21 @@ def minhash_verified(docs_ds, *, threshold: float = 0.5, num_perm=64, bands=16,
         empty = pd.DataFrame(
             {"a": g["a"].iloc[:0], "b": g["b"].iloc[:0],
              "n_bands": pd.Series([], dtype="int64"),
+             "n_inter": pd.Series([], dtype="int64"),
+             "n_union": pd.Series([], dtype="int64"),
              "jaccard": pd.Series([], dtype="float64")}
         )
         if ta.empty or tb.empty:  # doc missing from the corpus side
             return empty
-        j = round(jaccard(str(ta.iloc[0] or ""), str(tb.iloc[0] or ""), shingle), 6)
+        i, u = jaccard_counts(
+            str(ta.iloc[0] or ""), str(tb.iloc[0] or ""), shingle
+        )
+        j = round(i / max(1, u), 6)
         if j < threshold:
             return empty
         return pd.DataFrame(
-            {"a": [a], "b": [b], "n_bands": [len(g) // 2], "jaccard": [j]}
+            {"a": [a], "b": [b], "n_bands": [len(g) // 2],
+             "n_inter": [i], "n_union": [u], "jaccard": [j]}
         )
 
     return joined.groupby(["a", "b"]).map_groups(
@@ -297,7 +334,12 @@ def minhash_verified(docs_ds, *, threshold: float = 0.5, num_perm=64, bands=16,
     )
 
 
-def jaccard(text_a: str, text_b: str, shingle: int = 5) -> float:
+def jaccard_counts(text_a: str, text_b: str, shingle: int = 5) -> tuple:
+    """(|A ∩ B|, |A ∪ B|) over word-shingle sets — the integer-exact core
+    of :func:`jaccard`, exposed so oracle-checked callers can compare raw
+    counts instead of rounded float ratios (words = ``\\w+`` of the
+    lowercased text == DuckDB ``regexp_extract_all(lower(text),
+    '[0-9a-z_]+')``)."""
     tok = re.compile(r"\w+")
     ta, tb = tok.findall(text_a.lower()), tok.findall(text_b.lower())
 
@@ -307,7 +349,13 @@ def jaccard(text_a: str, text_b: str, shingle: int = 5) -> float:
         return {" ".join(toks[i : i + shingle]) for i in range(len(toks) - shingle + 1)}
 
     sa, sb = sh(ta), sh(tb)
-    return len(sa & sb) / max(1, len(sa | sb))
+    inter = len(sa & sb)
+    return inter, len(sa) + len(sb) - inter
+
+
+def jaccard(text_a: str, text_b: str, shingle: int = 5) -> float:
+    i, u = jaccard_counts(text_a, text_b, shingle)
+    return i / max(1, u)
 
 
 # ---------------------------------------------------------------------------

@@ -361,6 +361,29 @@ def q_minhash_verified(sf_dir: str):
     )
 
 
+def q_neardup_pairs(sf_dir: str):
+    """MinHash+LSH near-dup pairs at Jaccard >= 0.5, oracle-checked with
+    INTEGER shingle-set counts (a, b, n_inter, n_union): the threshold is
+    the exact rational 2*i >= u, so no float rounding exists on either
+    side. The SQL oracle computes exact all-pairs Jaccard; LSH (16 bands x
+    4 rows) has ~1-1e-6 recall at this corpus's near-dup separation
+    (planted dups sit at j >= 0.87, noise below 0.1) and all-pairs bucket
+    emission (ops.dedup.MAX_ALLPAIRS_BUCKET) reports every within-cluster
+    pair — verified equal to the exact set, deterministically (seeded
+    minhash)."""
+    verified = D.minhash_verified(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
+    )
+    import pyarrow as _pa
+
+    def _proj(b: _pa.Table) -> _pa.Table:
+        return b.select(["a", "b", "n_inter", "n_union"])
+
+    return verified.map_batches(
+        _proj, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_minhash_pairs(sf_dir: str):
     return D.minhash_candidates(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -795,6 +818,7 @@ def queries() -> dict:
         "decontaminate": q_decontaminate,
         "boilerplate_gate": q_boilerplate_gate,
         "ivf_full_probe": q_ivf_full_probe,
+        "neardup_pairs": q_neardup_pairs,
         "section_flags": q_section_flags,
         "user_intersect": q_user_intersect,
         "cust_except": q_cust_except,
@@ -1233,6 +1257,28 @@ def oracle_sql() -> dict:
             "FROM documents WHERE doc_id % 10 <> 7) WHERE len(l) >= 5) "
             "SELECT dg.doc_id, count(bg.gram) > 0 AS contaminated "
             "FROM dg LEFT JOIN bg USING (gram) GROUP BY dg.doc_id"
+        ),
+        # mirrors ops.dedup.jaccard_counts exactly: words = \w+ of
+        # lower(text); 5-gram shingles (whole text as one shingle if < 5
+        # words, [''] if empty); integer threshold 2*i >= u  <=>  j >= 0.5
+        "neardup_pairs": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[0-9a-z_]+') AS l "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(l) >= 5 THEN "
+            "list_distinct(list_transform(range(1, len(l)-3), "
+            "i -> l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3]||' '||l[i+4]))"
+            " WHEN len(l) > 0 THEN [array_to_string(l, ' ')] "
+            "ELSE [''] END AS s FROM toks), "
+            "grams AS (SELECT doc_id, unnest(s) AS gram FROM sh), "
+            "sizes AS (SELECT doc_id, len(s) AS n FROM sh), "
+            "inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i "
+            "FROM grams a JOIN grams b ON a.gram = b.gram "
+            "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT a, b, i AS n_inter, sa.n + sb.n - i AS n_union "
+            "FROM inter JOIN sizes sa ON sa.doc_id = a "
+            "JOIN sizes sb ON sb.doc_id = b "
+            "WHERE 2 * i >= sa.n + sb.n - i"
         ),
         # mirrors ops.text.boilerplate_gate: occurrence counts (not deduped)
         # on the per-doc side; integer-exact gate n_boiler*12 <= n_grams*1

@@ -702,3 +702,23 @@ def test_boilerplate_gate_occurrence_counts(ray_session):
     assert bool(out.loc[4, "keep"]) and out.loc[4, "n_boiler"] == 0
     # occurrence counting: doc 3 counts the boiler gram every time it occurs
     assert out.loc[3, "n_boiler"] > 1
+
+
+def test_minhash_verified_reports_within_cluster_pairs(ray_session):
+    """A near-identical triple must surface all three pairs, not just the
+    two star edges anchored at the min doc_id (round-2 regression)."""
+    import ray.data as rd
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    tbl = pa.table(
+        {
+            "doc_id": [1, 2, 3, 50],
+            "text": [base, base + " extra", base + " other", 
+                     "completely different words entirely unrelated content "
+                     "spanning several tokens for shingling purposes here"],
+        }
+    )
+    out = D.minhash_verified(rd.from_arrow(tbl), threshold=0.5).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(out["a"], out["b"])}
+    assert {(1, 2), (1, 3), (2, 3)} <= got
