@@ -166,9 +166,12 @@ def _pairs_from_salt_group(g: pd.DataFrame, explode_sides: bool = False) -> pd.D
     each side (``key=a`` / ``key=b``) — in the full cogroup edge schema
     (a, b, key, text, is_text, part), so even empty output blocks carry the
     columns the downstream partition-groupby needs."""
-    doc_ids = g["doc_id"].to_numpy()
+    # vectorized prefilter: the Python loop only ever sees multi-member
+    # buckets (collisions are rare — almost all buckets are singletons)
+    multi = g[g.duplicated(["band", "band_hash"], keep=False)]
+    doc_ids = multi["doc_id"].to_numpy()
     a_parts, b_parts = [], []
-    for idx in g.groupby(["band", "band_hash"]).indices.values():
+    for idx in multi.groupby(["band", "band_hash"]).indices.values():
         ids = np.unique(doc_ids[idx])
         k = len(ids)
         if k < 2:
