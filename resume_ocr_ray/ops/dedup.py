@@ -420,6 +420,7 @@ def connected_components_labels(docs_ds, max_iters: int = 10):
         to_state, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
     prev = None
+    converged = False
     for _ in range(max_iters):
         state = (
             state.groupby("key").map_groups(key_min, batch_format="pandas")
@@ -427,8 +428,19 @@ def connected_components_labels(docs_ds, max_iters: int = 10):
         ).materialize()
         sig = state.aggregate(Sum("label", alias_name="s"))["s"]
         if sig == prev:
+            converged = True
             break
         prev = sig
+    if not converged:
+        # min-label propagation moves one key-hop per iteration; a component
+        # whose key-chain diameter exceeds max_iters would otherwise return
+        # silently WRONG intermediate labels (diverging from the exact
+        # recursive-CTE oracle) — fail loudly instead
+        raise RuntimeError(
+            f"connected_components_labels did not converge in {max_iters} "
+            "iterations; raise max_iters (component key-chain diameter "
+            "exceeds it)"
+        )
     return (
         state.groupby("doc_id")
         .aggregate(Min("label", alias_name="component"))
@@ -680,7 +692,7 @@ def ngram_jaccard_pairs(docs_ds, prefix_n: int = 32, gram: int = 3,
         ids = g["doc_id"].to_numpy()
         sets = [
             {t[i:i + gram] for i in range(len(t) - gram + 1)}
-            for t in g["text"].tolist()
+            for t in (s or "" for s in g["text"].tolist())
         ]
         rows = []
         for i in range(len(ids)):

@@ -755,14 +755,18 @@ def shuffle_join_revenue(orders_ds, lineitem_ds, parts: int = 64):
 
     def _ord_side(b: pa.Table) -> pa.Table:
         n = b.num_rows
-        part = pc.cast(
-            pc.subtract(
-                b.column("o_orderkey"),
-                pc.multiply(
-                    pc.divide(b.column("o_orderkey"), parts), pa.scalar(parts)
-                ),
+        # Arrow integer divide truncates toward zero; pandas % floors. Shift
+        # negative remainders so BOTH sides use floored modulo — a sign
+        # mismatch would route the two sides of one key to different
+        # cogroups and silently drop the match
+        tm = pc.subtract(
+            b.column("o_orderkey"),
+            pc.multiply(
+                pc.divide(b.column("o_orderkey"), parts), pa.scalar(parts)
             ),
-            pa.int32(),
+        )
+        part = pc.cast(
+            pc.if_else(pc.less(tm, 0), pc.add(tm, parts), tm), pa.int32()
         )
         return pa.table(
             {

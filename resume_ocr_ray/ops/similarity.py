@@ -43,11 +43,15 @@ def _cosine_topk_batch(batch: pa.Table, q: np.ndarray, k: int) -> pa.Table:
     norms = np.linalg.norm(mat, axis=1)
     sims = (mat @ q.astype(np.float64)) / np.maximum(norms, 1e-9)
     k = min(k, sims.shape[0])
-    top = np.argpartition(-sims, k - 1)[:k]
+    # select on the global merge's exact key (rounded cosine desc, vec_id
+    # asc) so rounded ties at the k boundary keep the row the oracle keeps
+    r = np.round(sims, 6)
+    vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+    top = np.lexsort((vec_ids, -r))[:k]
     return pa.table(
         {
-            "vec_id": batch.column("vec_id").take(pa.array(top)),
-            "cosine": pa.array(np.round(sims[top].astype(np.float64), 6)),
+            "vec_id": pa.array(vec_ids[top]),
+            "cosine": pa.array(r[top]),
         }
     )
 
@@ -101,10 +105,15 @@ def brute_force_topk_multi(emb_ds, qmat: np.ndarray, k: int = 10):
         qids, vids, coss = [], [], []
         vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         for j in range(m):  # m is small (the query batch), n is vectorized
-            top = np.argpartition(-sims[:, j], kk - 1)[:kk]
+            # select on the SAME key the final merge sorts by — rounded
+            # cosine desc, vec_id asc — so a rounded tie at the kk boundary
+            # keeps the smaller vec_id (selecting on raw sims could drop
+            # the row the oracle keeps)
+            r = np.round(sims[:, j], 6)
+            top = np.lexsort((vec_ids, -r))[:kk]
             qids.append(np.full(kk, j, dtype=np.int32))
             vids.append(vec_ids[top])
-            coss.append(np.round(sims[top, j], 6))
+            coss.append(r[top])
         return pa.table(
             {
                 "qid": pa.array(np.concatenate(qids)),
@@ -241,7 +250,7 @@ def cosine_pairs_exact(emb_ds, threshold: float = 0.35):
     )
 
 
-def label_centroids(emb_ds, dim: int = 64):
+def label_centroids(emb_ds):
     """Per-label elementwise centroid of the embedding column — the
     cluster-centroid primitive behind IVF training, k-means iterations
     and class prototypes, distributed as a classic combiner:

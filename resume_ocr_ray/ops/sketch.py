@@ -170,10 +170,16 @@ def heavy_hitters(docs_ds, ppm: int = 2000, capacity: int = 4096):
     sum_err = int(summ["err"].sum())
     threshold = max(1, int(np.ceil(total_tokens * ppm / 1_000_000)))
 
-    cand = summ.groupby("word", as_index=False)["residual"].sum()
     if threshold > sum_err:
+        cand = summ.groupby("word", as_index=False)["residual"].sum()
         cand = cand[cand["residual"] + sum_err >= threshold]
-    candidates = set(cand["word"])  # superset of all true heavy hitters
+        # superset of all true heavy hitters (MG guarantee)
+        candidates = set(cand["word"])
+    else:
+        # sketch too coarse for this ppm: a true heavy hitter may be absent
+        # from EVERY batch summary, so the summary words are NOT a superset —
+        # fall back to an exact full-vocabulary recount (candidates=None)
+        candidates = None
 
     import ray
 
@@ -187,7 +193,7 @@ def heavy_hitters(docs_ds, ppm: int = 2000, capacity: int = 4096):
         counts: dict = {}
         for t in texts:
             for w in pat.findall((t or "").lower()):
-                if w in keep:
+                if keep is None or w in keep:
                     counts[w] = counts.get(w, 0) + 1
         return pa.table(
             {
@@ -275,9 +281,14 @@ def bloom_semi_join_revenue(lineitem_ds, orders_ds,
         _key_bits, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=65536,
     ).to_pandas()
-    words = np.bitwise_or.reduce(
-        [np.asarray(r, dtype=np.uint64) for r in bitmap_rows["words"]]
-    )
+    # zero matching orders -> zero blocks -> a column-less empty frame
+    # (Ray drops the schema with the blocks), hence the guard on the column
+    if len(bitmap_rows) and "words" in bitmap_rows:
+        words = np.bitwise_or.reduce(
+            [np.asarray(r, dtype=np.uint64) for r in bitmap_rows["words"]]
+        )
+    else:  # no orders match the priority: empty bloom filter prunes all
+        words = np.zeros(m_bits // 64, dtype=np.uint64)
     bloom_ref = ray.put(words)
 
     def _li_probe(b: pa.Table) -> pa.Table:

@@ -66,7 +66,11 @@ def _extraction_inputs(sf_dir: str, repeat: int = 2):
     store = _STORE_CACHE.get(key)
     if store is None:
         store = EIO.ShardedParquetMediaStore.from_dir(media_dir)
-        _STORE_CACHE.clear()  # stale-session entries are useless
+        # evict only DEAD-session entries (their ObjectRefs/actor handles
+        # died with that session); same-session stores for other media_dirs
+        # stay cached so alternating sf_dirs don't rebuild meta every switch
+        for k in [k for k in _STORE_CACHE if k[1] != session]:
+            del _STORE_CACHE[k]
         _STORE_CACHE[key] = store
     return docs_dir, store
 
@@ -511,14 +515,28 @@ def q_extract_checkpointed(sf_dir: str):
 
     from ..engine import checkpoint as CK
 
+    import zlib
+
     docs_dir, store = _extraction_inputs(sf_dir)
+    # key the checkpoint dir by the FULL docs_dir path (not the sf_dir
+    # basename): a corpus-layout change (repeat / CORPUS_VERSION) or two
+    # sf paths sharing a basename must never share checkpoint state
     out_dir = os.path.join(
-        "/tmp/resume_ocr_ckpt", os.path.basename(os.path.normpath(sf_dir))
+        "/tmp/resume_ocr_ckpt",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-"
+        f"{zlib.crc32(docs_dir.encode()):08x}",
     )
     CK.run_checkpointed(docs_dir, store, out_dir)
+    # read back only the partitions of the CURRENT shard list — orphan
+    # part= dirs from an older layout must not contaminate the result
+    shard_ids = {
+        os.path.splitext(f)[0]
+        for f in os.listdir(docs_dir)
+        if f.endswith((".parquet", ".lance"))
+    }
     parts = [
         os.path.join(out_dir, d) for d in sorted(os.listdir(out_dir))
-        if d.startswith("part=")
+        if d.startswith("part=") and d[len("part="):] in shard_ids
     ]
     return rd.read_parquet(parts).map_batches(
         _summarize_extracted, batch_format="pyarrow", zero_copy_batch=True

@@ -722,3 +722,40 @@ def test_minhash_verified_reports_within_cluster_pairs(ray_session):
     out = D.minhash_verified(rd.from_arrow(tbl), threshold=0.5).to_pandas()
     got = {tuple(sorted(p)) for p in zip(out["a"], out["b"])}
     assert {(1, 2), (1, 3), (2, 3)} <= got
+
+
+def test_heavy_hitters_coarse_sketch_falls_back_to_exact(ray_session):
+    """When the requested ppm threshold is below the sketch's summed error
+    bound, a true heavy hitter can be absent from EVERY batch summary —
+    the op must fall back to an exact full-vocabulary recount."""
+    import ray.data as rd
+    from resume_ocr_ray.ops import sketch as SK
+
+    # per batch (force 1 row per block): a,b dominate, w is 3rd everywhere
+    # -> capacity-2 summaries never contain w though it's a global HH
+    rows = [" ".join(["aa"] * 100 + ["bb"] * 100 + ["ww"] * 99) for _ in range(10)]
+    ds = rd.from_arrow(pa.table({"text": rows})).repartition(10)
+    out = SK.heavy_hitters(ds, ppm=300_000, capacity=2).to_pandas()
+    got = dict(zip(out["word"], out["n"]))
+    assert got.get("ww") == 990, got  # 990/2990 = 331k ppm >= 300k
+
+
+def test_bloom_semi_join_empty_priority(ray_session):
+    import ray.data as rd
+    from resume_ocr_ray.ops import sketch as SK
+
+    li = pa.table(
+        {
+            "l_orderkey": [1, 2],
+            "l_extendedprice": [10.0, 20.0],
+            "l_discount": [0.0, 0.1],
+            "l_returnflag": ["A", "R"],
+        }
+    )
+    orders = pa.table(
+        {"o_orderkey": [1, 2], "o_orderpriority": ["1-URGENT", "1-URGENT"]}
+    )
+    out = SK.bloom_semi_join_revenue(
+        rd.from_arrow(li), rd.from_arrow(orders), priority="5-LOW"
+    ).to_pandas()
+    assert len(out) == 0
