@@ -534,9 +534,15 @@ def q_extract_checkpointed(sf_dir: str):
         for f in os.listdir(docs_dir)
         if f.endswith((".parquet", ".lance"))
     }
+    import glob as _glob
+
+    # pass FILES, not part= directories: pyarrow's list-of-paths dataset
+    # factory opens each element as a file
     parts = [
-        os.path.join(out_dir, d) for d in sorted(os.listdir(out_dir))
+        f
+        for d in sorted(os.listdir(out_dir))
         if d.startswith("part=") and d[len("part="):] in shard_ids
+        for f in sorted(_glob.glob(os.path.join(out_dir, d, "*.parquet")))
     ]
     return rd.read_parquet(parts).map_batches(
         _summarize_extracted, batch_format="pyarrow", zero_copy_batch=True
