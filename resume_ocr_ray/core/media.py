@@ -226,16 +226,52 @@ def _verdict_from_text(text: str, name: str):
     return RESUME_MARKER in text
 
 
+def build_vision_payload(page: bytes) -> bytes:
+    """M10 analog (validation_service.py:31-45): the reference flattens
+    RGBA over white, re-encodes JPEG q=85 and base64-encodes the result to
+    build the vision-model HTTP payload. The raster arm (RGBA→RGB flatten +
+    JPEG re-encode) is gated behind an import-try of PIL — the sandbox's
+    synthetic codec pages are not raster images, so it is a pass-through
+    for them — while the base64 payload boundary is real and exercised on
+    every validated page."""
+    import base64
+
+    try:
+        import io
+
+        from PIL import Image
+
+        try:
+            img = Image.open(io.BytesIO(page))
+            if img.mode == "RGBA":  # composite alpha over white (M10)
+                bg = Image.new("RGB", img.size, (255, 255, 255))
+                bg.paste(img, mask=img.split()[3])
+                img = bg
+            buf = io.BytesIO()
+            img.convert("RGB").save(buf, "JPEG", quality=85)
+            page = buf.getvalue()
+        except Exception:
+            pass  # not a raster image (synthetic page): keep bytes as-is
+    except ImportError:
+        pass
+    return base64.b64encode(page)
+
+
 def validate_image_content(page: bytes, name: str):
     """'Is this image a resume?' — True / False / ValidationError.
 
     Reference: validate_image_content (validation_service.py:20-113). The
-    stand-in 'vision model' decodes the synthetic page and inspects content;
-    an undecodable page is a model failure → ValidationError (the reference
+    page goes through the M10 payload boundary (``build_vision_payload``)
+    exactly as the reference ships base64 JPEG to the vision model; the
+    stand-in 'vision model' decodes the payload and inspects content. An
+    undecodable page is a model failure → ValidationError (the reference
     maps exhausted/errored calls the same way, :111-113).
     """
+    import base64
+
+    payload = build_vision_payload(page)
     try:
-        text = decode_page_text(page)
+        text = decode_page_text(base64.b64decode(payload))
     except OcrDecodeError as e:
         return ValidationError(error=str(e))
     return _verdict_from_text(text, name)

@@ -87,3 +87,17 @@ def test_llm_analyze_deterministic():
     assert a.score is not None and 0.0 <= a.score <= 10.0
     s = L.analyze(text, None)
     assert s.seniority in ("Júnior", "Pleno", "Sênior")
+
+
+def test_vision_payload_m10_boundary():
+    """M10 analog: every validated page crosses a base64 payload boundary
+    (validation_service.py:31-45); for non-raster synthetic pages the
+    round-trip is the identity, so validator verdicts are unchanged."""
+    import base64
+
+    from resume_ocr_ray.core import media as M
+
+    page = b"\x01\x02synthetic-page-bytes\xff"
+    payload = M.build_vision_payload(page)
+    assert payload == base64.b64encode(page)  # no PIL in sandbox: pass-through
+    assert base64.b64decode(payload) == page
