@@ -69,11 +69,16 @@ class _Dom(HTMLParser):
         self.root = _Node("html")
         self.stack = [self.root]
         self.drop_depth = 0
+        self.drop_tag = None
         self.a_depth = 0
 
     def handle_starttag(self, tag, attrs):
         if self.drop_depth:
-            if tag not in _VOID_TAGS:
+            # count only SAME-TAG nesting: real crawl HTML leaves <li>/<p>/
+            # <td> unclosed inside nav/header blocks, and counting every
+            # start tag would leave drop_depth > 0 after the boilerplate
+            # element closes — silently discarding the rest of the page
+            if tag == self.drop_tag:
                 self.drop_depth += 1
             return
         marks = " ".join(v or "" for k, v in attrs if k in ("class", "id"))
@@ -81,6 +86,7 @@ class _Dom(HTMLParser):
             if tag in _VOID_TAGS:
                 return
             self.drop_depth = 1
+            self.drop_tag = tag
             return
         if tag == "a":
             self.a_depth += 1
@@ -93,8 +99,10 @@ class _Dom(HTMLParser):
 
     def handle_endtag(self, tag):
         if self.drop_depth:
-            if tag not in _VOID_TAGS:
+            if tag == self.drop_tag:
                 self.drop_depth -= 1
+                if self.drop_depth == 0:
+                    self.drop_tag = None
             return
         if tag == "a":
             self.a_depth = max(0, self.a_depth - 1)

@@ -60,10 +60,19 @@ class ValidationError:
 # page image codec
 # ---------------------------------------------------------------------------
 
+#: module-level keystream cache: grown on demand, SLICED per call so the
+#: hot per-page decode path never re-allocates the key (review finding:
+#: a per-engine copy existed but was never read)
+_KEY_CACHE = np.resize(_KEY_ARR, 1 << 16)
+
+
 def _xor(data: bytes) -> bytes:
+    global _KEY_CACHE
     arr = np.frombuffer(data, dtype=np.uint8)
-    key = np.resize(_KEY_ARR, arr.shape[0])
-    return (arr ^ key).tobytes()
+    n = arr.shape[0]
+    if n > _KEY_CACHE.shape[0]:
+        _KEY_CACHE = np.resize(_KEY_ARR, n)
+    return (arr ^ _KEY_CACHE[:n]).tobytes()
 
 
 def render_page(text: str, noise_seed: int) -> bytes:
@@ -124,9 +133,9 @@ class OcrEngine:
 
     def __init__(self, lang: str = "por+eng"):
         self.lang = lang
-        # Simulated engine bring-up: materialize the decode keystream at a
-        # useful length once so per-call XORs reuse it.
-        self._key = np.resize(_KEY_ARR, 1 << 16)
+        # Simulated engine bring-up: warm the module keystream cache so the
+        # first decodes on this worker don't pay the allocation.
+        _xor(b"\x00" * 1024)
 
     def image_to_string(self, page: bytes) -> str:
         if self.COST_MS > 0:
@@ -202,6 +211,8 @@ def decode_media(payload: bytes) -> MediaDoc:
 
 def get_media_page(payload: bytes, page_no: int) -> bytes:
     """Slice out one page without decoding the rest (per-page explosion path)."""
+    if payload[:6] != MAGIC_MEDIA:  # same guard as every sibling decoder
+        raise ValueError("not a media payload")
     (hlen,) = struct.unpack("<I", payload[6:10])
     header = json.loads(payload[10 : 10 + hlen].decode("utf-8"))
     if page_no >= header["n_pages"]:

@@ -34,11 +34,23 @@ from .io import MediaStore
 
 
 def _fingerprint(path: str) -> str:
-    """Cheap content fingerprint: size + crc32 of the first 1 MiB."""
+    """Content fingerprint: size + streaming crc32 of the WHOLE file.
+
+    A head-only crc (first 1 MiB, the previous form) is blind to edits past
+    the first MiB of an equal-size shard — a resumed run would silently
+    serve stale results. Shards are a few MB, so the full pass costs ~ms;
+    at 100 TB the shard files are still individually bounded (the corpus
+    writer targets fixed shard sizes), so this stays O(shard), not O(job).
+    """
     size = os.path.getsize(path)
+    crc = 0
     with open(path, "rb") as f:
-        head = f.read(1 << 20)
-    return f"{size}-{zlib.crc32(head):08x}"
+        while True:
+            chunk = f.read(1 << 20)
+            if not chunk:
+                break
+            crc = zlib.crc32(chunk, crc)
+    return f"{size}-{crc:08x}"
 
 
 def _manifest_path(out_dir: str, part_id: str) -> str:
@@ -84,16 +96,19 @@ def run_checkpointed(
     )
     summary = {"processed": [], "skipped": [], "total_docs": 0, "total_errors": 0}
     done = 0
+    media_id = store.identity() if hasattr(store, "identity") else None
     for shard in shards:
         part_id = os.path.splitext(shard)[0]
         in_path = os.path.join(docs_dir, shard)
         fp = _fingerprint(in_path)
         m = load_manifest(out_dir, part_id)
-        # skip only when input AND job params match — a committed shard from a
-        # different query/analyzed mode must be re-run, not silently mixed in
+        # skip only when input AND media AND job params match — a committed
+        # shard from a different query/analyzed mode or regenerated media
+        # sidecar must be re-run, not silently mixed in
         if (
             m is not None
             and m.get("input_fingerprint") == fp
+            and m.get("media_id") == media_id
             and m.get("analyzed") == analyzed
             and m.get("query") == query
         ):
@@ -144,6 +159,7 @@ def run_checkpointed(
             "part_id": part_id,
             "input_path": in_path,
             "input_fingerprint": fp,
+            "media_id": media_id,
             "rows_in": rows_in,
             "rows_out": rows_out,
             "n_errors": n_errors,

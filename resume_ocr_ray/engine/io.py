@@ -157,14 +157,25 @@ def ensure_derived_corpus(sf_dir: str, repeat: int = 2,
     if os.path.exists(done_marker):
         return docs_dir, media_dir
     src = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    tmp = cache + ".__tmp__"
+    # PER-PROCESS tmp dir: two concurrent generators (e.g. bench + a driver)
+    # must never rmtree/write the same staging dir — the loser's finished
+    # tree is simply discarded below
+    tmp = f"{cache}.__tmp__{os.getpid()}"
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
     write_derived_corpus_parallel(src, repeat, tmp, rows_per_shard)
+    os.makedirs(DERIVED_CACHE_ROOT, exist_ok=True)
+    if os.path.exists(done_marker):  # another process won the race
+        shutil.rmtree(tmp)
+        return docs_dir, media_dir
     if os.path.isdir(cache):
         shutil.rmtree(cache)
-    os.makedirs(DERIVED_CACHE_ROOT, exist_ok=True)
-    os.replace(tmp, cache)
+    try:
+        os.replace(tmp, cache)
+    except OSError:
+        # concurrent winner re-created the cache between rmtree and replace
+        shutil.rmtree(tmp, ignore_errors=True)
+        return docs_dir, media_dir
     with open(done_marker, "w") as f:
         f.write("ok")
     return docs_dir, media_dir
@@ -284,6 +295,22 @@ class MediaStore:
         import ray
 
         return _ArrowLookup(ray.get(self.table_ref))
+
+    def identity(self) -> str:
+        """Stable content identity for checkpoint manifests (in-memory
+        broadcast store: hash of refs + payload sizes — cheap, no payload
+        scan)."""
+        import zlib as _zlib
+
+        import ray
+
+        t = ray.get(self.table_ref)
+        crc = 0
+        for ref in t.column("media_ref").to_pylist():
+            crc = _zlib.crc32(ref.encode(), crc)
+        sizes = pa.compute.binary_length(t.column("payload")).to_pylist()
+        crc = _zlib.crc32(repr(sizes).encode(), crc)
+        return f"mem-{t.num_rows}-{crc:08x}"
 
 
 class _MediaShardRegistry:
@@ -412,6 +439,19 @@ class ShardedParquetMediaStore:
         import ray
 
         return ray.get(self.meta_ref)
+
+    def identity(self) -> str:
+        """Stable content identity for checkpoint manifests: shard file
+        names + sizes (media shards are write-once; a regenerated corpus
+        changes sizes, so a resume against swapped media re-runs)."""
+        import zlib as _zlib
+
+        crc = 0
+        for p in self.shard_paths:
+            crc = _zlib.crc32(
+                f"{os.path.basename(p)}:{os.path.getsize(p)}".encode(), crc
+            )
+        return f"dir-{len(self.shard_paths)}-{crc:08x}"
 
     def get_lookup(self) -> _ShardedLookup:
         from ..common import cached_broadcast

@@ -2,7 +2,10 @@
 
     python -m resume_ocr_ray.engine.job \
         --input /path/corpus --out /tmp/out [--query "..."] [--analyzed] \
-        [--num-cpus 32] [--resume]
+        [--num-cpus 32]
+
+Resume is implicit: re-running against the same --out skips shards whose
+manifest matches (input fingerprint + media identity + job params).
 
 Replaces the reference's HTTP request lifecycle (app/routers/analysis.py:416):
 form/file validation → job-config validation here; the per-request Mongo audit

@@ -102,7 +102,16 @@ def _explode_batch(batch: pa.Table, meta: dict) -> pa.Table:
         unit = np.full(n, U_TEXT, dtype=object)
         n_pages = np.ones(n, dtype=np.int32)
         kinds = f_kind.to_numpy(zero_copy_only=False)
-        media_idx = np.nonzero(kinds == S.KIND_MEDIA)[0]
+        # span position within its doc: the stitcher groups on this (offsets
+        # may legally repeat; the oracle emits one span per INPUT span)
+        counts = n_spans.to_numpy(zero_copy_only=False).astype(np.int64)
+        par = parent.to_numpy(zero_copy_only=False)
+        firsts = np.concatenate(([0], np.cumsum(counts)[:-1])) if counts.size else counts
+        span_idx = (np.arange(n, dtype=np.int64) - firsts[par]).astype(np.int32)
+        # parity with the oracle (extract.py:178): kind == 'text' is a text
+        # span; EVERYTHING else takes the media path (an unknown kind with a
+        # dangling ref becomes ERR_BAD_REF on both sides)
+        media_idx = np.nonzero(kinds != S.KIND_TEXT)[0]
         if media_idx.size:
             refs = f_ref.to_numpy(zero_copy_only=False)
             get = meta.get
@@ -131,6 +140,7 @@ def _explode_batch(batch: pa.Table, meta: dict) -> pa.Table:
             "text": pc.take(f_text, take_idx),
             "media_ref": pc.take(f_ref, take_idx),
             "unit": pa.array(u, type=pa.string()),
+            "span_idx": pa.array(span_idx[idx]),
             "page_no": pa.array(page_no),
             "n_pages": pc.take(pa.array(n_pages), take_idx),
             "n_spans": pc.take(f_nspans, take_idx).cast(pa.int32()),
@@ -151,6 +161,7 @@ def _explode_batch(batch: pa.Table, meta: dict) -> pa.Table:
                     "text": pa.array([""] * ne),
                     "media_ref": pa.array([""] * ne),
                     "unit": pa.array([U_EMPTY_DOC] * ne),
+                    "span_idx": pa.array(np.zeros(ne, dtype=np.int32)),
                     "page_no": pa.array(np.full(ne, -3, dtype=np.int32)),
                     "n_pages": pa.array(np.zeros(ne, dtype=np.int32)),
                     "n_spans": pa.array(np.zeros(ne, dtype=np.int32)),
@@ -288,10 +299,10 @@ class OcrStage:
 
 def _stitch_rows(doc_id: str, rows: list):
     """Reassemble one document from its unit rows (already sorted by
-    (offset, page_no)). Returns (spans_out, error).
+    (offset, span_idx, page_no)). Returns (spans_out, error).
 
-    Order comes from the (offset, page_no) DATA columns — execution order is
-    never trusted. First error in (offset, page) order rejects the document,
+    Order comes from the (offset, span_idx, page_no) DATA columns —
+    execution order is never trusted. First error in (offset, page) order rejects the document,
     which equals the reference's sequential early-exit (ocr_service.py:94-117).
     """
     from itertools import groupby as it_groupby
@@ -301,14 +312,18 @@ def _stitch_rows(doc_id: str, rows: list):
 
     n_spans = rows[0]["n_spans"]
     spans_out = []
-    seen_offsets = 0
-    for offset, rs in it_groupby(rows, key=lambda r: r["offset"]):
+    seen_spans = 0
+    # group by span_idx, NOT offset: offsets may legally repeat within a
+    # doc, and the oracle emits one output span per input span (a stable
+    # sort keeps equal-offset spans in input order on both sides)
+    for _sidx, rs in it_groupby(rows, key=lambda r: r["span_idx"]):
         rs = list(rs)
-        seen_offsets += 1
+        seen_spans += 1
         err_row = next((r for r in rs if r["error"] is not None), None)
         if err_row is not None:
             return [], err_row["error"]
         r0 = rs[0]
+        offset = r0["offset"]
         if r0["unit"] == U_TEXT:
             spans_out.append(
                 {"kind": S.KIND_TEXT, "text": r0["out_text"], "media_ref": "",
@@ -332,10 +347,10 @@ def _stitch_rows(doc_id: str, rows: list):
                 {"kind": S.KIND_MEDIA, "text": text,
                  "media_ref": r0["media_ref"], "offset": offset}
             )
-    if seen_offsets != n_spans:
+    if seen_spans != n_spans:
         raise RuntimeError(
             f"stitch lineage violation: doc {doc_id} expected {n_spans} spans, "
-            f"got {seen_offsets}"
+            f"got {seen_spans}"
         )
     return spans_out, None
 
@@ -343,7 +358,8 @@ def _stitch_rows(doc_id: str, rows: list):
 def stitch_group(group: pa.Table) -> pa.Table:
     """groupby(doc_id).map_groups reducer form (one doc per call)."""
     rows = group.sort_by(
-        [("offset", "ascending"), ("page_no", "ascending")]
+        [("offset", "ascending"), ("span_idx", "ascending"),
+         ("page_no", "ascending")]
     ).to_pylist()
     doc_id = rows[0]["doc_id"]
     spans_out, error = _stitch_rows(doc_id, rows)
@@ -362,7 +378,8 @@ def stitch_block(batch: pa.Table) -> pa.Table:
             {"doc_id": [], "spans_out": [], "error": []}, schema=S.EXTRACTED_SCHEMA
         )
     rows = batch.sort_by(
-        [("doc_id", "ascending"), ("offset", "ascending"), ("page_no", "ascending")]
+        [("doc_id", "ascending"), ("offset", "ascending"),
+         ("span_idx", "ascending"), ("page_no", "ascending")]
     ).to_pylist()
     out_ids, out_spans, out_err = [], [], []
     from itertools import groupby as it_groupby

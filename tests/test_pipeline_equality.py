@@ -228,3 +228,63 @@ def test_html_unit_matches_oracle(ray_session):
         assert ka == ke, e["doc_id"]
         n_err += e["error"] is not None
     assert 0 < n_err < len(expected)  # both arms exercised
+
+
+def test_duplicate_offsets_match_oracle(ray_session):
+    """Two spans at the SAME offset: the oracle emits both (stable sort);
+    the stitcher must group by span position, not offset (review finding —
+    grouping by offset collapsed them and raised a lineage violation)."""
+    from resume_ocr_ray.core import schema as S
+
+    docs = pa.Table.from_pydict(
+        {
+            "doc_id": ["dup-1"],
+            "spans": [[
+                {"kind": "text", "text": "primeiro span", "media_ref": "",
+                 "offset": 0},
+                {"kind": "text", "text": "segundo span mesmo offset",
+                 "media_ref": "", "offset": 0},
+                {"kind": "text", "text": "terceiro", "media_ref": "",
+                 "offset": 7},
+            ]],
+        },
+        schema=S.DOCUMENTS_SCHEMA,
+    )
+    media = pa.Table.from_pydict(
+        {"media_ref": [], "payload": [], "media_kind": [], "n_pages": []},
+        schema=S.MEDIA_SCHEMA,
+    )
+    expected = extract.extract_table(docs, {})
+    actual = _run_pipeline(docs, media, stitch="groupby")
+    e, a = expected.to_pylist()[0], actual.to_pylist()[0]
+    assert e["error"] is None and a["error"] is None
+    assert len(e["spans_out"]) == 3
+    assert _span_key(a["spans_out"]) == _span_key(e["spans_out"])
+
+
+def test_unknown_kind_matches_oracle(ray_session):
+    """A span whose kind is neither 'text' nor 'media' takes the media path
+    on BOTH sides (oracle: everything != 'text' resolves the ref); with a
+    dangling ref both reject the doc with the same error."""
+    from resume_ocr_ray.core import schema as S
+
+    docs = pa.Table.from_pydict(
+        {
+            "doc_id": ["uk-1"],
+            "spans": [[
+                {"kind": "Text", "text": "capitalized kind", "media_ref": "",
+                 "offset": 0},
+            ]],
+        },
+        schema=S.DOCUMENTS_SCHEMA,
+    )
+    media = pa.Table.from_pydict(
+        {"media_ref": [], "payload": [], "media_kind": [], "n_pages": []},
+        schema=S.MEDIA_SCHEMA,
+    )
+    expected = extract.extract_table(docs, {})
+    actual = _run_pipeline(docs, media, stitch="groupby")
+    e, a = expected.to_pylist()[0], actual.to_pylist()[0]
+    assert e["error"] is not None
+    assert a["error"] == e["error"]
+    assert a["spans_out"] == e["spans_out"] == []
