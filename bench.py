@@ -113,7 +113,7 @@ def _steal_pct(s0, s1) -> dict:
     return {
         "steal_pct": round(100 * d[7] / tot, 1),
         "idle_pct": round(100 * d[3] / tot, 1),
-        "busy_cores": round(32 * busy / tot, 1),
+        "busy_cores": round((os.cpu_count() or 32) * busy / tot, 1),
     }
 
 

@@ -57,3 +57,21 @@ def cached_broadcast(obj_ref):
     if key not in _CACHE:
         _CACHE[key] = ray.get(obj_ref)
     return _CACHE[key]
+
+
+def horner_shingles(crcs, window: int, base) -> "np.ndarray":
+    """Rolling word-shingle hashes: a numpy Horner scheme over a token-crc
+    array — ``window`` vectorized passes instead of one string join + hash
+    per shingle. Shared by the winnowing fingerprint (ops/text.py) and the
+    MinHash signature (ops/dedup.py) so the kernel and its overflow
+    semantics (uint64 wraparound) cannot drift apart. ``crcs`` must be a
+    non-empty uint64 array."""
+    import numpy as np
+
+    w = min(window, len(crcs))
+    n_win = len(crcs) - w + 1
+    h = np.zeros(n_win, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(w):
+            h = h * base + crcs[j : j + n_win]
+    return h

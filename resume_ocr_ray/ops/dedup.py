@@ -96,6 +96,8 @@ class MinHashStage:
         shingle hash is a numpy Horner scheme over the token-crc array —
         ``shingle`` vector passes instead of one string join + crc32 per
         shingle (~5× fewer Python-level hash calls on real text)."""
+        from ..common import horner_shingles
+
         toks = self.token.findall((text or "").lower())
         if not toks:
             hv = np.zeros(1, dtype=np.uint64)
@@ -104,12 +106,7 @@ class MinHashStage:
                 (zlib.crc32(t.encode()) for t in toks), dtype=np.uint64,
                 count=len(toks),
             )
-            w = min(self.shingle, len(crcs))
-            n_win = len(crcs) - w + 1
-            h = np.zeros(n_win, dtype=np.uint64)
-            with np.errstate(over="ignore"):
-                for j in range(w):  # w (=5) vectorized passes
-                    h = h * self._SH_BASE + crcs[j : j + n_win]
+            h = horner_shingles(crcs, self.shingle, self._SH_BASE)
             hv = np.unique(h)  # distinct shingles, like the set() before
         # (a*x + b) mod p for all perms × shingles, take min per perm
         vals = (self.a[:, None] * hv[None, :] + self.b[:, None]) % _MERSENNE
@@ -597,7 +594,15 @@ def _cosine_bucket_pairs(g: pd.DataFrame, threshold: float,
     ids = g["vec_id"].to_numpy()
     mat = np.asarray(g["embedding"].tolist(), dtype=np.float32)
     if len(ids) < 2:
-        return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        # typed empty frame: untyped [] columns default a/b to float64 and
+        # clash with the int64 ids of non-empty buckets at schema unification
+        return pd.DataFrame(
+            {
+                "a": pd.Series([], dtype=ids.dtype),
+                "b": pd.Series([], dtype=ids.dtype),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     mat = mat / np.maximum(norms, 1e-9)
     if len(ids) > max_bucket:

@@ -139,6 +139,15 @@ def events_hourly(events_ds):
     )
 
 
+def _floored_mod(col, parts: int):
+    """Arrow floored modulo (Arrow integer divide truncates toward zero;
+    pandas ``%`` floors — a sign mismatch routes the two sides of one key
+    to different cogroups and silently drops matches). Shared by every
+    Arrow-side partition tag that must agree with a pandas-side ``%``."""
+    tm = pc.subtract(col, pc.multiply(pc.divide(col, parts), pa.scalar(parts)))
+    return pc.cast(pc.if_else(pc.less(tm, 0), pc.add(tm, parts), tm), pa.int32())
+
+
 def _round_window(df: pd.DataFrame) -> pd.DataFrame:
     df["n_events"] = df["n_events"].astype("int64")
     df["sum_value"] = df["sum_value"].round(4)
@@ -153,6 +162,14 @@ def events_sliding(events_ds, window_min: int = 60, slide_min: int = 30):
     across the shuffle is windows-per-event × keys, not raw events."""
     from ray.data.aggregate import Sum
 
+    if window_min % slide_min != 0:
+        # the fixed windows-per-event enumeration below is only exact when
+        # the slide divides the window (otherwise membership count varies
+        # per event) — reject loudly rather than under-count silently
+        raise ValueError(
+            f"events_sliding requires slide_min to divide window_min "
+            f"(got window={window_min}, slide={slide_min})"
+        )
     n_windows = window_min // slide_min
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -755,19 +772,7 @@ def shuffle_join_revenue(orders_ds, lineitem_ds, parts: int = 64):
 
     def _ord_side(b: pa.Table) -> pa.Table:
         n = b.num_rows
-        # Arrow integer divide truncates toward zero; pandas % floors. Shift
-        # negative remainders so BOTH sides use floored modulo — a sign
-        # mismatch would route the two sides of one key to different
-        # cogroups and silently drop the match
-        tm = pc.subtract(
-            b.column("o_orderkey"),
-            pc.multiply(
-                pc.divide(b.column("o_orderkey"), parts), pa.scalar(parts)
-            ),
-        )
-        part = pc.cast(
-            pc.if_else(pc.less(tm, 0), pc.add(tm, parts), tm), pa.int32()
-        )
+        part = _floored_mod(b.column("o_orderkey"), parts)
         return pa.table(
             {
                 "part": part,
@@ -897,15 +902,7 @@ def window_lag_gaps(orders_ds, parts: int = 64):
     partition because each customer's history is small."""
 
     def _tag(b: pa.Table) -> pa.Table:
-        part = pc.cast(
-            pc.subtract(
-                b.column("o_custkey"),
-                pc.multiply(
-                    pc.divide(b.column("o_custkey"), parts), pa.scalar(parts)
-                ),
-            ),
-            pa.int32(),
-        )
+        part = _floored_mod(b.column("o_custkey"), parts)
         return pa.table(
             {
                 "part": part,
@@ -961,7 +958,17 @@ def exact_quantile(ds, col: str, ps=(0.5, 0.95, 0.99), bins: int = 8192):
     from ray.data.aggregate import Max, Min, Sum
 
     mm = ds.aggregate(Min(col), Max(col))
-    lo, hi = float(mm[f"min({col})"]), float(mm[f"max({col})"])
+    lo_raw, hi_raw = mm[f"min({col})"], mm[f"max({col})"]
+    if lo_raw is None or hi_raw is None:  # empty input (or all-null column)
+        return pd.DataFrame(
+            {"p": pd.Series(list(ps), dtype="float64"),
+             "value": pd.Series([np.nan] * len(ps), dtype="float64")}
+        )
+    lo, hi = float(lo_raw), float(hi_raw)
+    if not (np.isfinite(lo) and np.isfinite(hi)):
+        # NaN/inf poison the bin arithmetic silently — fail loudly (the
+        # sketch sibling filters NaN; exact semantics must not guess)
+        raise ValueError(f"exact_quantile: non-finite domain [{lo}, {hi}]")
     width = (hi - lo) / bins or 1.0
 
     def _hist(b: pa.Table) -> pa.Table:

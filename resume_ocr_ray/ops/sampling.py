@@ -82,19 +82,24 @@ def train_split(docs_ds):
     )
 
 
-def mixture_sample(docs_ds, weights=MIX_WEIGHTS):
+def mixture_sample(docs_ds, weights=MIX_WEIGHTS, default_keep: float = 0.0):
     """Weighted per-language downsampling with a salted stable hash
     (salt 'mix:' decorrelates it from the split hash). One streamed
     filter pass; the weights table is a handful of bytes shipped by
-    closure capture — the degenerate broadcast join."""
+    closure capture — the degenerate broadcast join.
 
+    Languages ABSENT from ``weights`` keep ``default_keep`` of their docs
+    (default 0.0 = dropped entirely — the data-mixing convention where the
+    weights table IS the mixture spec; pass default_keep=1.0 to pass
+    unknown languages through)."""
+    default_thr = f"{int(default_keep * 0xFFFFFFFF):08x}"
     thresholds = {k: t for k, (t, _w) in weights.items()}
 
     def _keep(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
         langs = b.column("lang").to_numpy(zero_copy_only=False)
         h = _hash_prefix(ids, "mix:")
-        thr = np.array([thresholds.get(l, "00000000") for l in langs],
+        thr = np.array([thresholds.get(l, default_thr) for l in langs],
                        dtype=object)
         return b.filter(pa.array(h < thr))
 

@@ -152,14 +152,23 @@ def heavy_hitters(docs_ds, ppm: int = 2000, capacity: int = 4096):
         else:
             err = 0
         # batch totals ride on the first summary row (0 elsewhere) so the
-        # driver recovers Σ tokens / Σ err with one column sum
-        lead = lambda x: [x] + [0] * (len(vc) - 1) if len(vc) else []
+        # driver recovers Σ tokens / Σ err with one column sum. A summary
+        # can clip to EMPTY (uniform batch: every residual hits 0) — emit a
+        # sentinel row ('' can never be an [a-z]+ token) so the batch's
+        # token total and error bound are never silently dropped from the
+        # threshold/guard arithmetic.
+        words_out = vc.index.to_list()
+        residuals = vc.to_numpy(np.int64).tolist()
+        if not words_out:
+            words_out, residuals = [""], [0]
+        lead = [total] + [0] * (len(words_out) - 1)
+        lead_err = [err] + [0] * (len(words_out) - 1)
         return pa.table(
             {
-                "word": pa.array(vc.index.to_list(), type=pa.string()),
-                "residual": pa.array(vc.to_numpy(np.int64)),
-                "batch_tokens": pa.array(lead(total), type=pa.int64()),
-                "err": pa.array(lead(err), type=pa.int64()),
+                "word": pa.array(words_out, type=pa.string()),
+                "residual": pa.array(residuals, type=pa.int64()),
+                "batch_tokens": pa.array(lead, type=pa.int64()),
+                "err": pa.array(lead_err, type=pa.int64()),
             }
         )
 

@@ -125,23 +125,19 @@ def fingerprint(batch: pa.Table, window: int = _FP_WINDOW) -> pa.Table:
     PYTHONHASHSEED dependence) — usable as a dedup/shard-routing key."""
     import zlib
 
+    from ..common import horner_shingles
+
     texts = batch.column("text").to_pylist()
     out = np.empty(len(texts), dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for i, t in enumerate(texts):
-            toks = (t or "").split()
-            if not toks:
-                out[i] = 0
-                continue
-            arr = np.fromiter(
-                (zlib.crc32(w.encode()) for w in toks), dtype=np.uint64, count=len(toks)
-            )
-            w = min(window, len(arr))
-            n_win = len(arr) - w + 1
-            h = np.zeros(n_win, dtype=np.uint64)
-            for j in range(w):  # w (=8) vectorized passes, Horner scheme
-                h = h * _FP_BASE + arr[j : j + n_win]
-            out[i] = h.min()
+    for i, t in enumerate(texts):
+        toks = (t or "").split()
+        if not toks:
+            out[i] = 0
+            continue
+        arr = np.fromiter(
+            (zlib.crc32(w.encode()) for w in toks), dtype=np.uint64, count=len(toks)
+        )
+        out[i] = horner_shingles(arr, window, _FP_BASE).min()
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),

@@ -759,3 +759,21 @@ def test_bloom_semi_join_empty_priority(ray_session):
         rd.from_arrow(li), rd.from_arrow(orders), priority="5-LOW"
     ).to_pandas()
     assert len(out) == 0
+
+
+def test_heavy_hitters_uniform_batches_keep_totals(ray_session):
+    """A batch whose MG summary clips to EMPTY (uniform counts) must still
+    contribute its token total/error to the threshold arithmetic."""
+    import ray.data as rd
+    from resume_ocr_ray.ops import sketch as SK
+
+    # each row = a batch of all-distinct words -> summary clips empty at
+    # capacity 2; 'hh' dominates only ACROSS rows
+    rows = [
+        f"{c}one {c}two {c}three {c}four hh"
+        for c in "abcdefghijklmnopqrst"
+    ]
+    ds = rd.from_arrow(pa.table({"text": rows})).repartition(20)
+    out = SK.heavy_hitters(ds, ppm=150_000, capacity=2).to_pandas()
+    got = dict(zip(out["word"], out["n"]))
+    assert got.get("hh") == 20, got  # 20/100 tokens = 200k ppm >= 150k
