@@ -40,12 +40,51 @@ HAVE_LANCE = importlib.util.find_spec("lance") is not None
 
 
 def read_documents(path: str):
-    """Dataset of (doc_id, spans) from a file/dir (lance → parquet fallback)."""
+    """Dataset of (doc_id, spans) from a file/dir, format-sniffed by suffix:
+    .lance (when the lance package is importable), .csv, .json/.jsonl, else
+    parquet. CSV/JSONL carry spans as a JSON-encoded string column (the flat
+    interchange form other tools emit); they are parsed back to the Arrow
+    list<struct> spans schema in one vectorized map_batches pass."""
     import ray.data as rd
 
-    if HAVE_LANCE and str(path).endswith(".lance"):
+    p = str(path)
+    if HAVE_LANCE and p.endswith(".lance"):
         return rd.read_lance(path)
+    if p.endswith(".csv"):
+        return _parse_span_strings(rd.read_csv(path))
+    if p.endswith((".json", ".jsonl")):
+        return _parse_span_strings(rd.read_json(path))
     return rd.read_parquet(path)
+
+
+def _parse_span_strings(ds):
+    """spans-as-JSON-string column → the canonical list<struct> schema."""
+    import json as _json
+
+    from ..core import schema as S
+
+    def _parse(b: pa.Table) -> pa.Table:
+        spans_col = b.column("spans")
+        if pa.types.is_list(spans_col.type):  # already structured
+            return b
+        spans = [
+            _json.loads(s) if s else [] for s in spans_col.to_pylist()
+        ]
+        return pa.Table.from_pydict(
+            {"doc_id": b.column("doc_id").cast(pa.string()), "spans": spans},
+            schema=S.DOCUMENTS_SCHEMA,
+        )
+
+    return ds.map_batches(_parse, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_partitioned(ds, out_dir: str, by: str):
+    """Partitioned parquet sink (one directory per ``by`` value via Ray's
+    native hive-style ``partition_cols``): the resumable-output layout — a
+    failed downstream consumer re-reads only the partitions it needs, and
+    re-runs can skip finished partitions."""
+    ds.write_parquet(out_dir, partition_cols=[by])
+    return out_dir
 
 
 def read_documents_sharded(docs_dir: str, min_blocks: int | None = None):

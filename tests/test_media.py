@@ -101,3 +101,61 @@ def test_vision_payload_m10_boundary():
     payload = M.build_vision_payload(page)
     assert payload == base64.b64encode(page)  # no PIL in sandbox: pass-through
     assert base64.b64decode(payload) == page
+
+
+def test_read_documents_jsonl_and_csv_round_trip(ray_session, tmp_path):
+    """Format-sniffed sources: a JSONL/CSV documents table (spans as a JSON
+    string column) parses back to the canonical schema and extracts
+    identically to the parquet path."""
+    import json
+
+    import pandas as pd
+
+    from resume_ocr_ray.core import corpus, extract
+    from resume_ocr_ray.engine import io as EIO
+    from resume_ocr_ray.engine import pipeline as P
+
+    docs, media = corpus.generate_corpus(12, seed=9)
+    flat = pd.DataFrame(
+        {
+            "doc_id": docs.column("doc_id").to_pylist(),
+            "spans": [json.dumps(s) for s in docs.column("spans").to_pylist()],
+        }
+    )
+    jl = tmp_path / "docs.jsonl"
+    flat.to_json(jl, orient="records", lines=True)
+    cv = tmp_path / "docs.csv"
+    flat.to_csv(cv, index=False)
+
+    lookup = dict(
+        zip(media.column("media_ref").to_pylist(),
+            media.column("payload").to_pylist())
+    )
+    expected = {r["doc_id"]: r for r in extract.extract_table(docs, lookup).to_pylist()}
+    store = EIO.MediaStore.from_table(media)
+    for path in (str(jl), str(cv)):
+        ds = P.extraction_pipeline(
+            EIO.read_documents(path), store, batch_size=16, ocr_concurrency=1,
+        )
+        got = {r["doc_id"]: r for r in ds.to_pandas().to_dict("records")}
+        assert set(got) == set(expected), path
+        for d, e in expected.items():
+            assert got[d]["error"] == e["error"], (path, d)
+
+
+def test_write_partitioned_sink(ray_session, tmp_path):
+    import os
+
+    import ray.data as rd
+
+    from resume_ocr_ray.engine import io as EIO
+
+    import pyarrow as pa
+
+    t = pa.table({"doc_id": [1, 2, 3, 4], "lang": ["en", "pt", "en", "de"],
+                  "x": [1.0, 2.0, 3.0, 4.0]})
+    out = EIO.write_partitioned(rd.from_arrow(t), str(tmp_path / "p"), by="lang")
+    parts = sorted(d for d in os.listdir(out) if d.startswith("lang="))
+    assert parts == ["lang=de", "lang=en", "lang=pt"]
+    back = rd.read_parquet(out).to_pandas()
+    assert len(back) == 4
