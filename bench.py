@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "boilerplate_gate",
     "neardup_pairs",
+    "grouped_p95",
 ]
 
 

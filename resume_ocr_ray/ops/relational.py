@@ -583,15 +583,24 @@ def anti_join_customers_orders(customer_ds, orders_ds,
 
 def group_median(ds, group_col: str = "l_returnflag",
                  val_col: str = "l_quantity"):
-    """EXACT distributed median per group without a global sort: per-batch
+    """EXACT distributed median per group — grouped_quantile at p=0.5."""
+    return grouped_quantile(
+        ds, group_col=group_col, val_col=val_col, p=0.5, out_col="median_qty"
+    )
+
+
+def grouped_quantile(ds, group_col: str = "l_returnflag",
+                     val_col: str = "l_quantity", p: float = 0.5,
+                     out_col: str = "p_value"):
+    """EXACT distributed per-group quantile without a global sort: per-batch
     value-counts combiner → small groupby on (group, value) → per-group
     interpolated quantile from the count histogram. Scales because only
     ``n_groups × n_distinct_values`` rows ever cross the shuffle (l_quantity
     has 50 distinct values), never the raw table — the standard trick for
     exact quantiles over low-cardinality value domains; for continuous
-    domains swap the combiner for a t-digest sketch.
+    domains swap the combiner for a t-digest/DDSketch (ops/sketch.py).
 
-    Interpolation matches SQL ``percentile_cont(0.5)``: rn = 0.5·(n−1),
+    Interpolation matches SQL ``percentile_cont(p)``: rn = p·(n−1),
     result = v[floor(rn)] + (v[ceil(rn)] − v[floor(rn)])·frac."""
     from ray.data.aggregate import Sum
 
@@ -606,7 +615,7 @@ def group_median(ds, group_col: str = "l_returnflag",
         c = g["cnt"].to_numpy(dtype=np.int64)
         v = g[val_col].to_numpy(dtype=np.float64)
         n = int(c.sum())
-        rn = 0.5 * (n - 1)
+        rn = p * (n - 1)
         lo, hi = int(np.floor(rn)), int(np.ceil(rn))
         cum = np.cumsum(c)
         lov = v[np.searchsorted(cum, lo, side="right")]
@@ -615,7 +624,7 @@ def group_median(ds, group_col: str = "l_returnflag",
         return pd.DataFrame(
             {
                 group_col: [g[group_col].iloc[0]],
-                "median_qty": [float(med)],
+                out_col: [float(med)],
                 "n_rows": pd.Series([n], dtype="int64"),
             }
         )

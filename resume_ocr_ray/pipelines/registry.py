@@ -246,6 +246,15 @@ def q_semi_join(sf_dir: str):
     )
 
 
+def q_grouped_p95(sf_dir: str):
+    """Per-group p95 (percentile_cont semantics) via the value-counts
+    combiner — the general form of group_median."""
+    return R.grouped_quantile(
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]),
+        p=0.95, out_col="p95_qty",
+    )
+
+
 def q_group_median(sf_dir: str):
     return R.group_median(_read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]))
 
@@ -812,6 +821,7 @@ def queries() -> dict:
         "anti_join": q_anti_join,
         "semi_join": q_semi_join,
         "group_median": q_group_median,
+        "grouped_p95": q_grouped_p95,
         "rollup_agg": q_rollup_agg,
         "shuffle_join": q_shuffle_join,
         "range_join": q_range_join,
@@ -1047,6 +1057,12 @@ def oracle_sql() -> dict:
             "SELECT l_returnflag, "
             "percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) "
             "AS median_qty, count(*) AS n_rows "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "grouped_p95": (
+            "SELECT l_returnflag, "
+            "percentile_cont(0.95) WITHIN GROUP (ORDER BY l_quantity) "
+            "AS p95_qty, count(*) AS n_rows "
             "FROM lineitem GROUP BY l_returnflag"
         ),
         "rollup_agg": (

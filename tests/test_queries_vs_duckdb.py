@@ -67,7 +67,7 @@ def test_all_queries_run(ray_session, registry):
         "hash_sample", "group_split", "redact_pii", "dup_phrases",
         "decontaminate", "cust_except", "html_main", "mode_lang",
         "section_flags", "user_intersect", "boilerplate_gate",
-        "ivf_full_probe", "neardup_pairs",
+        "ivf_full_probe", "neardup_pairs", "grouped_p95",
     ],
 )
 def test_query_matches_oracle(ray_session, registry, duck, name):
