@@ -38,6 +38,15 @@ TOP_K = 5
 MAX_MEDIA_BYTES = 10 * 1024 * 1024
 ERR_TOO_LARGE = "Arquivo {name} excede o tamanho máximo de 10MB."
 
+#: Request-level file-count cap (reference MAX_FILES = 20, constants.py:4;
+#: enforced at app/utils/utils.py:27-47 as a 400 on the whole request). The
+#: batch-job analog is the OPTIONAL ``--max-docs`` knob on engine.job: when
+#: set, the job refuses to start if the input corpus exceeds it (counted
+#: from parquet footers — no data scan). Unset by default: a fixed 20-doc
+#: ceiling is an HTTP-request constant, not a property of a 10^12-doc corpus.
+MAX_FILES = 20
+ERR_MAX_FILES = "Número máximo de arquivos excedido. O limite é {limit}."
+
 #: Allowed media kinds; anything else is the reference's unsupported-type
 #: error (app/services/ocr_service.py:126-127 maps extensions the same way).
 MEDIA_KIND_IMAGE = "image"

@@ -125,7 +125,10 @@ def run_checkpointed(
             ocr_concurrency=ocr_concurrency, batch_size=batch_size,
         )
         final_dir = os.path.join(out_dir, f"part={part_id}")
-        tmp_dir = final_dir + ".__tmp__"
+        # PER-PROCESS staging dir: two drivers sharing an out_dir (bench +
+        # pytest on the same sf_dir) must never rmtree each other's live
+        # staging mid-write; the commit remains the atomic os.replace below
+        tmp_dir = f"{final_dir}.__tmp__{os.getpid()}"
         if os.path.isdir(tmp_dir):
             import shutil
 
@@ -187,7 +190,7 @@ def read_output(out_dir: str):
     files = sorted(
         os.path.join(out_dir, d, f)
         for d in os.listdir(out_dir)
-        if d.startswith("part=") and not d.endswith(".__tmp__")
+        if d.startswith("part=") and ".__tmp__" not in d
         for f in os.listdir(os.path.join(out_dir, d))
         if f.endswith(".parquet")
     )

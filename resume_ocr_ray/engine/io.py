@@ -203,6 +203,12 @@ def ensure_derived_corpus(sf_dir: str, repeat: int = 2,
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
     write_derived_corpus_parallel(src, repeat, tmp, rows_per_shard)
+    # the marker is written INSIDE the tmp tree so marker and data become
+    # visible in the same atomic os.replace — a racing loser that passes the
+    # marker re-check below can then never observe renamed-data-without-
+    # marker and rmtree the winner's live cache
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        f.write("ok")
     os.makedirs(DERIVED_CACHE_ROOT, exist_ok=True)
     if os.path.exists(done_marker):  # another process won the race
         shutil.rmtree(tmp)
@@ -214,9 +220,6 @@ def ensure_derived_corpus(sf_dir: str, repeat: int = 2,
     except OSError:
         # concurrent winner re-created the cache between rmtree and replace
         shutil.rmtree(tmp, ignore_errors=True)
-        return docs_dir, media_dir
-    with open(done_marker, "w") as f:
-        f.write("ok")
     return docs_dir, media_dir
 
 
@@ -481,15 +484,26 @@ class ShardedParquetMediaStore:
 
     def identity(self) -> str:
         """Stable content identity for checkpoint manifests: shard file
-        names + sizes (media shards are write-once; a regenerated corpus
-        changes sizes, so a resume against swapped media re-runs)."""
+        names + sizes + a crc of each shard's parquet FOOTER bytes. The
+        footer carries row counts, column statistics and data-page offsets,
+        so a same-size content change in any shard (which names+sizes alone
+        would miss) still flips the identity and defeats a stale resume —
+        without scanning payload bytes."""
         import zlib as _zlib
 
         crc = 0
         for p in self.shard_paths:
-            crc = _zlib.crc32(
-                f"{os.path.basename(p)}:{os.path.getsize(p)}".encode(), crc
-            )
+            size = os.path.getsize(p)
+            crc = _zlib.crc32(f"{os.path.basename(p)}:{size}".encode(), crc)
+            with open(p, "rb") as f:
+                # parquet layout: ...footer | 4-byte footer_len | b"PAR1".
+                # Read footer_len, then crc the footer itself (KBs at most).
+                f.seek(max(0, size - 8))
+                tail = f.read(8)
+                if len(tail) == 8 and tail[4:] == b"PAR1":
+                    flen = int.from_bytes(tail[:4], "little")
+                    f.seek(max(0, size - 8 - flen))
+                    crc = _zlib.crc32(f.read(flen), crc)
         return f"dir-{len(self.shard_paths)}-{crc:08x}"
 
     def get_lookup(self) -> _ShardedLookup:

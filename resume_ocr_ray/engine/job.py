@@ -52,12 +52,39 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--request-id", default=str(uuid.uuid4()))
     p.add_argument("--user-id", default="graft")
+    p.add_argument(
+        "--max-docs", type=int, default=None,
+        help="refuse to start if the input corpus has more documents "
+             "(reference MAX_FILES request cap, app/config/constants.py:4 — "
+             "pass 20 for exact reference behavior; default: unlimited)",
+    )
     args = p.parse_args(argv)
 
     errors = validate_job_config(args)
     if errors:
         print(json.dumps({"status": "invalid", "errors": errors}))
         return 2
+
+    # M2 file-count cap as a job-level knob (reference utils.py:27-47 /
+    # constants.py:4): counted from parquet footers — no data scan
+    if args.max_docs is not None:
+        import pyarrow.parquet as _pq
+
+        docs_dir = os.path.join(args.input, "documents")
+        n_docs = sum(
+            _pq.ParquetFile(os.path.join(docs_dir, f)).metadata.num_rows
+            for f in os.listdir(docs_dir)
+            if f.endswith(".parquet")
+        )
+        if n_docs > args.max_docs:
+            from .. import config as C
+
+            print(json.dumps({
+                "status": "invalid",
+                "errors": [C.ERR_MAX_FILES.format(limit=args.max_docs)
+                           + f" (corpus: {n_docs})"],
+            }))
+            return 2
 
     # preflight (reference S4 health gate analog, database_service.py:21-58:
     # fail fast before any work): output path must be creatable/writable

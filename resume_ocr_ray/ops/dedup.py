@@ -48,13 +48,27 @@ def add_md5(batch: pa.Table, col: str = "text", out: str = "text_md5") -> pa.Tab
 
 def dedup_exact(docs_ds, key_fn=add_md5, key_col: str = "text_md5"):
     """Exact dedup: hash in map_batches, then one groupby(hash) keeping the
-    min doc_id per group (deterministic winner)."""
+    min doc_id per group (deterministic winner).
+
+    The hash pass is fused with a PER-BATCH partial (pyarrow group_by →
+    min doc_id), so at most one row per distinct hash per batch crosses the
+    groupby shuffle — on a duplicate-heavy corpus the shuffle carries the
+    distinct-hash count, not the row count."""
     from ray.data.aggregate import Min
 
-    hashed = docs_ds.map_batches(key_fn, batch_format="pyarrow", zero_copy_batch=True)
+    def partial(batch: pa.Table) -> pa.Table:
+        t = key_fn(batch).select([key_col, "doc_id"])
+        g = t.group_by(key_col).aggregate([("doc_id", "min")])
+        return g.select([key_col, "doc_id_min"]).rename_columns(
+            [key_col, "doc_id"]
+        )
+
+    hashed = docs_ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )
     return (
-        hashed.select_columns([key_col, "doc_id"])
-        .groupby(key_col)
+        hashed.groupby(key_col)
         .aggregate(Min("doc_id", alias_name="keep_doc_id"))
     )
 
@@ -263,8 +277,9 @@ def minhash_verified(docs_ds, *, threshold: float = 0.5, num_perm=64, bands=16,
     verdict #4). The join is a manual SALTED COGROUP — union of the two
     sides hash-partitioned on the key, one vectorized pandas merge per
     partition — because ``Dataset.join`` (2.49) breaks on the schema-less
-    empty blocks that sparse grouped ops emit. Verification then cogroups
-    per pair key (bounded: candidate pairs only).
+    empty blocks that sparse grouped ops emit. Verification runs per SALTED
+    pair partition (hash(a)⊕hash(b) % PAIR_SALT): one vectorized Python call
+    per partition — never one per candidate pair.
     """
     edges = _raw_band_pairs(docs_ds, num_perm=num_perm, bands=bands,
                             shingle=shingle, concurrency=concurrency,
@@ -304,11 +319,10 @@ def minhash_verified(docs_ds, *, threshold: float = 0.5, num_perm=64, bands=16,
         merge_part, batch_format="pandas"
     )
 
-    def pair_verify(g: pd.DataFrame) -> pd.DataFrame:
-        # per pair: n_bands collisions × 2 sides; texts keyed by side
-        a, b = g["a"].iloc[0], g["b"].iloc[0]
-        ta = g.loc[g["key"] == a, "text"]
-        tb = g.loc[g["key"] == b, "text"]
+    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
+        # one salted PARTITION of candidate pairs per Python call (round-2
+        # verdict #7: groupby(["a","b"]) paid one map_groups call per pair).
+        # Rows: one per (band collision × side), text joined per side.
         empty = pd.DataFrame(
             {"a": g["a"].iloc[:0], "b": g["b"].iloc[:0],
              "n_bands": pd.Series([], dtype="int64"),
@@ -316,21 +330,46 @@ def minhash_verified(docs_ds, *, threshold: float = 0.5, num_perm=64, bands=16,
              "n_union": pd.Series([], dtype="int64"),
              "jaccard": pd.Series([], dtype="float64")}
         )
-        if ta.empty or tb.empty:  # doc missing from the corpus side
+        if g.empty:
             return empty
-        i, u = jaccard_counts(
-            str(ta.iloc[0] or ""), str(tb.iloc[0] or ""), shingle
-        )
-        j = round(i / max(1, u), 6)
-        if j < threshold:
+        sides = g.drop_duplicates(["a", "b", "key"])
+        ta = sides.loc[sides["key"] == sides["a"], ["a", "b", "text"]]
+        tb = sides.loc[sides["key"] == sides["b"], ["a", "b", "text"]]
+        # a pair missing either side's text (doc absent from the corpus
+        # side) drops at this inner merge — same contract as before
+        m = ta.merge(tb, on=["a", "b"], suffixes=("_a", "_b"))
+        if m.empty:
+            return empty
+        nrows = g.groupby(["a", "b"]).size().rename("nrows")
+        m = m.merge(nrows, left_on=["a", "b"], right_index=True)
+        out_rows = []
+        for a, b, t_a, t_b, nr in m[
+            ["a", "b", "text_a", "text_b", "nrows"]
+        ].itertuples(index=False):
+            i, u = jaccard_counts(str(t_a or ""), str(t_b or ""), shingle)
+            j = round(i / max(1, u), 6)
+            if j >= threshold:
+                out_rows.append((a, b, int(nr) // 2, i, u, j))
+        if not out_rows:
             return empty
         return pd.DataFrame(
-            {"a": [a], "b": [b], "n_bands": [len(g) // 2],
-             "n_inter": [i], "n_union": [u], "jaccard": [j]}
+            out_rows,
+            columns=["a", "b", "n_bands", "n_inter", "n_union", "jaccard"],
         )
 
-    return joined.groupby(["a", "b"]).map_groups(
-        pair_verify, batch_format="pandas"
+    def add_ppart(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["ppart"] = (
+            (pd.util.hash_pandas_object(df["a"], index=False)
+             ^ pd.util.hash_pandas_object(df["b"], index=False))
+            % PAIR_SALT
+        ).astype("int32")
+        return df
+
+    return (
+        joined.map_batches(add_ppart, batch_format="pandas")
+        .groupby("ppart")
+        .map_groups(verify_part, batch_format="pandas")
     )
 
 
@@ -362,6 +401,12 @@ def jaccard(text_a: str, text_b: str, shingle: int = 5) -> float:
 # connected components (dedup cluster labels)
 # ---------------------------------------------------------------------------
 
+#: hash-partition fan-out for the connected-components cogroups — each
+#: map_groups call handles ~1/CC_PARTS of all keys/docs vectorized, never one
+#: Python call per key (round-2 verdict #2; sized like relational.SESSION_PARTS)
+CC_PARTS = 64
+
+
 def connected_components_labels(docs_ds, max_iters: int = 10):
     """Dedup-cluster labels via distributed min-label propagation.
 
@@ -370,17 +415,22 @@ def connected_components_labels(docs_ds, max_iters: int = 10):
     the exact components with a recursive CTE). Components = transitive
     closure; label = min doc_id in the component.
 
-    Dataflow per iteration (the classic alternating cogroup):
-      state rows (key, doc_id, label), 2 per doc →
-      groupby(key):   every row gets the KEY-group's min label →
-      groupby(doc_id): every row gets the DOC's min label across its keys.
+    Dataflow per iteration (alternating min propagation, all COARSE):
+      1. key-min:  ``groupby(key).aggregate(Min)`` — Ray's aggregate combines
+         PER BLOCK before the shuffle, so a hot key (one text duplicated
+         millions of times) contributes one partial row per block, never its
+         full row set, to the shuffle — the two-level partial-min.
+      2. write-back: state rows ∪ key-min rows hash-cogrouped on
+         ``hash(key) % CC_PARTS`` and merged with ONE vectorized pandas merge
+         per partition (a hot key's state rows do co-locate here — ~tens of
+         bytes/row, linear merge; the min itself was already two-level).
+      3. doc-min: cogroup on ``hash(doc_id) % CC_PARTS`` + per-partition
+         ``groupby(doc_id).transform("min")`` — doc groups are exactly
+         2 rows (md5 + prefix key), so no skew exists on this side.
     Labels only decrease, so Sum(label) is a monotone fixpoint detector —
     the driver loop stops when it stops changing (a tiny scalar aggregate
     per round; state is materialized per iteration like any iterative
-    algorithm). At 10^12 docs a mega-group (one text duplicated millions of
-    times) makes the key-group pandas frame large but the work stays linear
-    (min + assignment); the documented scale path is a two-level partial-min
-    for hot keys.
+    algorithm).
     """
     from ray.data.aggregate import Min, Sum
 
@@ -403,14 +453,41 @@ def connected_components_labels(docs_ds, max_iters: int = 10):
             }
         )
 
-    def key_min(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["label"] = g["label"].min()
-        return g
+    def _hpart(s: pd.Series) -> pd.Series:
+        return (
+            pd.util.hash_pandas_object(s, index=False) % CC_PARTS
+        ).astype("int32")
 
-    def doc_min(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["label"] = g["label"].min()
+    def tag_state(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["key", "doc_id", "label"]].copy()
+        df["is_min"] = np.int8(0)
+        df["part"] = _hpart(df["key"])
+        return df
+
+    def tag_kmin(df: pd.DataFrame) -> pd.DataFrame:
+        # doc_id is never read off min rows — label (itself a doc id) fills
+        # it so the union schema and dtypes match the state side exactly
+        df = df.rename(columns={"kmin": "label"})
+        df = df.assign(doc_id=df["label"], is_min=np.int8(1))
+        df["part"] = _hpart(df["key"])
+        return df[["key", "doc_id", "label", "is_min", "part"]]
+
+    def merge_kmin(g: pd.DataFrame) -> pd.DataFrame:
+        mins = g.loc[g["is_min"] == 1, ["key", "label"]].rename(
+            columns={"label": "kmin"}
+        )
+        rows = g.loc[g["is_min"] == 0, ["key", "doc_id", "label"]]
+        if rows.empty or mins.empty:
+            # co-hashing makes a min-less partition impossible unless the
+            # partition has no state rows at all — never drop state rows
+            return rows
+        m = rows.merge(mins, on="key")  # every state key has its min row
+        m["label"] = m["kmin"]
+        return m[["key", "doc_id", "label"]]
+
+    def doc_min_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["key", "doc_id", "label"]].copy()
+        g["label"] = g.groupby("doc_id")["label"].transform("min")
         return g
 
     state = docs_ds.map_batches(
@@ -419,9 +496,22 @@ def connected_components_labels(docs_ds, max_iters: int = 10):
     prev = None
     converged = False
     for _ in range(max_iters):
+        key_min = state.groupby("key").aggregate(
+            Min("label", alias_name="kmin")
+        )
+        tagged = state.map_batches(
+            tag_state, batch_format="pandas"
+        ).union(key_min.map_batches(tag_kmin, batch_format="pandas"))
+        after_key = tagged.groupby("part").map_groups(
+            merge_kmin, batch_format="pandas"
+        )
         state = (
-            state.groupby("key").map_groups(key_min, batch_format="pandas")
-            .groupby("doc_id").map_groups(doc_min, batch_format="pandas")
+            after_key.map_batches(
+                lambda df: df.assign(dpart=_hpart(df["doc_id"])),
+                batch_format="pandas",
+            )
+            .groupby("dpart")
+            .map_groups(doc_min_part, batch_format="pandas")
         ).materialize()
         sig = state.aggregate(Sum("label", alias_name="s"))["s"]
         if sig == prev:
@@ -670,7 +760,7 @@ def _empty_jaccard_frame() -> pd.DataFrame:
 
 
 def ngram_jaccard_pairs(docs_ds, prefix_n: int = 32, gram: int = 3,
-                        threshold: float = 0.8):
+                        threshold: float = 0.8, max_block: int = 1000):
     """Near-dup pairs with EXACT character-n-gram Jaccard similarity:
     candidate generation by prefix blocking (docs sharing their first
     ``prefix_n`` characters), verification by trigram-set Jaccard ≥
@@ -679,27 +769,43 @@ def ngram_jaccard_pairs(docs_ds, prefix_n: int = 32, gram: int = 3,
     family (the sketch-based members trade exactness for candidate recall
     at lower cost).
 
-    Shape: the shuffle carries (prefix_key, doc_id, text) once; pairwise
-    Jaccard runs per block, and blocks are near-dup families (small by
-    construction — a hot prefix is an exact-dup cluster, which exact dedup
-    should collapse first). Python's ``t[i:i+3]`` slices characters, matching
-    SQL ``substr(text, g, 3)`` semantics."""
+    Shape: the shuffle key is hash(prefix) % PAIR_SALT — each map_groups
+    call handles MANY prefix blocks with one vectorized prefilter (only
+    multi-member prefixes enter the pair loop), never one Python call per
+    prefix. A prefix block larger than ``max_block`` (a templated corpus's
+    hot prefix) falls back to STAR comparison against the block's min
+    doc_id — the same skew cap as `_pairs_from_salt_group`/
+    `_simhash_salt_pairs` — bounding the otherwise-quadratic block at O(k)
+    comparisons (only reachable on blocks exact dedup should have collapsed
+    first; below the cap, output equals the exact all-pairs oracle).
+    Python's ``t[i:i+3]`` slices characters, matching SQL
+    ``substr(text, g, 3)`` semantics."""
 
     def _add_pfx(b: pa.Table) -> pa.Table:
         texts = b.column("text").to_pylist()
-        pfx = pa.array([(t or "")[:prefix_n] for t in texts], type=pa.string())
-        return b.append_column("pfx", pfx)
+        pfx = [(t or "")[:prefix_n] for t in texts]
+        part = np.fromiter(
+            (zlib.crc32(p.encode("utf-8")) % PAIR_SALT for p in pfx),
+            dtype=np.int32, count=len(pfx),
+        )
+        return b.append_column(
+            "pfx", pa.array(pfx, type=pa.string())
+        ).append_column("part", pa.array(part))
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return _empty_jaccard_frame()
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
+    def _block_rows(ids, texts):
         sets = [
             {t[i:i + gram] for i in range(len(t) - gram + 1)}
-            for t in (s or "" for s in g["text"].tolist())
+            for t in ((s or "") for s in texts)
         ]
         rows = []
+        if len(ids) > max_block:  # skew cap: star vs the min-doc anchor
+            s0 = sets[0]
+            for j in range(1, len(ids)):
+                inter = len(s0 & sets[j])
+                union = len(s0) + len(sets[j]) - inter
+                if union and inter / union >= threshold:
+                    rows.append((int(ids[0]), int(ids[j]), inter / union))
+            return rows
         for i in range(len(ids)):
             si = sets[i]
             for j in range(i + 1, len(ids)):
@@ -707,11 +813,24 @@ def ngram_jaccard_pairs(docs_ds, prefix_n: int = 32, gram: int = 3,
                 union = len(si) + len(sets[j]) - inter
                 if union and inter / union >= threshold:
                     rows.append((int(ids[i]), int(ids[j]), inter / union))
+        return rows
+
+    def _part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        multi = g[g.duplicated("pfx", keep=False)]
+        if multi.empty:
+            return _empty_jaccard_frame()
+        multi = multi.sort_values(["pfx", "doc_id"], kind="mergesort")
+        rows = []
+        for _, blk in multi.groupby("pfx", sort=False):
+            rows.extend(
+                _block_rows(blk["doc_id"].to_numpy(), blk["text"].tolist())
+            )
         if not rows:
             return _empty_jaccard_frame()
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard3"])
 
     keyed = docs_ds.map_batches(
-        _add_pfx, batch_format="pyarrow", zero_copy_batch=True
+        _add_pfx, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
     )
-    return keyed.groupby("pfx").map_groups(_pairs, batch_format="pandas")
+    return keyed.groupby("part").map_groups(_part_pairs, batch_format="pandas")

@@ -633,10 +633,16 @@ def grouped_quantile(ds, group_col: str = "l_returnflag",
         _counts, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=65536,
     )
-    summed = counts.groupby([group_col, val_col]).aggregate(
+    # The combiner output is tiny (≤ n_groups × n_distinct per block), but
+    # Ray's sort-groupby makes one output partition PER INPUT BLOCK — on a
+    # 32-CPU read most partitions come out empty and schema-less, spamming
+    # the executor with schema-mismatch warnings. Coalesce the partials
+    # (cheap split/merge, no shuffle) so every sort partition is non-empty;
+    # the finisher input is provably n_groups × n_distinct rows → 1 block.
+    summed = counts.repartition(8).groupby([group_col, val_col]).aggregate(
         Sum("cnt", alias_name="cnt")
     )
-    return summed.groupby(group_col).map_groups(
+    return summed.repartition(1).groupby(group_col).map_groups(
         _median, batch_format="pandas"
     )
 
@@ -980,8 +986,20 @@ def exact_quantile(ds, col: str, ps=(0.5, 0.95, 0.99), bins: int = 8192):
         raise ValueError(f"exact_quantile: non-finite domain [{lo}, {hi}]")
     width = (hi - lo) / bins or 1.0
 
+    def _check_finite(v: np.ndarray) -> None:
+        # the driver-side domain guard only sees what Min/Max REPORT — if the
+        # aggregation layer skipped NaN rows (pandas semantics), NaN would
+        # reach the bin arithmetic here where its cast is undefined and
+        # np.clip silently lands it in a bin, shifting quantile ranks.
+        # Fail loudly per the docstring contract.
+        if v.dtype.kind == "f" and not np.isfinite(v).all():
+            raise ValueError(
+                f"exact_quantile: non-finite values in column {col!r}"
+            )
+
     def _hist(b: pa.Table) -> pa.Table:
         v = b.column(col).to_numpy(zero_copy_only=False)
+        _check_finite(v)
         idx = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
         h = np.bincount(idx, minlength=bins)
         nz = np.nonzero(h)[0]
@@ -1012,6 +1030,7 @@ def exact_quantile(ds, col: str, ps=(0.5, 0.95, 0.99), bins: int = 8192):
 
     def _prune(b: pa.Table) -> pa.Table:
         v = b.column(col).to_numpy(zero_copy_only=False)
+        _check_finite(v)
         idx = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
         keep = np.isin(idx, tb.to_numpy())
         return pa.table(

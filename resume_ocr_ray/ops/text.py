@@ -74,13 +74,15 @@ def quality_score(batch: pa.Table) -> pa.Table:
     )
 
 
-#: tiny per-language stopword profiles for the heuristic lang-id
+#: tiny per-language stopword profiles for the heuristic lang-id. A zh
+#: profile is deliberately ABSENT: the heuristic keys on ``[a-z]+`` stopword
+#: overlap, which cannot see CJK text — zh docs fall to the 'en' default
+#: like any text with no profile hits (same rule on the DuckDB oracle side).
 _LANG_PROFILES = {
     "en": {"the", "and", "of", "to", "a", "in", "is", "for", "with", "on"},
     "es": {"el", "la", "de", "que", "y", "en", "un", "los", "con", "por"},
     "fr": {"le", "la", "de", "et", "les", "des", "en", "un", "du", "que"},
     "de": {"der", "die", "und", "das", "in", "von", "zu", "mit", "den", "ist"},
-    "zh": set(),  # fallback bucket for the heuristic
 }
 
 
@@ -95,7 +97,7 @@ class LangIdStage:
 
     def __init__(self):
         self.word = re.compile(r"[a-z]+")
-        self.profiles = {k: v for k, v in _LANG_PROFILES.items() if v}
+        self.profiles = dict(_LANG_PROFILES)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()

@@ -192,6 +192,27 @@ def test_job_config_validation():
     assert job.validate_job_config(B) == []
 
 
+def test_job_max_docs_cap(tmp_path, capsys):
+    """M2 parity knob (reference MAX_FILES, constants.py:4): a corpus larger
+    than --max-docs refuses to start, counted from parquet footers only."""
+    import pyarrow.parquet as pq
+
+    from resume_ocr_ray.engine import job
+
+    docs_dir = tmp_path / "corpus" / "documents"
+    docs_dir.mkdir(parents=True)
+    t = pa.table({"doc_id": [str(i) for i in range(25)],
+                  "spans": [[] for _ in range(25)]})
+    pq.write_table(t, docs_dir / "shard-0000.parquet")
+    rc = job.main([
+        "--input", str(tmp_path / "corpus"), "--out", str(tmp_path / "out"),
+        "--max-docs", "20",
+    ])
+    assert rc == 2
+    out = capsys.readouterr().out
+    assert "limite" in out and '"invalid"' in out
+
+
 def test_asof_join_drops_events_before_first_order(ray_session):
     import pandas as pd
     import ray.data as rd
@@ -294,6 +315,38 @@ def test_ngram_jaccard_blocks_and_threshold(ray_session):
     out = D.ngram_jaccard_pairs(rd.from_pandas(df)).to_pandas()
     assert out[["doc_a", "doc_b"]].values.tolist() == [[1, 2]]
     assert (out["jaccard3"] >= 0.8).all()
+
+
+def test_ngram_jaccard_hot_prefix_star_cap(ray_session):
+    """Adversarial templated corpus: one hot 32-char prefix shared by every
+    doc. Above ``max_block`` the block must fall back to STAR pairs against
+    the min doc (O(k) comparisons, bounded time) instead of O(k²)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import dedup as D
+
+    k = 40
+    tmpl = "TEMPLATE HEADER shared by every doc "  # > 32 chars
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(k, dtype=np.int64),
+            # identical template + tiny per-doc tail → all near-dups
+            "text": [tmpl * 8 + f"tail {i % 2}" for i in range(k)],
+        }
+    )
+    out = D.ngram_jaccard_pairs(
+        rd.from_pandas(df), threshold=0.5, max_block=8
+    ).to_pandas()
+    # star cap: every emitted pair is anchored at the block min (doc 0),
+    # giving exactly k-1 comparisons — not C(k,2)
+    assert (out["doc_a"] == 0).all()
+    assert len(out) == k - 1
+    # below the cap the same corpus yields the full all-pairs set
+    full = D.ngram_jaccard_pairs(
+        rd.from_pandas(df), threshold=0.5, max_block=1000
+    ).to_pandas()
+    assert len(full) == k * (k - 1) // 2
 
 
 def test_hll_accuracy_and_merge_determinism(ray_session):
