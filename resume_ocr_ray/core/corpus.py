@@ -49,7 +49,7 @@ FAMILIES = (
 
 #: bump when _build_doc / family content changes — keys the derived-corpus
 #: disk cache (engine/io.py) so stale cached corpora are never served
-CORPUS_VERSION = 2
+CORPUS_VERSION = 3  # v3: docs carry media_shard (two-phase explode)
 
 
 def _rng_for(doc_id: str) -> np.random.Generator:

@@ -132,8 +132,9 @@ def write_corpus(out_dir: str, docs: pa.Table, media: pa.Table, num_shards: int 
     buckets = [zlib.crc32(r.encode()) % num_shards for r in refs]
     for s in range(num_shards):
         idx = [i for i, b in enumerate(buckets) if b == s]
-        if not idx and s > 0:
-            continue
+        # EVERY bucket file is written, even empty ones: the two-phase
+        # resolve stage recomputes a ref's bucket as crc32(ref) % n_files,
+        # so a skipped empty bucket would shift every modulus after it
         pq.write_table(media.take(idx), os.path.join(media_dir, f"media-{s:04d}.parquet"))
     return docs_dir, media_dir
 
@@ -155,7 +156,16 @@ def write_derived_corpus_parallel(src: pa.Table, repeat: int, out_dir: str,
 
     @ray.remote
     def gen_shard(src_slice: pa.Table, shard_id: int) -> int:
+        import numpy as _np
+
         docs, media = corpus_mod.corpus_from_documents(src_slice, repeat=repeat)
+        # a doc's media lives in ITS generator shard — stamping the shard id
+        # on the doc row makes ref→shard resolution travel WITH the data
+        # (two-phase explode: no global ref→shard dict anywhere)
+        docs = docs.append_column(
+            "media_shard",
+            pa.array(_np.full(docs.num_rows, shard_id, dtype=_np.int32)),
+        )
         pq.write_table(docs, os.path.join(docs_dir, f"shard-{shard_id:04d}.parquet"))
         pq.write_table(media, os.path.join(media_dir, f"media-{shard_id:04d}.parquet"))
         return docs.num_rows
@@ -292,7 +302,9 @@ class _ArrowLookup:
         refs = table.column("media_ref").to_pylist()
         self._index = {r: i for i, r in enumerate(refs)}
 
-    def get(self, ref, default=None):
+    def get(self, ref, default=None, sid=None):
+        # sid accepted for interface parity with _ShardedLookup (a broadcast
+        # table has no shards — the row index answers directly)
         i = self._index.get(ref)
         if i is None:
             return default
@@ -356,21 +368,25 @@ class MediaStore:
 
 
 class _MediaShardRegistry:
-    """Session-level shard-table cache (a zero-CPU Ray actor).
+    """Session-level shard-table + shard-meta cache (a zero-CPU Ray actor).
 
     Loads each media shard parquet ONCE per session into the object store
     and hands out the ObjectRef; every OCR actor then maps the same shard
     table zero-copy from plasma instead of re-reading + re-decompressing the
     parquet file per actor (measured: one 1 MB shard read ≈ 280 ms vs
     ~20 ms of actual OCR compute per batch — per-actor re-reads dominated
-    the whole pipeline). Plasma evicts/spills cold shards under memory
-    pressure, so at 10^12 docs this is a node-local LRU over hot shards,
-    not a full-media materialization — and nothing ever transits the driver.
+    the whole pipeline). ``shard_meta_ref`` serves the PER-SHARD dispatch
+    meta the same way (two-phase explode: meta is co-sharded with its media
+    and lazily materialized — no global meta dict exists anywhere). Plasma
+    evicts/spills cold shards under memory pressure, so at 10^12 docs this
+    is a node-local LRU over hot shards, not a full-media materialization —
+    and nothing ever transits the driver.
     """
 
     def __init__(self, paths: list):
         self._paths = list(paths)
         self._refs: dict = {}
+        self._meta_refs: dict = {}
 
     def shard_ref(self, sid: int):
         import ray
@@ -382,17 +398,31 @@ class _MediaShardRegistry:
             self._refs[sid] = ref
         return ref
 
+    def shard_meta_ref(self, sid: int):
+        """ObjectRef of THIS shard's dispatch meta {ref: (unit_kind,
+        n_pages)} — built once per session from the cached shard table."""
+        import ray
+
+        ref = self._meta_refs.get(sid)
+        if ref is None:
+            t = ray.get(self.shard_ref(sid))
+            ref = ray.put(build_media_meta(t))
+            self._meta_refs[sid] = ref
+        return ref
+
 
 class _ShardedLookup:
     """Per-worker lazy view over sharded media tables.
 
-    ``get(ref)`` resolves the ref's shard id from the broadcast meta, fetches
-    that shard's table from the shard registry (zero-copy plasma map; disk is
-    touched once per session, by whichever worker asks first), and keeps at
-    most ``max_cached`` per-shard row indexes (LRU — the index is a small
-    ref→row dict; payload buffers stay shared in plasma)."""
+    ``get(ref, sid=...)`` fetches that shard's table from the shard registry
+    (zero-copy plasma map; disk is touched once per session, by whichever
+    worker asks first) and keeps at most ``max_cached`` per-shard row
+    indexes (LRU — the index is a small ref→row dict; payload buffers stay
+    shared in plasma). On the two-phase scale path the caller supplies
+    ``sid`` (the resolve stage stamped it on the row); ``meta`` is the
+    legacy global-dict path and may be None."""
 
-    def __init__(self, shard_paths: list, meta: dict, registry,
+    def __init__(self, shard_paths: list, meta, registry,
                  max_cached: int = 32):
         from collections import OrderedDict
 
@@ -421,32 +451,47 @@ class _ShardedLookup:
             self._shards.move_to_end(sid)
         return lk
 
-    def get(self, ref, default=None):
-        m = self._meta.get(ref)
-        if m is None:
+    def get(self, ref, default=None, sid=None):
+        if sid is None:
+            if self._meta is None:
+                return default
+            m = self._meta.get(ref)
+            if m is None:
+                return default
+            sid = m[2]
+        if not (0 <= sid < len(self._paths)):
             return default
-        return self._shard(m[2]).get(ref, default)
+        return self._shard(int(sid)).get(ref, default)
 
     def __contains__(self, ref):
+        if self._meta is None:
+            raise TypeError(
+                "lazy sharded lookup has no global ref set; pass sid to get()"
+            )
         return ref in self._meta
 
     def __len__(self):
+        if self._meta is None:
+            raise TypeError("lazy sharded lookup has no global ref set")
         return len(self._meta)
 
 
 class ShardedParquetMediaStore:
     """The 100-TB media path (same interface as MediaStore).
 
-    Construction runs ONE parallel pass (a Ray task per shard file) that
-    builds the small dispatch meta {ref: (unit_kind, n_pages, shard_id)} —
-    the only thing broadcast. Payload bytes are never ray.put: OCR actors
-    read their shard files directly (see _ShardedLookup). At 10^12 docs the
-    meta dict itself outgrows a broadcast; the documented successor is the
-    two-phase explode (header peek inside the OCR actor) — the store
-    interface is unchanged by that step.
+    NOTHING global is built or broadcast by default (``meta_ref is None`` —
+    the two-phase explode signal): per-shard dispatch meta
+    ``{ref: (unit_kind, n_pages)}`` is materialized lazily BY SHARD in the
+    session registry actor and fetched zero-copy by the resolve stage
+    (engine.pipeline.make_resolve_fn), so at 10^12 docs no ref-keyed dict
+    ever exists in one place. Payload bytes are never ray.put either: OCR
+    actors read their shard files via the registry (see _ShardedLookup).
+    ``eager_meta=True`` restores the round-2 global-dict broadcast (one
+    parallel pass, a Ray task per shard) for callers that need the
+    single-phase explode.
     """
 
-    def __init__(self, shard_paths: list, meta_ref, registry=None,
+    def __init__(self, shard_paths: list, meta_ref=None, registry=None,
                  max_cached_shards: int = 32):
         self.shard_paths = list(shard_paths)
         self.meta_ref = meta_ref
@@ -454,9 +499,8 @@ class ShardedParquetMediaStore:
         self.max_cached_shards = max_cached_shards
 
     @classmethod
-    def from_dir(cls, media_dir: str, max_cached_shards: int = 32):
-        import zlib as _zlib
-
+    def from_dir(cls, media_dir: str, max_cached_shards: int = 32,
+                 eager_meta: bool = False):
         import ray
 
         paths = sorted(
@@ -464,22 +508,31 @@ class ShardedParquetMediaStore:
             for f in os.listdir(media_dir)
             if f.endswith(".parquet")
         )
-
-        @ray.remote
-        def shard_meta(path: str, sid: int) -> dict:
-            m = build_media_meta(pq.read_table(path))
-            return {ref: (k, n, sid) for ref, (k, n) in m.items()}
-
-        meta: dict = {}
-        for part in ray.get([shard_meta.remote(p, i) for i, p in enumerate(paths)]):
-            meta.update(part)
         # one registry per media_dir per session (idempotent via named actor)
         registry = _make_registry_actor(media_dir, paths)
-        return cls(paths, ray.put(meta), registry, max_cached_shards)
+        meta_ref = None
+        if eager_meta:
+            @ray.remote
+            def shard_meta(path: str, sid: int) -> dict:
+                m = build_media_meta(pq.read_table(path))
+                return {ref: (k, n, sid) for ref, (k, n) in m.items()}
+
+            meta: dict = {}
+            for part in ray.get(
+                [shard_meta.remote(p, i) for i, p in enumerate(paths)]
+            ):
+                meta.update(part)
+            meta_ref = ray.put(meta)
+        return cls(paths, meta_ref, registry, max_cached_shards)
 
     def get_meta(self) -> dict:
         import ray
 
+        if self.meta_ref is None:
+            raise TypeError(
+                "lazy sharded store has no global meta; use the two-phase "
+                "resolve stage (or construct with eager_meta=True)"
+            )
         return ray.get(self.meta_ref)
 
     def identity(self) -> str:
@@ -510,7 +563,8 @@ class ShardedParquetMediaStore:
         from ..common import cached_broadcast
 
         return _ShardedLookup(
-            self.shard_paths, cached_broadcast(self.meta_ref),
+            self.shard_paths,
+            None if self.meta_ref is None else cached_broadcast(self.meta_ref),
             self.registry, self.max_cached_shards,
         )
 

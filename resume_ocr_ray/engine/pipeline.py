@@ -45,6 +45,7 @@ from .io import MediaStore
 
 # unit kinds produced by the explode stage (pre-resolved oracle dispatch)
 U_TEXT = "text"
+U_MEDIA = "media_unresolved"  # phase-1 placeholder until the resolve stage
 U_EMPTY_DOC = "empty_doc"
 U_IMAGE = "image"
 U_HTML = "html"  # DOM-heuristic main-content extraction (north-rule HTML arm)
@@ -61,9 +62,10 @@ from ..common import cached_broadcast as _cached_broadcast
 
 
 def make_explode_fn(store: MediaStore):
-    """Stateless explode stage (elastic tasks, no reserved actor CPUs — it is
-    a cheap vectorized reshape); the meta broadcast is fetched once per
-    worker process via the module cache."""
+    """Stateless SINGLE-PHASE explode (elastic tasks): flatten + global-meta
+    resolve + page explosion in one pass. Used when the store broadcasts a
+    global dispatch meta (MediaStore / eager sharded store); the scale path
+    is the two-phase ``_flatten_batch`` + ``make_resolve_fn`` pair below."""
     meta_ref = store.meta_ref
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -73,7 +75,7 @@ def make_explode_fn(store: MediaStore):
 
 
 class ExplodeStage:
-    """Class form of the explode stage (used directly in unit tests)."""
+    """Class form of the single-phase explode (used directly in unit tests)."""
 
     def __init__(self, store: MediaStore):
         self.meta = store.get_meta()
@@ -83,92 +85,213 @@ class ExplodeStage:
 
 
 def _explode_batch(batch: pa.Table, meta: dict) -> pa.Table:
-        spans = batch.column("spans").combine_chunks()
-        if isinstance(spans, pa.ChunkedArray):
-            spans = spans.chunk(0) if spans.num_chunks else pa.array([], spans.type)
-        doc_ids = batch.column("doc_id").combine_chunks()
-        n_spans = pc.list_value_length(spans).fill_null(0)
-        parent = pc.list_parent_indices(spans)
-        flat = pc.list_flatten(spans)
+    return _page_explode(_resolve_with_meta(_flatten_batch(batch), meta))
 
-        f_doc = pc.take(doc_ids, parent)
-        f_nspans = pc.take(n_spans, parent)
-        f_kind = flat.field("kind")
-        f_text = flat.field("text")
-        f_ref = flat.field("media_ref")
-        f_off = flat.field("offset")
 
-        n = len(flat)
-        unit = np.full(n, U_TEXT, dtype=object)
-        n_pages = np.ones(n, dtype=np.int32)
-        kinds = f_kind.to_numpy(zero_copy_only=False)
-        # span position within its doc: the stitcher groups on this (offsets
-        # may legally repeat; the oracle emits one span per INPUT span)
-        counts = n_spans.to_numpy(zero_copy_only=False).astype(np.int64)
-        par = parent.to_numpy(zero_copy_only=False)
-        firsts = np.concatenate(([0], np.cumsum(counts)[:-1])) if counts.size else counts
-        span_idx = (np.arange(n, dtype=np.int64) - firsts[par]).astype(np.int32)
-        # parity with the oracle (extract.py:178): kind == 'text' is a text
-        # span; EVERYTHING else takes the media path (an unknown kind with a
-        # dangling ref becomes ERR_BAD_REF on both sides)
-        media_idx = np.nonzero(kinds != S.KIND_TEXT)[0]
-        if media_idx.size:
-            refs = f_ref.to_numpy(zero_copy_only=False)
+def _flatten_batch(batch: pa.Table) -> pa.Table:
+    """Phase 1 (pure reshape, NO media knowledge): vectorized span explosion.
+    Media spans come out as ``U_MEDIA`` placeholders with n_pages=1; the
+    ``media_shard`` column (present on corpora written by
+    write_derived_corpus_parallel) rides along per row, -1 when absent."""
+    spans = batch.column("spans").combine_chunks()
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.chunk(0) if spans.num_chunks else pa.array([], spans.type)
+    doc_ids = batch.column("doc_id").combine_chunks()
+    n_spans = pc.list_value_length(spans).fill_null(0)
+    parent = pc.list_parent_indices(spans)
+    flat = pc.list_flatten(spans)
+
+    f_doc = pc.take(doc_ids, parent)
+    f_nspans = pc.take(n_spans, parent)
+    f_kind = flat.field("kind")
+    f_text = flat.field("text")
+    f_ref = flat.field("media_ref")
+    f_off = flat.field("offset")
+
+    n = len(flat)
+    kinds = f_kind.to_numpy(zero_copy_only=False)
+    # parity with the oracle (extract.py:178): kind == 'text' is a text
+    # span; EVERYTHING else takes the media path (an unknown kind with a
+    # dangling ref becomes ERR_BAD_REF on both sides)
+    unit = np.where(kinds == S.KIND_TEXT, U_TEXT, U_MEDIA).astype(object)
+    # span position within its doc: the stitcher groups on this (offsets
+    # may legally repeat; the oracle emits one span per INPUT span)
+    counts = n_spans.to_numpy(zero_copy_only=False).astype(np.int64)
+    par = parent.to_numpy(zero_copy_only=False)
+    firsts = np.concatenate(([0], np.cumsum(counts)[:-1])) if counts.size else counts
+    span_idx = (np.arange(n, dtype=np.int64) - firsts[par]).astype(np.int32)
+    if "media_shard" in batch.column_names:
+        f_shard = pc.take(
+            batch.column("media_shard").combine_chunks(), parent
+        ).cast(pa.int32())
+    else:
+        f_shard = pa.array(np.full(n, -1, dtype=np.int32))
+
+    out = pa.table(
+        {
+            "doc_id": f_doc,
+            "offset": f_off,
+            "kind": f_kind,
+            "text": f_text,
+            "media_ref": f_ref,
+            "unit": pa.array(unit, type=pa.string()),
+            "span_idx": pa.array(span_idx),
+            "page_no": pa.array(np.zeros(n, dtype=np.int32)),
+            "n_pages": pa.array(np.ones(n, dtype=np.int32)),
+            "n_spans": f_nspans.cast(pa.int32()),
+            "media_shard": f_shard,
+        }
+    )
+
+    # empty docs produce no flat rows — emit sentinel rows so they
+    # survive to the stitcher as error rows (never dropped silently)
+    empty_sel = pc.equal(n_spans, 0)
+    if pc.any(empty_sel).as_py():
+        empty_ids = pc.filter(doc_ids, empty_sel)
+        ne = len(empty_ids)
+        empty_tbl = pa.table(
+            {
+                "doc_id": empty_ids,
+                "offset": pa.array(np.zeros(ne, dtype=np.int32)),
+                "kind": pa.array([""] * ne),
+                "text": pa.array([""] * ne),
+                "media_ref": pa.array([""] * ne),
+                "unit": pa.array([U_EMPTY_DOC] * ne),
+                "span_idx": pa.array(np.zeros(ne, dtype=np.int32)),
+                "page_no": pa.array(np.full(ne, -3, dtype=np.int32)),
+                "n_pages": pa.array(np.zeros(ne, dtype=np.int32)),
+                "n_spans": pa.array(np.zeros(ne, dtype=np.int32)),
+                "media_shard": pa.array(np.full(ne, -1, dtype=np.int32)),
+            }
+        )
+        out = pa.concat_tables([out.cast(empty_tbl.schema), empty_tbl])
+    return out
+
+
+def _resolve_with_meta(t: pa.Table, meta: dict) -> pa.Table:
+    """Fill unit/n_pages for U_MEDIA rows from a ref-keyed dispatch meta."""
+    units = t.column("unit").to_numpy(zero_copy_only=False).copy()
+    media_idx = np.nonzero(units == U_MEDIA)[0]
+    if media_idx.size == 0:
+        return t
+    n_pages = t.column("n_pages").to_numpy(zero_copy_only=False).copy()
+    refs = t.column("media_ref").to_numpy(zero_copy_only=False)
+    get = meta.get
+    for i in media_idx:  # dict lookups only; payload untouched here
+        m = get(refs[i])
+        if m is None:
+            units[i] = U_BAD_REF
+        else:
+            units[i] = m[0]
+            n_pages[i] = m[1]
+    t = t.set_column(
+        t.schema.get_field_index("unit"), "unit",
+        pa.array(units, type=pa.string()),
+    )
+    return t.set_column(
+        t.schema.get_field_index("n_pages"), "n_pages",
+        pa.array(n_pages.astype(np.int32)),
+    )
+
+
+def _page_explode(t: pa.Table) -> pa.Table:
+    """Repeat resolved pdf_page rows n_pages times and finalize page_no
+    (the skew leveler: a 100-page doc becomes 100 parallel unit rows)."""
+    unit = t.column("unit").to_numpy(zero_copy_only=False)
+    n_pages = t.column("n_pages").to_numpy(zero_copy_only=False)
+    lengths = np.where(unit == U_PDF_PAGE, np.maximum(n_pages, 1), 1)
+    idx = np.repeat(np.arange(len(unit)), lengths)
+    starts = np.cumsum(lengths) - lengths
+    page_no = (np.arange(idx.size) - starts[idx]).astype(np.int32)
+    u = unit[idx]
+    page_no[u == U_TEXT] = S.PAGE_TEXT
+    page_no[u == U_PDF_DIRECT] = S.PAGE_DIRECT
+    page_no[u == U_EMPTY_DOC] = -3
+    out = t.take(pa.array(idx))
+    return out.set_column(
+        out.schema.get_field_index("page_no"), "page_no", pa.array(page_no)
+    )
+
+
+#: per-worker LRU of per-shard dispatch metas for the two-phase resolve:
+#: {(registry actor id, shard id): {ref: (unit_kind, n_pages)}}
+_SHARD_META_CACHE: dict = {}
+
+
+def _shard_meta(registry, sid: int, max_cached: int) -> dict:
+    import ray
+    from collections import OrderedDict
+
+    global _SHARD_META_CACHE
+    if not isinstance(_SHARD_META_CACHE, OrderedDict):
+        _SHARD_META_CACHE = OrderedDict(_SHARD_META_CACHE)
+    key = (registry._actor_id.hex(), sid)
+    meta = _SHARD_META_CACHE.get(key)
+    if meta is None:
+        # one actor RPC per (worker, shard) per session; the dict itself is
+        # fetched zero-copy from plasma where the registry put it once
+        meta = ray.get(ray.get(registry.shard_meta_ref.remote(sid)))
+        _SHARD_META_CACHE[key] = meta
+        if len(_SHARD_META_CACHE) > max_cached:
+            _SHARD_META_CACHE.popitem(last=False)
+    else:
+        _SHARD_META_CACHE.move_to_end(key)
+    return meta
+
+
+def make_resolve_fn(store):
+    """Phase 2 of the TWO-PHASE explode (the 10^12-doc path): resolve
+    ``U_MEDIA`` placeholder rows against PER-SHARD dispatch metas and run
+    the page explosion. No ref-keyed global dict is ever built or broadcast
+    — a row's shard comes from its ``media_shard`` column (stamped at corpus
+    write) or, for crc-placed layouts (write_corpus), from
+    ``crc32(ref) % n_shards``; the shard's meta is materialized lazily by
+    the session registry actor and LRU-cached per worker. Stateless elastic
+    tasks: the only state is the per-worker cache."""
+    import zlib as _zlib
+
+    registry = store.registry
+    n_shards = len(store.shard_paths)
+    max_cached = store.max_cached_shards
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        units = batch.column("unit").to_numpy(zero_copy_only=False)
+        midx = np.nonzero(units == U_MEDIA)[0]
+        if midx.size == 0:
+            return _page_explode(batch)
+        units = units.copy()
+        n_pages = batch.column("n_pages").to_numpy(zero_copy_only=False).copy()
+        refs = batch.column("media_ref").to_numpy(zero_copy_only=False)
+        shards = (
+            batch.column("media_shard").to_numpy(zero_copy_only=False).copy()
+        )
+        for i in midx[shards[midx] < 0]:  # crc-placed layout fallback
+            shards[i] = _zlib.crc32(str(refs[i]).encode("utf-8")) % n_shards
+        for sid in np.unique(shards[midx]):
+            meta = _shard_meta(registry, int(sid), max_cached)
             get = meta.get
-            for i in media_idx:  # dict lookups only; payload untouched here
+            for i in midx[shards[midx] == sid]:
                 m = get(refs[i])
                 if m is None:
-                    unit[i] = U_BAD_REF
+                    units[i] = U_BAD_REF
                 else:
-                    unit[i] = m[0]
+                    units[i] = m[0]
                     n_pages[i] = m[1]
+        t = batch.set_column(
+            batch.schema.get_field_index("unit"), "unit",
+            pa.array(units, type=pa.string()),
+        )
+        t = t.set_column(
+            t.schema.get_field_index("n_pages"), "n_pages",
+            pa.array(n_pages.astype(np.int32)),
+        )
+        t = t.set_column(
+            t.schema.get_field_index("media_shard"), "media_shard",
+            pa.array(shards.astype(np.int32)),
+        )
+        return _page_explode(t)
 
-        # page explosion: pdf_page units repeat n_pages times
-        lengths = np.where(unit == U_PDF_PAGE, np.maximum(n_pages, 1), 1)
-        idx = np.repeat(np.arange(n), lengths)
-        starts = np.cumsum(lengths) - lengths
-        page_no = (np.arange(idx.size) - starts[idx]).astype(np.int32)
-        u = unit[idx]
-        page_no[u == U_TEXT] = S.PAGE_TEXT
-        page_no[u == U_PDF_DIRECT] = S.PAGE_DIRECT
-
-        take_idx = pa.array(idx)
-        cols = {
-            "doc_id": pc.take(f_doc, take_idx),
-            "offset": pc.take(f_off, take_idx),
-            "kind": pc.take(f_kind, take_idx),
-            "text": pc.take(f_text, take_idx),
-            "media_ref": pc.take(f_ref, take_idx),
-            "unit": pa.array(u, type=pa.string()),
-            "span_idx": pa.array(span_idx[idx]),
-            "page_no": pa.array(page_no),
-            "n_pages": pc.take(pa.array(n_pages), take_idx),
-            "n_spans": pc.take(f_nspans, take_idx).cast(pa.int32()),
-        }
-        out = pa.table(cols)
-
-        # empty docs produce no flat rows — emit sentinel rows so they
-        # survive to the stitcher as error rows (never dropped silently)
-        empty_sel = pc.equal(n_spans, 0)
-        if pc.any(empty_sel).as_py():
-            empty_ids = pc.filter(doc_ids, empty_sel)
-            ne = len(empty_ids)
-            empty_tbl = pa.table(
-                {
-                    "doc_id": empty_ids,
-                    "offset": pa.array(np.zeros(ne, dtype=np.int32)),
-                    "kind": pa.array([""] * ne),
-                    "text": pa.array([""] * ne),
-                    "media_ref": pa.array([""] * ne),
-                    "unit": pa.array([U_EMPTY_DOC] * ne),
-                    "span_idx": pa.array(np.zeros(ne, dtype=np.int32)),
-                    "page_no": pa.array(np.full(ne, -3, dtype=np.int32)),
-                    "n_pages": pa.array(np.zeros(ne, dtype=np.int32)),
-                    "n_spans": pa.array(np.zeros(ne, dtype=np.int32)),
-                }
-            )
-            out = pa.concat_tables([out.cast(empty_tbl.schema), empty_tbl])
-        return out
+    return resolve
 
 
 #: Exceptions the per-unit retry loop is allowed to absorb into a data-error
@@ -218,7 +341,12 @@ class OcrStage:
             self._pages.move_to_end(ref)
         return pages
 
-    def _unit(self, unit, ref, text, page_no, n_pages):
+    def _lookup_payload(self, ref, sid):
+        if sid is not None and sid >= 0:
+            return self.lookup.get(ref, sid=sid)
+        return self.lookup.get(ref)
+
+    def _unit(self, unit, ref, text, page_no, n_pages, sid=None):
         if unit == U_TEXT:
             return text, None
         if unit == U_EMPTY_DOC:
@@ -235,7 +363,7 @@ class OcrStage:
             # zero-page scanned PDF: the oracle's stitch_pdf_pages([]) arm
             # (extract.py:99-107) — no page fetch, straight to ERR_OCR_EMPTY
             return None, C.ERR_OCR_EMPTY
-        payload = self.lookup.get(ref)
+        payload = self._lookup_payload(ref, sid)
         if payload is None:
             return None, C.ERR_BAD_REF.format(ref=ref)
         if unit == U_IMAGE:
@@ -269,15 +397,23 @@ class OcrStage:
         refs = batch.column("media_ref").to_pylist()
         pages = batch.column("page_no").to_pylist()
         npages = batch.column("n_pages").to_pylist()
+        # two-phase explode stamps the ref's shard on the row; single-phase
+        # batches lack the column and fall back to the global-meta lookup
+        sids = (
+            batch.column("media_shard").to_pylist()
+            if "media_shard" in batch.column_names
+            else None
+        )
         # text rows pass through vectorized; only media rows iterate
         out_text = batch.column("text").to_numpy(zero_copy_only=False).astype(object)
         errors = np.full(batch.num_rows, None, dtype=object)
         for i in media_idx:
             unit, ref, page_no, n_pages = units[i], refs[i], pages[i], npages[i]
+            sid = sids[i] if sids is not None else None
             res = (None, "unreachable")
             for attempt in range(C.MAX_RETRIES):
                 try:
-                    res = self._unit(unit, ref, None, page_no, n_pages)
+                    res = self._unit(unit, ref, None, page_no, n_pages, sid=sid)
                     break
                 except _EXPECTED_OCR_ERRORS as e:
                     # engine crash → backoff + retry (analyze_service.py:61-69);
@@ -541,12 +677,29 @@ def extraction_pipeline(
         if ocr_concurrency is None:
             ocr_concurrency = max(2, _math.ceil(budget * 0.9))
         ocr_concurrency = max(1, min(ocr_concurrency, budget))
-    exploded = docs_ds.map_batches(
-        make_explode_fn(store),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=batch_size,
-    )
+    if getattr(store, "meta_ref", 0) is None:
+        # TWO-PHASE explode (the 10^12-doc scale path): pure reshape first,
+        # then per-shard meta resolution — no global ref→(kind, n_pages)
+        # dict is ever built or broadcast. Both stages are stateless elastic
+        # tasks; Ray fuses them into one map pipeline.
+        exploded = docs_ds.map_batches(
+            _flatten_batch,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+        ).map_batches(
+            make_resolve_fn(store),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+        )
+    else:
+        exploded = docs_ds.map_batches(
+            make_explode_fn(store),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+        )
     # Pool floor is a WORKLOAD HINT (GRAFT_OCR_MIN_ACTORS): long compute-
     # dense jobs want a pre-sized pool (the autoscaler's ramp averaged 6/12
     # actors over a 20 s burn run; min=max cut it 24.3 s → 13.4 s at 16
