@@ -315,8 +315,18 @@ def minhash_verified(docs_ds, *, threshold: float = 0.5, num_perm=64, bands=16,
             )
         return e.merge(t, on="key", how="inner")
 
-    joined = texts.union(edges).groupby("part").map_groups(
-        merge_part, batch_format="pandas"
+    # Coalesce the union before the cogroup sort: the sort-groupby makes
+    # one output RANGE per input block, and ranges that outnumber the
+    # occupied key values come out EMPTY and schema-less (executor warning
+    # spam). COGROUP_PARTS/2 blocks guarantee every range spans ≥2 of the
+    # 64 part values (always occupied), while keeping the merge at half
+    # its designed salt parallelism — the partition count is the op's
+    # scale knob, not the upstream block count.
+    joined = (
+        texts.union(edges)
+        .repartition(COGROUP_PARTS // 2)
+        .groupby("part")
+        .map_groups(merge_part, batch_format="pandas")
     )
 
     def verify_part(g: pd.DataFrame) -> pd.DataFrame:
@@ -366,8 +376,14 @@ def minhash_verified(docs_ds, *, threshold: float = 0.5, num_perm=64, bands=16,
         ).astype("int32")
         return df
 
+    # joined holds ONLY candidate-pair edge rows with their joined texts
+    # (LSH candidates — a vanishing fraction of the corpus), so an 8-block
+    # coalesce is cheap at any scale; verify parallelism is re-fanned by
+    # the ppart groupby (PAIR_SALT ranges), and the coalesce keeps its
+    # sort from emitting schema-less empty partitions.
     return (
         joined.map_batches(add_ppart, batch_format="pandas")
+        .repartition(8)
         .groupby("ppart")
         .map_groups(verify_part, batch_format="pandas")
     )

@@ -734,11 +734,17 @@ def top_terms(docs_ds, k: int = 5):
     counts = docs_ds.map_batches(
         _counts, batch_format="pyarrow", zero_copy_batch=True
     )
-    summed = counts.groupby(["lang", "word"]).aggregate(
+    # coalesce the tiny per-batch partials before the sort-groupby so it
+    # stops emitting schema-less empty partitions (one per input block —
+    # the grouped_quantile pattern); the summed vocabulary is small, so the
+    # per-lang finisher runs over ONE block
+    summed = counts.repartition(8).groupby(["lang", "word"]).aggregate(
         Sum("n", alias_name="n")
     )
     # |langs| groups — the shuffle above already collapsed the vocabulary
-    return summed.groupby("lang").map_groups(_topk, batch_format="pandas")
+    return summed.repartition(1).groupby("lang").map_groups(
+        _topk, batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------------------
