@@ -76,6 +76,11 @@ BENCH_QUERIES = [
     "boilerplate_gate",
     "neardup_pairs",
     "grouped_p95",
+    "domain_cap",
+    "word_rep",
+    "moving_max",
+    "winsorize",
+    "prefix_contained",
 ]
 
 

@@ -850,3 +850,127 @@ def ngram_jaccard_pairs(docs_ds, prefix_n: int = 32, gram: int = 3,
         batch_size=65536,
     )
     return keyed.groupby("part").map_groups(_part_pairs, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# prefix-containment dedup (range-sort + boundary exchange)
+# ---------------------------------------------------------------------------
+
+def prefix_contained(docs_ds):
+    """Docs whose text is a PROPER prefix of another doc's text — the
+    containment arm of dedup (truncated re-crawls, partial uploads).
+
+    Shape: a text T is a proper prefix of some other text iff T's immediate
+    DISTINCT lexicographic successor starts with T (any string between T
+    and an extension of T must itself extend T). So one global range sort
+    by text makes the check local: each sorted block resolves every
+    distinct text against its in-block successor with one vectorized
+    ``np.char.startswith``; only each block's LAST distinct text needs its
+    successor from the next block. That boundary is fixed up with a tiny
+    exchange — 3 strings per block (first / second-distinct / last) ride to
+    the driver, which resolves the ≤ n_blocks boundary texts and broadcasts
+    the flagged ones for a second streaming pass. Nothing but doc_id flags
+    and the 3-strings-per-block metas ever leave the cluster; the sort is
+    the one all-to-all, as for any order-based dedup."""
+    import ray
+
+    from ..common import cached_broadcast
+
+    s = docs_ds.select_columns(["doc_id", "text"]).sort("text")
+
+    OUT_SCHEMA = pa.schema(
+        [("kind", pa.string()), ("doc_id", pa.int64()),
+         ("first", pa.string()), ("second", pa.string()),
+         ("last", pa.string())]
+    )
+
+    def _block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return OUT_SCHEMA.empty_table()
+        df = b.to_pandas()  # sorted by text within the block (range sort)
+        codes, uniq = pd.factorize(df["text"])  # codes nondecreasing
+        uniq = uniq.to_numpy(dtype=object)
+        nu = len(uniq)
+        flag = np.zeros(nu, dtype=bool)
+        if nu > 1:
+            # distinct != successor + startswith ⇒ strictly longer ⇒ proper
+            flag[:-1] = np.char.startswith(
+                uniq[1:].astype(str), uniq[:-1].astype(str)
+            )
+        keep = flag[codes]
+        ids = df.loc[keep, "doc_id"].to_numpy(np.int64)
+        n = len(ids)
+        return pa.table(
+            {
+                "kind": pa.array(["f"] * n + ["b"], type=pa.string()),
+                "doc_id": pa.array(np.append(ids, -1), type=pa.int64()),
+                "first": pa.array([None] * n + [uniq[0]], type=pa.string()),
+                "second": pa.array(
+                    [None] * n + [uniq[1] if nu > 1 else None],
+                    type=pa.string(),
+                ),
+                "last": pa.array([None] * n + [uniq[-1]], type=pa.string()),
+            }
+        )
+
+    flagged = s.map_batches(
+        _block, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,  # one call per sorted range block
+    ).materialize()  # consumed twice: doc flags (bounded by dup count) + metas
+
+    def _only(kind: str):
+        def _f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["kind"], kind))
+
+        return _f
+
+    # boundary resolution: O(n_blocks) rows, pure driver logic
+    metas = (
+        flagged.map_batches(
+            _only("b"), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .to_pandas()
+        .sort_values(["first", "last"])  # recovers block range order
+        .reset_index(drop=True)
+    )
+    boundary_flagged = []
+    firsts = metas["first"].tolist()
+    seconds = metas["second"].tolist()
+    lasts = metas["last"].tolist()
+    for i, t in enumerate(lasts):
+        for j in range(i + 1, len(lasts)):
+            # blocks are ranges: first[j] >= last[i]; == means the run of t
+            # continues into block j, whose second-distinct (if any) is then
+            # the true successor; a block entirely equal to t has none
+            if firsts[j] > t:
+                if firsts[j].startswith(t):
+                    boundary_flagged.append(t)
+                break
+            if seconds[j] is not None:
+                if seconds[j].startswith(t):
+                    boundary_flagged.append(t)
+                break
+    bset_ref = ray.put(set(boundary_flagged))
+
+    def _boundary_rows(b: pa.Table) -> pa.Table:
+        bset = cached_broadcast(bset_ref)
+        if not bset:
+            return pa.table({"doc_id": pa.array([], type=pa.int64())})
+        keep = pc.is_in(
+            b.column("text"), value_set=pa.array(sorted(bset), type=pa.string())
+        )
+        return pa.table({"doc_id": pc.filter(b.column("doc_id"), keep)})
+
+    in_block = flagged.map_batches(
+        _only("f"), batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["doc_id"])
+    at_boundary = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        _boundary_rows, batch_format="pyarrow", zero_copy_batch=True,
+    )
+    # a run spanning blocks is flagged by BOTH paths — distinct on doc_id
+    return (
+        in_block.union(at_boundary)
+        .groupby("doc_id")
+        .count()
+        .select_columns(["doc_id"])
+    )

@@ -600,8 +600,11 @@ def grouped_quantile(ds, group_col: str = "l_returnflag",
     exact quantiles over low-cardinality value domains; for continuous
     domains swap the combiner for a t-digest/DDSketch (ops/sketch.py).
 
-    Interpolation matches SQL ``percentile_cont(p)``: rn = p·(n−1),
-    result = v[floor(rn)] + (v[ceil(rn)] − v[floor(rn)])·frac."""
+    Interpolation matches SQL ``percentile_cont(p)`` BIT-FOR-BIT: rn =
+    p·(n−1), result = (ceil(rn)−rn)·v[floor(rn)] + (rn−floor(rn))·v[ceil(rn)]
+    — the Postgres weighted form DuckDB evaluates (the algebraically equal
+    lerp ``v[lo] + (v[hi]−v[lo])·frac`` differs by one ULP on some inputs,
+    observed at p=0.05 over integer n_chars, and fails exact hash compares)."""
     from ray.data.aggregate import Sum
 
     def _counts(b: pa.Table) -> pa.Table:
@@ -620,7 +623,7 @@ def grouped_quantile(ds, group_col: str = "l_returnflag",
         cum = np.cumsum(c)
         lov = v[np.searchsorted(cum, lo, side="right")]
         hiv = v[np.searchsorted(cum, hi, side="right")]
-        med = lov + (hiv - lov) * (rn - lo)
+        med = (hi - rn) * lov + (rn - lo) * hiv if hi != lo else lov
         return pd.DataFrame(
             {
                 group_col: [g[group_col].iloc[0]],
@@ -1315,4 +1318,142 @@ def grouped_mode(ds, group_col: str, value_col: str):
         )
         .groupby(group_col)
         .map_groups(_final, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-domain cap, window-frame moving aggregate, grouped winsorize
+# ---------------------------------------------------------------------------
+
+def domain_cap(docs_ds, k: int = 15):
+    """Per-domain document cap, keeping the k LONGEST docs per source — the
+    CommonCrawl-style "at most k pages per domain" gate, quality-ordered
+    (``row_number() OVER (PARTITION BY source ORDER BY n_chars DESC,
+    doc_id)`` ≤ k). Same combiner shape as grouped_topk/stratified_sample:
+    a per-batch partial top-k per source means only ≤ k×n_sources rows per
+    block ever cross the shuffle — at 10^12 docs the shuffle moves the cap
+    candidates, never the corpus. Deterministic: n_chars ties break on
+    doc_id ascending on both sides."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["source", "doc_id", "n_chars"]).to_pandas()
+        out = (
+            df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+            .groupby("source", sort=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).head(k)[["source", "doc_id", "n_chars"]]
+
+    partials = docs_ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )
+    return partials.repartition(8).groupby("source").map_groups(
+        merge, batch_format="pandas"
+    )
+
+
+def moving_max(events_ds, frame: int = 4, parts: int = 64):
+    """Windowed FRAME aggregate: per-user moving max over the last ``frame``
+    events — ``max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN frame-1 PRECEDING AND CURRENT ROW)``.
+
+    Same physical shape as window_lag_gaps: the key is coarsened to
+    ``user_id % parts`` so ONE vectorized pandas call (sort + groupby
+    rolling-max, C-speed) handles every user in the partition — never one
+    Python call per user. Only (part, event_id, user_id, ts, value) rows
+    cross the single shuffle. max (not avg/sum) keeps float parity exact:
+    the output is always one of the input doubles, immune to summation
+    order."""
+
+    def _tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": _floored_mod(b.column("user_id"), parts),
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "value": b.column("value"),
+            }
+        )
+
+    def _roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        mm = (
+            g.groupby("user_id", sort=False)["value"]
+            .rolling(frame, min_periods=1)
+            .max()
+            .reset_index(drop=True)
+        )
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy("int64"),
+                "user_id": g["user_id"].to_numpy("int64"),
+                "mov_max": mm.to_numpy("float64"),
+            }
+        )
+
+    tagged = events_ds.map_batches(
+        _tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536,
+    )
+    return tagged.groupby("part").map_groups(_roll, batch_format="pandas")
+
+
+def winsorize(docs_ds_factory, sf_dir: str, p_lo: float = 0.05,
+              p_hi: float = 0.95):
+    """Per-group winsorization: clip each doc's n_chars to its language's
+    [p_lo, p_hi] percentile_cont band — outlier clamping for feature
+    normalization. Two-phase: the grouped-quantile combiner (only
+    n_groups × n_distinct rows shuffle) produces one TINY (lang, lo, hi)
+    table (n_langs rows — bound: group cardinality, justifying the driver
+    fetch), broadcast once via ray.put; the clip itself is one streaming
+    pyarrow map over the corpus. Float parity is inherited: the quantile
+    values are the same percentile_cont interpolation DuckDB computes
+    (hash-verified by group_median/grouped_p95), and unclipped rows pass
+    the exact cast of their integer n_chars."""
+    import ray
+
+    from ..common import cached_broadcast
+
+    bounds = {}
+    for p, col in ((p_lo, "lo"), (p_hi, "hi")):
+        qdf = grouped_quantile(
+            docs_ds_factory(), group_col="lang", val_col="n_chars", p=p,
+            out_col=col,
+        ).to_pandas()  # n_langs rows (tiny by the group-cardinality bound)
+        for lang, v in zip(qdf["lang"], qdf[col]):
+            bounds.setdefault(lang, {})[col] = float(v)
+    bounds_ref = ray.put(bounds)
+
+    def _clip(b: pa.Table) -> pa.Table:
+        bmap = cached_broadcast(bounds_ref)
+        langs = pd.Series(b.column("lang").to_numpy(zero_copy_only=False))
+        v = b.column("n_chars").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        # vectorized dict lookup (C-speed map; raise on an unseen lang
+        # rather than silently passing it unclipped)
+        lo = langs.map({k: d["lo"] for k, d in bmap.items()}).to_numpy(
+            np.float64
+        )
+        hi = langs.map({k: d["hi"] for k, d in bmap.items()}).to_numpy(
+            np.float64
+        )
+        if np.isnan(lo).any():
+            raise ValueError("winsorize: lang missing from quantile bounds")
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "lang": b.column("lang"),
+                "n_clip": pa.array(np.minimum(np.maximum(v, lo), hi)),
+            }
+        )
+
+    return docs_ds_factory().map_batches(
+        _clip, batch_format="pyarrow", zero_copy_batch=True,
     )

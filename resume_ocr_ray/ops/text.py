@@ -17,6 +17,7 @@ from __future__ import annotations
 import re
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -583,5 +584,44 @@ def boilerplate_gate(
         return out.filter(pa.array(keep_rows, type=pa.bool_()))
 
     return docs_ds_factory().map_batches(
+        _gate, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+    )
+
+
+def repetition_gate(docs_ds, num: int = 2, den: int = 5):
+    """Gopher-style repetition filter: keep docs whose duplicate-word
+    fraction is at least num/den — i.e. ``den·(n_words − n_distinct) ≥
+    num·n_words`` in INTEGER arithmetic (exactly DuckDB's
+    ``length(string_split(text,' '))`` / ``length(list_distinct(...))``
+    with the float threshold cleared by cross-multiplication, so both
+    sides agree bit-for-bit). Templated/spammy corpora surface here; the
+    inverted gate is the quality filter.
+
+    Fully vectorized per batch: Arrow split_pattern (same empty-token
+    semantics as DuckDB string_split), then one C-speed pandas
+    drop_duplicates + groupby(size) over (parent, word) for the distinct
+    counts — no Python loop over rows or tokens."""
+
+    def _gate(b: pa.Table) -> pa.Table:
+        texts = b.column("text")
+        split = pc.split_pattern(texts, " ")
+        n_words = pc.list_value_length(split).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(split)
+        dd = pd.DataFrame({"p": parent, "w": flat.to_pandas()})
+        nd = dd.drop_duplicates().groupby("p", sort=True).size()
+        n_distinct = np.zeros(b.num_rows, dtype=np.int64)
+        n_distinct[nd.index.to_numpy()] = nd.to_numpy()
+        nw = n_words.astype(np.int64)
+        keep = den * (nw - n_distinct) >= num * nw
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_words": pa.array(nw),
+                "n_distinct": pa.array(n_distinct),
+            }
+        ).filter(pa.array(keep))
+
+    return docs_ds.map_batches(
         _gate, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
     )

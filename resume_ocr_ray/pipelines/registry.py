@@ -757,6 +757,33 @@ _EXT_QUERIES: dict = {}
 _EXT_SQL: dict = {}
 
 
+def q_domain_cap(sf_dir: str):
+    return R.domain_cap(
+        _read(sf_dir, "documents", ["source", "doc_id", "n_chars"])
+    )
+
+
+def q_word_rep(sf_dir: str):
+    return T.repetition_gate(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_moving_max(sf_dir: str):
+    return R.moving_max(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    )
+
+
+def q_prefix_contained(sf_dir: str):
+    return D.prefix_contained(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_winsorize(sf_dir: str):
+    return R.winsorize(
+        lambda: _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+        sf_dir,
+    )
+
+
 def register(name: str, fn, sql: str | None = None) -> None:
     """Register a user-defined pipeline: ``fn(sf_dir) -> Dataset|DataFrame|
     Table`` appears in ``queries()``; when ``sql`` is given it becomes the
@@ -870,6 +897,13 @@ def _all_queries() -> dict:
         "cust_except": q_cust_except,
         "mode_lang": q_mode_lang,
         "kmeans": q_kmeans,
+        # round-3 additions: per-domain cap, repetition gate, window-frame
+        # aggregate, grouped winsorize
+        "domain_cap": q_domain_cap,
+        "word_rep": q_word_rep,
+        "moving_max": q_moving_max,
+        "winsorize": q_winsorize,
+        "prefix_contained": q_prefix_contained,
     }}
 
 
@@ -1394,5 +1428,36 @@ def oracle_sql() -> dict:
             "SELECT source, lang AS mode_value, n AS n_occurrences FROM ("
             "SELECT *, row_number() OVER (PARTITION BY source "
             "ORDER BY n DESC, lang ASC) AS rn FROM c) WHERE rn = 1"
+        ),
+        "domain_cap": (
+            "SELECT source, doc_id, n_chars FROM ("
+            "SELECT source, doc_id, n_chars, row_number() OVER ("
+            "PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn "
+            "FROM documents) WHERE rn <= 15"
+        ),
+        "word_rep": (
+            "SELECT doc_id, n_words, n_distinct FROM ("
+            "SELECT doc_id, len(string_split(text, ' ')) AS n_words, "
+            "len(list_distinct(string_split(text, ' '))) AS n_distinct "
+            "FROM documents) WHERE 5 * (n_words - n_distinct) >= 2 * n_words"
+        ),
+        "moving_max": (
+            "SELECT event_id, user_id, max(value) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mov_max FROM events"
+        ),
+        "prefix_contained": (
+            "SELECT DISTINCT a.doc_id FROM documents a JOIN documents b "
+            "ON starts_with(b.text, a.text) "
+            "AND length(b.text) > length(a.text)"
+        ),
+        "winsorize": (
+            "WITH q AS (SELECT lang, "
+            "percentile_cont(0.05) WITHIN GROUP (ORDER BY n_chars) AS lo, "
+            "percentile_cont(0.95) WITHIN GROUP (ORDER BY n_chars) AS hi "
+            "FROM documents GROUP BY lang) "
+            "SELECT d.doc_id, d.lang, "
+            "least(greatest(CAST(d.n_chars AS DOUBLE), q.lo), q.hi) AS n_clip "
+            "FROM documents d JOIN q USING (lang)"
         ),
     }}

@@ -68,6 +68,8 @@ def test_all_queries_run(ray_session, registry):
         "decontaminate", "cust_except", "html_main", "mode_lang",
         "section_flags", "user_intersect", "boilerplate_gate",
         "ivf_full_probe", "neardup_pairs", "grouped_p95",
+        "domain_cap", "word_rep", "moving_max", "winsorize",
+        "prefix_contained",
     ],
 )
 def test_query_matches_oracle(ray_session, registry, duck, name):
