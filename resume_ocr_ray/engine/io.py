@@ -375,9 +375,10 @@ class _MediaShardRegistry:
     table zero-copy from plasma instead of re-reading + re-decompressing the
     parquet file per actor (measured: one 1 MB shard read ≈ 280 ms vs
     ~20 ms of actual OCR compute per batch — per-actor re-reads dominated
-    the whole pipeline). ``shard_meta_ref`` serves the PER-SHARD dispatch
-    meta the same way (two-phase explode: meta is co-sharded with its media
-    and lazily materialized — no global meta dict exists anywhere). Plasma
+    the whole pipeline). The two-phase explode's PER-SHARD dispatch meta is
+    built by each requesting worker from this same plasma-shared table (see
+    engine.pipeline._shard_meta — building metas inside this single actor
+    serialized session warmup) — no global meta dict exists anywhere. Plasma
     evicts/spills cold shards under memory pressure, so at 10^12 docs this
     is a node-local LRU over hot shards, not a full-media materialization —
     and nothing ever transits the driver.
@@ -386,7 +387,6 @@ class _MediaShardRegistry:
     def __init__(self, paths: list):
         self._paths = list(paths)
         self._refs: dict = {}
-        self._meta_refs: dict = {}
 
     def shard_ref(self, sid: int):
         import ray
@@ -397,19 +397,6 @@ class _MediaShardRegistry:
             ref = ray.put(t)
             self._refs[sid] = ref
         return ref
-
-    def shard_meta_ref(self, sid: int):
-        """ObjectRef of THIS shard's dispatch meta {ref: (unit_kind,
-        n_pages)} — built once per session from the cached shard table."""
-        import ray
-
-        ref = self._meta_refs.get(sid)
-        if ref is None:
-            t = ray.get(self.shard_ref(sid))
-            ref = ray.put(build_media_meta(t))
-            self._meta_refs[sid] = ref
-        return ref
-
 
 class _ShardedLookup:
     """Per-worker lazy view over sharded media tables.

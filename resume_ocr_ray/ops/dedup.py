@@ -967,9 +967,13 @@ def prefix_contained(docs_ds):
     at_boundary = docs_ds.select_columns(["doc_id", "text"]).map_batches(
         _boundary_rows, batch_format="pyarrow", zero_copy_batch=True,
     )
-    # a run spanning blocks is flagged by BOTH paths — distinct on doc_id
+    # a run spanning blocks is flagged by BOTH paths — distinct on doc_id.
+    # Both sides are flag rows (bounded by the contained-dup count), so a
+    # 4-block coalesce keeps the distinct groupby from fanning one sort
+    # range per upstream block (empty-partition overhead at small scale).
     return (
         in_block.union(at_boundary)
+        .repartition(4)
         .groupby("doc_id")
         .count()
         .select_columns(["doc_id"])
