@@ -410,7 +410,7 @@ class _ShardedLookup:
     legacy global-dict path and may be None."""
 
     def __init__(self, shard_paths: list, meta, registry,
-                 max_cached: int = 32):
+                 max_cached: int = 256):
         from collections import OrderedDict
 
         self._paths = shard_paths
@@ -479,14 +479,14 @@ class ShardedParquetMediaStore:
     """
 
     def __init__(self, shard_paths: list, meta_ref=None, registry=None,
-                 max_cached_shards: int = 32):
+                 max_cached_shards: int = 256):
         self.shard_paths = list(shard_paths)
         self.meta_ref = meta_ref
         self.registry = registry
         self.max_cached_shards = max_cached_shards
 
     @classmethod
-    def from_dir(cls, media_dir: str, max_cached_shards: int = 32,
+    def from_dir(cls, media_dir: str, max_cached_shards: int = 256,
                  eager_meta: bool = False):
         import ray
 
