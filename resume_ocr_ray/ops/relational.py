@@ -49,8 +49,11 @@ def lineitem_agg(lineitem_ds):
         _partial_lineitem, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=65536,
     )
+    # ≤6 rows per partial block; coalesce so the sort-groupby's ranges
+    # (one per input block) all land on occupied keys — see grouped_quantile
     return (
-        partials.groupby(["l_returnflag", "l_linestatus"])
+        partials.repartition(4)
+        .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("sum_qty", alias_name="sum_qty"),
             Sum("sum_base_price", alias_name="sum_base_price"),
@@ -665,7 +668,8 @@ def rollup_agg(lineitem_ds):
         batch_size=65536,
     )
     finest = (
-        partials.groupby(["l_returnflag", "l_linestatus"])
+        partials.repartition(4)  # ≤6 rows/block partials (see lineitem_agg)
+        .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("sum_qty", alias_name="sum_qty"),
             Sum("count_order", alias_name="n_rows"),

@@ -198,6 +198,7 @@ def heavy_hitters(docs_ds, ppm: int = 2000, capacity: int = 4096):
 
         cand = (
             summ.select_columns(["word", "residual"])
+            .repartition(8)  # coalesce summaries (empty-range warning sweep)
             .groupby("word")
             .aggregate(Sum("residual", alias_name="residual"))
             .map_batches(_cand_filter, batch_format="pyarrow",
@@ -237,10 +238,14 @@ def heavy_hitters(docs_ds, ppm: int = 2000, capacity: int = 4096):
         df["n"] = df["n"].astype("int64")
         return df
 
+    # candidate-filtered recounts are ≤ |candidates| rows per block —
+    # coalesce so the sort-groupby's ranges all land on occupied words
+    # (schema-less-empty-partition warning sweep, see grouped_quantile)
     return (
         docs_ds.map_batches(
             _exact_partial, batch_format="pyarrow", zero_copy_batch=True,
         )
+        .repartition(8)
         .groupby("word")
         .aggregate(Sum("n", alias_name="n"))
         .map_batches(_final, batch_format="pandas")
