@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "moving_max",
     "winsorize",
     "prefix_contained",
+    "tfidf_topk",
+    "left_join",
 ]
 
 

@@ -1461,3 +1461,84 @@ def winsorize(docs_ds_factory, sf_dir: str, p_lo: float = 0.05,
     return docs_ds_factory().map_batches(
         _clip, batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+def left_outer_join_customer_orders(customer_ds, orders_ds, parts: int = 64):
+    """Large-large LEFT OUTER join: every customer row, with per-customer
+    order count + rounded total, NULL where no orders exist — the join type
+    the engine lacked (inner = shuffle_join, anti/semi = hash aggregate,
+    as-of/range = interval forms).
+
+    Same physical shape as shuffle_join_revenue: per-batch partials collapse
+    the fact side (one (custkey, n, total) row per customer per batch),
+    both sides union into one tagged schema, ONE shuffle on the coarsened
+    key hash, then a vectorized pandas LEFT merge per cogroup. Customers
+    shuffle exactly once; order rows never do (only their partials).
+    Preserved-NULL semantics match SQL's LEFT JOIN against an aggregate
+    subquery; totals round(2) after the final sum (sum order is
+    nondeterministic in both engines; 2-decimal inputs make the rounded
+    sum stable)."""
+
+    def _ord_side(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "c_custkey": b.column("o_custkey").to_numpy(),
+                "total_price": b.column("o_totalprice").to_numpy(),
+            }
+        )
+        g = df.groupby("c_custkey", as_index=False).agg(
+            n_orders=("total_price", "size"), total_price=("total_price", "sum")
+        )
+        g["part"] = (g["c_custkey"] % parts).astype("int32")
+        g["c_mktsegment"] = ""
+        g["is_cust"] = False
+        return pa.Table.from_pandas(
+            g[["part", "c_custkey", "c_mktsegment", "is_cust", "n_orders",
+               "total_price"]],
+            preserve_index=False,
+        )
+
+    def _cust_side(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "part": _floored_mod(b.column("c_custkey"), parts),
+                "c_custkey": b.column("c_custkey"),
+                "c_mktsegment": b.column("c_mktsegment"),
+                "is_cust": pa.array(np.ones(n, dtype=bool)),
+                "n_orders": pa.array(np.zeros(n, dtype=np.int64)),
+                "total_price": pa.array(np.zeros(n)),
+            }
+        )
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        cust = g.loc[g["is_cust"], ["c_custkey", "c_mktsegment"]]
+        if cust.empty:
+            return pd.DataFrame(
+                {
+                    "c_custkey": pd.Series(dtype="int64"),
+                    "c_mktsegment": pd.Series(dtype="object"),
+                    "n_orders": pd.Series(dtype="Int64"),
+                    "total_price": pd.Series(dtype="float64"),
+                }
+            )
+        od = g.loc[~g["is_cust"], ["c_custkey", "n_orders", "total_price"]]
+        agg = od.groupby("c_custkey", as_index=False).agg(
+            n_orders=("n_orders", "sum"), total_price=("total_price", "sum")
+        )
+        j = cust.merge(agg, on="c_custkey", how="left")
+        j["n_orders"] = j["n_orders"].astype("Int64")  # nullable: no orders
+        j["total_price"] = j["total_price"].round(2)
+        return j[["c_custkey", "c_mktsegment", "n_orders", "total_price"]]
+
+    cust = customer_ds.map_batches(
+        _cust_side, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )
+    od = orders_ds.map_batches(
+        _ord_side, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )
+    return cust.union(od).groupby("part").map_groups(
+        _merge, batch_format="pandas"
+    )

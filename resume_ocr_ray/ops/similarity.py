@@ -426,3 +426,55 @@ def kmeans_clusters(emb_ds_factory, k: int = 8, iters: int = 5):
     )
     out.attrs["inertia_path"] = inertia_path
     return out
+
+
+def brute_force_topk_int8(emb_ds, qvec: np.ndarray, k: int = 10):
+    """int8-QUANTIZED cosine top-k — the memory-scale path for brute-force
+    ANN: per-row symmetric quantization (scale = max|x|/127) shrinks the
+    score matmul's operand 4× vs f32 (16× vs the f64 exactness baseline)
+    and is the standard first rung before IVF/PQ. Approximate by
+    construction, so it is a rows-only op; recall@k vs the exact
+    ``brute_force_topk`` is pinned by a pytest bound
+    (tests/test_ops.py::test_ann_int8_recall).
+
+    Same physical shape as brute_force_topk: broadcast query, per-batch
+    int32-accumulated matmul + top-k partial, tiny global sort+limit."""
+    import ray
+
+    from ..common import cached_broadcast
+
+    q = np.asarray(qvec, dtype=np.float64)
+    qs = float(np.abs(q).max()) / 127.0 or 1.0
+    q8 = np.clip(np.round(q / qs), -127, 127).astype(np.int8)
+    qref = ray.put((q8, qs))
+
+    def score(batch: pa.Table) -> pa.Table:
+        q8_, qs_ = cached_broadcast(qref)
+        mat = _as_matrix(batch).astype(np.float64)
+        if mat.size == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "cosine_q8": pa.array([], type=pa.float64())})
+        scales = np.maximum(np.abs(mat).max(axis=1), 1e-12) / 127.0
+        m8 = np.clip(np.round(mat / scales[:, None]), -127, 127).astype(np.int8)
+        # int32 accumulation: dim*127² = 64·16129 ≈ 2²⁰ per element — safe
+        dots = (m8.astype(np.int32) @ q8_.astype(np.int32)).astype(np.float64)
+        norms = np.sqrt((m8.astype(np.int32) ** 2).sum(axis=1)).astype(np.float64)
+        qn = float(np.sqrt((q8_.astype(np.int32) ** 2).sum()))
+        sims = dots / np.maximum(norms * qn, 1e-9)  # scales cancel in cosine
+        kk = min(k, sims.shape[0])
+        r = np.round(sims, 6)
+        vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        top = np.lexsort((vec_ids, -r))[:kk]
+        return pa.table(
+            {
+                "vec_id": pa.array(vec_ids[top]),
+                "cosine_q8": pa.array(r[top]),
+            }
+        )
+
+    partials = emb_ds.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096,
+    )
+    return partials.sort(
+        ["cosine_q8", "vec_id"], descending=[True, False]
+    ).limit(k)

@@ -625,3 +625,75 @@ def repetition_gate(docs_ds, num: int = 2, den: int = 5):
     return docs_ds.map_batches(
         _gate, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
     )
+
+
+def tfidf_topk(docs_ds_factory, k: int = 3):
+    """Per-document keyword extraction: top-``k`` terms by an INTEGER-EXACT
+    tf-idf-style weight ``score = tf·10⁶ // df`` (df = docs containing the
+    term; the corpus-size factor N is constant per corpus, so it cannot
+    change the ranking — dropping it keeps both sides in exact integer
+    arithmetic instead of ULP-fragile logarithms). Ties break (score desc,
+    term asc) on both sides.
+
+    Pass 1 computes df with a vocabulary-bounded combiner: per-batch
+    DISTINCT (doc, term) collapse → one (term, df_partial) row per term per
+    batch → groupby(term) Sum. The df map is broadcast (closure capture —
+    the same vocabulary-scale bound stopword_filter documents; at a 100-TB
+    vocabulary swap for a term-keyed cogroup join + doc_id re-shuffle).
+    Pass 2 is ONE streamed pass: per-batch tf via C-speed pandas
+    (parent, term) groupby, score + per-doc top-k vectorized. Tokenization
+    is single-space split with empties dropped == DuckDB
+    ``string_split(text, ' ')``."""
+    from ray.data.aggregate import Sum
+
+    def _df_partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        dd = pd.DataFrame({"p": parent, "term": flat.to_pandas()})
+        dd = dd[dd["term"] != ""].drop_duplicates()
+        vc = dd.groupby("term", sort=False).size()
+        return pa.table(
+            {
+                "term": pa.array(vc.index, type=pa.string()),
+                "df": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    df_map = (
+        docs_ds_factory()
+        .map_batches(_df_partial, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=65536)
+        .repartition(8)  # vocab partials are tiny (warning-sweep coalesce)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    df_lookup = dict(zip(df_map["term"], df_map["df"].astype(np.int64)))
+
+    def _topk(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        doc_ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        dd = pd.DataFrame({"p": parent, "term": flat.to_pandas()})
+        dd = dd[dd["term"] != ""]
+        tf = dd.groupby(["p", "term"], sort=False).size().reset_index(name="tf")
+        tf["df"] = tf["term"].map(df_lookup).astype("int64")
+        tf["score"] = (tf["tf"].astype("int64") * 1_000_000) // tf["df"]
+        tf = tf.sort_values(["p", "score", "term"],
+                            ascending=[True, False, True])
+        top = tf.groupby("p", sort=False).head(k)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[top["p"].to_numpy()]),
+                "term": pa.array(top["term"], type=pa.string()),
+                "tf": pa.array(top["tf"].to_numpy(np.int64)),
+                "df": pa.array(top["df"].to_numpy(np.int64)),
+                "score": pa.array(top["score"].to_numpy(np.int64)),
+            }
+        )
+
+    return docs_ds_factory().map_batches(
+        _topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+    )

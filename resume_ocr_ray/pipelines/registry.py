@@ -773,6 +773,26 @@ def q_moving_max(sf_dir: str):
     )
 
 
+def q_ann_int8(sf_dir: str):
+    qv = SIM.query_vector(64, seed=7)
+    return SIM.brute_force_topk_int8(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), qv, k=10
+    )
+
+
+def q_tfidf_topk(sf_dir: str):
+    return T.tfidf_topk(
+        lambda: _read(sf_dir, "documents", ["doc_id", "text"])
+    )
+
+
+def q_left_join(sf_dir: str):
+    return R.left_outer_join_customer_orders(
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+    )
+
+
 def q_prefix_contained(sf_dir: str):
     return D.prefix_contained(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -904,6 +924,11 @@ def _all_queries() -> dict:
         "moving_max": q_moving_max,
         "winsorize": q_winsorize,
         "prefix_contained": q_prefix_contained,
+        "tfidf_topk": q_tfidf_topk,
+        "left_join": q_left_join,
+        # approximate by construction (int8 quantization) — rows-only;
+        # recall@k pinned by tests/test_ops.py::test_ann_int8_recall
+        "ann_int8": q_ann_int8,
     }}
 
 
@@ -1450,6 +1475,27 @@ def oracle_sql() -> dict:
             "SELECT DISTINCT a.doc_id FROM documents a JOIN documents b "
             "ON starts_with(b.text, a.text) "
             "AND length(b.text) > length(a.text)"
+        ),
+        "tfidf_topk": (
+            "WITH toks AS ("
+            "SELECT doc_id, t.w AS term FROM documents, "
+            "unnest(string_split(text, ' ')) AS t(w) WHERE t.w <> ''), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+            "GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks "
+            "GROUP BY term), "
+            "scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, "
+            "tf.tf * 1000000 // df.df AS score FROM tf JOIN df USING (term)) "
+            "SELECT doc_id, term, tf, df, score FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, term) AS rn FROM scored) WHERE rn <= 3"
+        ),
+        "left_join": (
+            "SELECT c.c_custkey, c.c_mktsegment, o.n_orders, o.total_price "
+            "FROM customer c LEFT JOIN ("
+            "SELECT o_custkey, count(*) AS n_orders, "
+            "round(sum(o_totalprice), 2) AS total_price "
+            "FROM orders GROUP BY o_custkey) o ON o.o_custkey = c.c_custkey"
         ),
         "winsorize": (
             "WITH q AS (SELECT lang, "

@@ -830,3 +830,27 @@ def test_heavy_hitters_uniform_batches_keep_totals(ray_session):
     out = SK.heavy_hitters(ds, ppm=150_000, capacity=2).to_pandas()
     got = dict(zip(out["word"], out["n"]))
     assert got.get("hh") == 20, got  # 20/100 tokens = 200k ppm >= 150k
+
+
+def test_ann_int8_recall(ray_session):
+    """int8-quantized brute-force ANN must keep recall@10 >= 0.8 vs the
+    exact f64 baseline on the sf0.01 embeddings (symmetric per-row
+    quantization loses <1% cosine precision at dim=64; rank inversions
+    happen only between near-tied neighbors)."""
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import similarity as SIM
+
+    ds = lambda: rd.read_parquet(
+        "/root/testdata/sf0.01/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    qv = SIM.query_vector(64, seed=7)
+    exact = set(
+        SIM.brute_force_topk(ds(), qv, k=10).to_pandas()["vec_id"]
+    )
+    quant = set(
+        SIM.brute_force_topk_int8(ds(), qv, k=10).to_pandas()["vec_id"]
+    )
+    assert len(exact) == len(quant) == 10
+    assert len(exact & quant) >= 8

@@ -128,6 +128,37 @@ def test_sharded_media_store_equality(ray_session, tmp_path):
         assert _span_key(a["spans_out"]) == _span_key(e["spans_out"]), doc_id
 
 
+def test_sharded_store_dangling_ref(ray_session, tmp_path):
+    """Two-phase resolve: a media_ref absent from every shard must surface
+    as the oracle's ERR_BAD_REF row (the crc fallback routes it to a shard
+    whose meta does not contain it), never a crash or a dropped doc."""
+    import ray.data as rd
+
+    from resume_ocr_ray import config as C
+    from resume_ocr_ray.core import schema as S
+
+    docs, media = corpus.generate_corpus(8, seed=5)
+    extra = pa.Table.from_pydict(
+        {
+            "doc_id": ["dang-1"],
+            "spans": [[{"kind": "media", "text": "",
+                        "media_ref": "nowhere/m99", "offset": 0}]],
+        },
+        schema=S.DOCUMENTS_SCHEMA,
+    )
+    docs = pa.concat_tables([docs.cast(extra.schema), extra])
+    docs_dir, media_dir = EIO.write_corpus(
+        str(tmp_path / "c"), docs, media, num_shards=4
+    )
+    store = EIO.ShardedParquetMediaStore.from_dir(media_dir)
+    ds = P.extraction_pipeline(
+        rd.read_parquet(docs_dir), store, batch_size=32, ocr_concurrency=2,
+    )
+    rows = {r["doc_id"]: r for r in ds.iter_rows()}
+    assert len(rows) == docs.num_rows
+    assert rows["dang-1"]["error"] == C.ERR_BAD_REF.format(ref="nowhere/m99")
+
+
 def test_zero_page_pdf_matches_oracle(ray_session):
     """A schema-valid PDF with n_pages=0 and short direct text must produce
     the oracle's ERR_OCR_EMPTY (stitch_pdf_pages([])), not a phantom-page

@@ -69,7 +69,7 @@ def test_all_queries_run(ray_session, registry):
         "section_flags", "user_intersect", "boilerplate_gate",
         "ivf_full_probe", "neardup_pairs", "grouped_p95",
         "domain_cap", "word_rep", "moving_max", "winsorize",
-        "prefix_contained",
+        "prefix_contained", "tfidf_topk", "left_join",
     ],
 )
 def test_query_matches_oracle(ray_session, registry, duck, name):
