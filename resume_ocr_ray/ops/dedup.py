@@ -318,13 +318,14 @@ def minhash_verified(docs_ds, *, threshold: float = 0.5, num_perm=64, bands=16,
     # Coalesce the union before the cogroup sort: the sort-groupby makes
     # one output RANGE per input block, and ranges that outnumber the
     # occupied key values come out EMPTY and schema-less (executor warning
-    # spam). COGROUP_PARTS/2 blocks guarantee every range spans ≥2 of the
-    # 64 part values (always occupied), while keeping the merge at half
-    # its designed salt parallelism — the partition count is the op's
+    # spam). COGROUP_PARTS/4 blocks make every range span ≥4 of the 64
+    # part values (always occupied; /2 still produced occasional empty
+    # ranges from boundary sampling), while keeping the merge at a quarter
+    # of its designed salt parallelism — the partition count is the op's
     # scale knob, not the upstream block count.
     joined = (
         texts.union(edges)
-        .repartition(COGROUP_PARTS // 2)
+        .repartition(COGROUP_PARTS // 4)
         .groupby("part")
         .map_groups(merge_part, batch_format="pandas")
     )
@@ -919,8 +920,12 @@ def prefix_contained(docs_ds):
     ).materialize()  # consumed twice: doc flags (bounded by dup count) + metas
 
     def _only(kind: str):
+        # filter AND project in one map: a filter-only pass leaves empty
+        # blocks carrying the full 5-column schema, which then skip the
+        # select_columns map and mix schemas downstream (executor warning)
         def _f(t: pa.Table) -> pa.Table:
-            return t.filter(pc.equal(t["kind"], kind))
+            t = t.filter(pc.equal(t["kind"], kind))
+            return t if kind == "b" else t.select(["doc_id"])
 
         return _f
 
@@ -963,7 +968,7 @@ def prefix_contained(docs_ds):
 
     in_block = flagged.map_batches(
         _only("f"), batch_format="pyarrow", zero_copy_batch=True
-    ).select_columns(["doc_id"])
+    )
     at_boundary = docs_ds.select_columns(["doc_id", "text"]).map_batches(
         _boundary_rows, batch_format="pyarrow", zero_copy_batch=True,
     )

@@ -847,7 +847,8 @@ def shuffle_join_revenue(orders_ds, lineitem_ds, parts: int = 64):
         li.union(od).groupby("part").map_groups(_merge, batch_format="pandas")
     )
     return (
-        cogrouped.groupby("o_orderpriority")
+        cogrouped.repartition(2)  # ≤5 rows/cogroup (warning-sweep coalesce)
+        .groupby("o_orderpriority")
         .aggregate(
             Sum("n_orders", alias_name="n_orders"),
             Sum("revenue", alias_name="revenue"),

@@ -305,17 +305,25 @@ def bloom_semi_join_revenue(lineitem_ds, orders_ds,
 
     from ..common import cached_broadcast
 
+    def _match_keys(b: pa.Table) -> np.ndarray:
+        sel = pa.compute.equal(b.column("o_orderpriority"), priority)
+        return (
+            b.column("o_orderkey").filter(sel).to_numpy(zero_copy_only=False)
+        )
+
     def _key_bits(b: pa.Table) -> pa.Table:
-        keys = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        # priority filter FUSED into the bitmap build: a standalone
+        # filter() emits schema-less empty blocks that map_batches passes
+        # through untouched (executor warning spam + the column-less-frame
+        # guard below); filtering here means every orders block yields
+        # exactly one bitmap row — a zero bitmap (the OR identity) when
+        # nothing matches
+        keys = _match_keys(b)
         w = bloom_bits(keys.astype(np.int64), m_bits)
         return pa.table({"words": pa.array([w.tolist()],
                                            type=pa.list_(pa.uint64()))})
-
-    filt = orders_ds.filter(
-        expr=f"o_orderpriority == '{priority}'"
-    )
     def _or_block(b: pa.Table) -> pa.Table:
-        # OR all bitmaps in one block down to a single row (idempotent —
+        # OR all bitmaps in one batch down to a single row (idempotent —
         # safe as a tree-reduce level and as the final driver merge)
         if b.num_rows <= 1:
             return b
@@ -325,14 +333,21 @@ def bloom_semi_join_revenue(lineitem_ds, orders_ds,
         return pa.table({"words": pa.array([w.tolist()],
                                            type=pa.list_(pa.uint64()))})
 
+    # tree-reduce via batch bundling, NOT repartition: map_batches bundles
+    # whole one-row blocks up to batch_size, so each level cuts the bitmap
+    # count 512× with no shuffle and — unlike repartition(k) over < k rows —
+    # never manufactures schema-less empty partitions. Two levels bound the
+    # driver fetch at n_blocks/512² rows (≤ a few, at any input size).
     bitmap_rows = (
-        filt.select_columns(["o_orderkey"])
-        .map_batches(_key_bits, batch_format="pyarrow", zero_copy_batch=True,
-                     batch_size=65536)
-        .repartition(8)
+        orders_ds.map_batches(
+            _key_bits, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536,
+        )
         .map_batches(_or_block, batch_format="pyarrow", zero_copy_batch=True,
-                     batch_size=None)
-        .to_pandas()  # ≤ 8 rows regardless of input block count
+                     batch_size=512)
+        .map_batches(_or_block, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=512)
+        .to_pandas()
     )
     # zero matching orders -> zero blocks -> a column-less empty frame
     # (Ray drops the schema with the blocks), hence the guard on the column
@@ -373,7 +388,7 @@ def bloom_semi_join_revenue(lineitem_ds, orders_ds,
         )
 
     def _ord_keys(b: pa.Table) -> pa.Table:
-        keys = np.unique(b.column("o_orderkey").to_numpy(zero_copy_only=False))
+        keys = np.unique(_match_keys(b))  # filter fused (see _key_bits)
         n = keys.shape[0]
         return pa.table(
             {
@@ -416,7 +431,7 @@ def bloom_semi_join_revenue(lineitem_ds, orders_ds,
         _li_probe, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=65536,
     )
-    ok = filt.select_columns(["o_orderkey"]).map_batches(
+    ok = orders_ds.map_batches(
         _ord_keys, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=65536,
     )
@@ -424,6 +439,7 @@ def bloom_semi_join_revenue(lineitem_ds, orders_ds,
         li.union(ok)
         .groupby("part")
         .map_groups(_merge, batch_format="pandas")
+        .repartition(2)  # ≤3 rows per cogroup (warning-sweep coalesce)
         .groupby("l_returnflag")
         .aggregate(
             Sum("n_items", alias_name="n_items"),
