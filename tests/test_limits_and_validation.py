@@ -63,3 +63,21 @@ def test_minhash_verified_jaccard(ray_session):
     out = D.minhash_verified(rd.from_arrow(tbl), threshold=0.5).to_pandas()
     assert set(map(tuple, out[["a", "b"]].to_numpy())) == {(1, 2)}
     assert (out["jaccard"] >= 0.5).all()
+
+
+def test_write_documents_round_trip(ray_session, tmp_path):
+    """write_documents (parquet arm in-sandbox; lance arm is the gated
+    seam) round-trips through read_documents unchanged."""
+    import ray.data as rd
+
+    from resume_ocr_ray.core import corpus
+    from resume_ocr_ray.engine import io as EIO
+
+    docs, _ = corpus.generate_corpus(12, seed=9)
+    out = EIO.write_documents(
+        rd.from_arrow(docs), str(tmp_path / "docs_out")
+    )
+    back = EIO.read_documents(out).to_pandas().sort_values("doc_id")
+    orig = docs.to_pandas().sort_values("doc_id")
+    assert list(back["doc_id"]) == list(orig["doc_id"])
+    assert [len(s) for s in back["spans"]] == [len(s) for s in orig["spans"]]
