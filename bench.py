@@ -83,6 +83,9 @@ BENCH_QUERIES = [
     "prefix_contained",
     "tfidf_topk",
     "left_join",
+    "trailing_count",
+    "dedup_keep_best",
+    "percent_rank",
 ]
 
 

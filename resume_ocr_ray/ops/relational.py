@@ -1543,3 +1543,195 @@ def left_outer_join_customer_orders(customer_ds, orders_ds, parts: int = 64):
     return cust.union(od).groupby("part").map_groups(
         _merge, batch_format="pandas"
     )
+
+
+def trailing_window_count(events_ds, hours: int = 1, parts: int = 64):
+    """Time-RANGE window frame: per event, how many of the same user's
+    events fall in the trailing ``hours`` window —
+    ``count(*) OVER (PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL h PRECEDING AND CURRENT ROW)``. The RANGE-frame
+    counterpart to moving_max's ROWS frame; count keeps it integer-exact.
+
+    Physical form: key-coarsened single shuffle (window_lag_gaps), then one
+    vectorized two-pointer pass per partition — for each event,
+    ``searchsorted`` of (ts − h) over the user's sorted timestamps gives
+    the window start; the count is an index difference. No per-user Python
+    calls, no quadratic scans."""
+
+    def _tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": _floored_mod(b.column("user_id"), parts),
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+            }
+        )
+
+    def _count(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        ts = g["ts"].to_numpy("datetime64[us]").astype("int64")
+        uid = g["user_id"].to_numpy("int64")
+        # per-user two-pointer via one global searchsorted per user run:
+        # runs are contiguous after the sort
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], uid.size]
+        lo = ts - hours * 3_600_000_000
+        n_win = np.empty(uid.size, dtype=np.int64)
+        for s, e in zip(starts, ends):  # one pass per USER RUN (vectorized inside)
+            seg = ts[s:e]
+            # upper bound 'right' on the row's OWN ts: SQL's RANGE frame
+            # ends at CURRENT ROW *and its ts peers* — an index-based upper
+            # bound would undercount when timestamps tie
+            n_win[s:e] = np.searchsorted(seg, seg, side="right") - np.searchsorted(
+                seg, lo[s:e], side="left"
+            )
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy("int64"),
+                "user_id": uid,
+                "n_window": n_win,
+            }
+        )
+
+    tagged = events_ds.map_batches(
+        _tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536,
+    )
+    return tagged.groupby("part").map_groups(_count, batch_format="pandas")
+
+
+def dedup_keep_best(docs_ds):
+    """Canonical-representative dedup: among exact-content duplicates keep
+    the BEST row (max n_chars, doc_id asc tiebreak) — the keep-policy
+    variant of dedup_exact's keep-min-id (real pipelines keep the longest /
+    highest-quality copy, not an arbitrary one). Same shuffle shape: a
+    per-batch argmax partial per hash, then one groupby(hash) merge — only
+    one candidate row per hash per batch crosses the wire."""
+    import hashlib
+
+    def _partial(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        df = pd.DataFrame(
+            {
+                "text_md5": [
+                    hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                    for t in texts
+                ],
+                "doc_id": b.column("doc_id").to_numpy(zero_copy_only=False),
+                "n_chars": b.column("n_chars").to_numpy(zero_copy_only=False),
+            }
+        )
+        best = (
+            df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+            .groupby("text_md5", sort=False)
+            .head(1)
+        )
+        return pa.Table.from_pandas(best, preserve_index=False)
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).head(1)[["text_md5", "doc_id", "n_chars"]]
+
+    partials = docs_ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )
+    return partials.groupby("text_md5").map_groups(
+        _merge, batch_format="pandas"
+    )
+
+
+def percent_rank_by_lang(docs_ds):
+    """Per-group percent_rank — the rank→[0,1] normalization used for
+    quantile features: ``percent_rank() OVER (PARTITION BY lang ORDER BY
+    n_chars, doc_id)``. The (n_chars, doc_id) order is total, so ranks are
+    unique and pr = (rank−1)/(n_lang−1) is ONE float division per row —
+    bit-identical on both sides.
+
+    DISTRIBUTED rank, not per-group materialization: one range sort on
+    (lang, n_chars, doc_id) makes ranks block-local up to an offset; each
+    block reports (first-row key, per-lang counts) — a tiny meta, ≤
+    n_blocks×n_langs rows — to the driver, which orders blocks by their
+    first-row key (total order ⇒ unique), prefix-sums the per-lang counts
+    into per-(block, lang) rank offsets and per-lang totals, and
+    broadcasts them; a second pass over the SAME materialized sorted
+    blocks assigns rank = offset + local position. No lang group is ever
+    whole in one worker (the prefix_contained boundary-exchange shape)."""
+    import ray
+
+    from ..common import cached_broadcast
+
+    s = (
+        docs_ds.select_columns(["lang", "doc_id", "n_chars"])
+        .sort(["lang", "n_chars", "doc_id"])
+        .materialize()  # two passes over the SAME block layout
+    )
+
+    def _bkey(b: pa.Table) -> str:
+        return "%s|%020d|%020d" % (
+            b.column("lang")[0].as_py(),
+            b.column("n_chars")[0].as_py(),
+            b.column("doc_id")[0].as_py(),
+        )
+
+    def _meta(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"bkey": pa.array([], type=pa.string()),
+                 "lang": pa.array([], type=pa.string()),
+                 "cnt": pa.array([], type=pa.int64())}
+            )
+        vc = b.column("lang").value_counts()
+        return pa.table(
+            {
+                "bkey": pa.array([_bkey(b)] * len(vc), type=pa.string()),
+                "lang": vc.field("values"),
+                "cnt": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    metas = s.map_batches(
+        _meta, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    ).to_pandas()  # ≤ n_blocks × n_langs rows
+    metas = metas.sort_values("bkey")
+    offsets: dict = {}
+    totals: dict = {}
+    for bkey, lang, cnt in metas[["bkey", "lang", "cnt"]].itertuples(
+        index=False
+    ):
+        offsets[(bkey, lang)] = totals.get(lang, 0)
+        totals[lang] = totals.get(lang, 0) + int(cnt)
+    ref = ray.put((offsets, totals))
+
+    def _pr(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.int64()),
+                 "lang": pa.array([], type=pa.string()),
+                 "pr": pa.array([], type=pa.float64())}
+            )
+        offs, tots = cached_broadcast(ref)
+        bkey = _bkey(b)
+        langs = b.column("lang").to_numpy(zero_copy_only=False)
+        # block rows are sorted: local position within the block's lang run
+        # = index − first index of that lang (langs are contiguous)
+        starts = np.flatnonzero(np.r_[True, langs[1:] != langs[:-1]])
+        ends = np.r_[starts[1:], langs.size]
+        rank = np.empty(langs.size, dtype=np.float64)
+        for st, en in zip(starts, ends):  # one slice per LANG RUN per block
+            lang = langs[st]
+            base = offs[(bkey, lang)]
+            n = tots[lang]
+            rank[st:en] = (base + np.arange(en - st)) / max(n - 1, 1)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "lang": b.column("lang"),
+                "pr": pa.array(rank),
+            }
+        )
+
+    return s.map_batches(
+        _pr, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )

@@ -773,6 +773,24 @@ def q_moving_max(sf_dir: str):
     )
 
 
+def q_trailing_count(sf_dir: str):
+    return R.trailing_window_count(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    )
+
+
+def q_dedup_keep_best(sf_dir: str):
+    return R.dedup_keep_best(
+        _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    )
+
+
+def q_percent_rank(sf_dir: str):
+    return R.percent_rank_by_lang(
+        _read(sf_dir, "documents", ["lang", "doc_id", "n_chars"])
+    )
+
+
 def q_ann_int8(sf_dir: str):
     qv = SIM.query_vector(64, seed=7)
     return SIM.brute_force_topk_int8(
@@ -926,6 +944,9 @@ def _all_queries() -> dict:
         "prefix_contained": q_prefix_contained,
         "tfidf_topk": q_tfidf_topk,
         "left_join": q_left_join,
+        "trailing_count": q_trailing_count,
+        "dedup_keep_best": q_dedup_keep_best,
+        "percent_rank": q_percent_rank,
         # approximate by construction (int8 quantization) — rows-only;
         # recall@k pinned by tests/test_ops.py::test_ann_int8_recall
         "ann_int8": q_ann_int8,
@@ -1496,6 +1517,24 @@ def oracle_sql() -> dict:
             "SELECT o_custkey, count(*) AS n_orders, "
             "round(sum(o_totalprice), 2) AS total_price "
             "FROM orders GROUP BY o_custkey) o ON o.o_custkey = c.c_custkey"
+        ),
+        "trailing_count": (
+            "SELECT event_id, user_id, count(*) OVER ("
+            "PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW"
+            ") AS n_window FROM events"
+        ),
+        "dedup_keep_best": (
+            "SELECT text_md5, doc_id, n_chars FROM ("
+            "SELECT md5(text) AS text_md5, doc_id, n_chars, "
+            "row_number() OVER (PARTITION BY md5(text) "
+            "ORDER BY n_chars DESC, doc_id) AS rn FROM documents) "
+            "WHERE rn = 1"
+        ),
+        "percent_rank": (
+            "SELECT doc_id, lang, percent_rank() OVER ("
+            "PARTITION BY lang ORDER BY n_chars, doc_id) AS pr "
+            "FROM documents"
         ),
         "winsorize": (
             "WITH q AS (SELECT lang, "
