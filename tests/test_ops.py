@@ -854,3 +854,47 @@ def test_ann_int8_recall(ray_session):
     )
     assert len(exact) == len(quant) == 10
     assert len(exact & quant) >= 8
+
+
+def test_prefix_contained_run_spanning_blocks(ray_session, tmp_path):
+    """Boundary-exchange correctness when one text's duplicate RUN spans
+    many sort blocks: 600 copies of a short text plus one extension of it,
+    scattered among 1400 unique docs — every copy must be flagged exactly
+    once (the spanning run exercises the driver's second-distinct walk and
+    the both-paths-flag dedup)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import dedup as D
+
+    n = 2000
+    texts, ids = [], []
+    for i in range(n):
+        ids.append(i)
+        if i % 10 < 3:  # 600 copies of the same short text
+            texts.append("common prefix run")
+        else:
+            texts.append(f"unique text number {i:05d} tail")
+    texts[7] = "common prefix run extended beyond the duplicates"
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(t, p)
+
+    got = sorted(
+        D.prefix_contained(
+            rd.read_parquet(p, override_num_blocks=16)
+        ).to_pandas()["doc_id"]
+    )
+    want = sorted(
+        r[0]
+        for r in duckdb.connect().execute(
+            f"SELECT DISTINCT a.doc_id FROM read_parquet('{p}') a "
+            f"JOIN read_parquet('{p}') b ON starts_with(b.text, a.text) "
+            "AND length(b.text) > length(a.text)"
+        ).fetchall()
+    )
+    assert got == want
+    assert len(got) == 600  # every copy of the contained text, exactly once
