@@ -499,7 +499,7 @@ class ShardedParquetMediaStore:
     the two-phase explode signal): per-shard dispatch meta
     ``{ref: (unit_kind, n_pages)}`` is materialized lazily BY SHARD in the
     session registry actor and fetched zero-copy by the resolve stage
-    (engine.pipeline.make_resolve_fn), so at 10^12 docs no ref-keyed dict
+    (engine.pipeline.make_explode_fn's lazy resolver), so no ref-keyed dict
     ever exists in one place. Payload bytes are never ray.put either: OCR
     actors read their shard files via the registry (see _ShardedLookup).
     ``eager_meta=True`` restores the round-2 global-dict broadcast (one

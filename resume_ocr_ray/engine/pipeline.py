@@ -62,37 +62,86 @@ from ..common import cached_broadcast as _cached_broadcast
 
 
 def make_explode_fn(store: MediaStore):
-    """Stateless SINGLE-PHASE explode (elastic tasks): flatten + global-meta
-    resolve + page explosion in one pass. Used when the store broadcasts a
-    global dispatch meta (MediaStore / eager sharded store); the scale path
-    is the two-phase ``_flatten_batch`` + ``make_resolve_fn`` pair below."""
-    meta_ref = store.meta_ref
+    """Explode stage factory (elastic stateless tasks): span flatten +
+    media-meta resolve + page explosion in ONE array-level pass — the
+    exploded table is materialized by a single take at the end (an earlier
+    split into flatten/resolve/page-explode sub-stages each building an
+    intermediate table measured ~0.5 s slower on the 10k-doc headline).
+
+    Two meta strategies behind one resolver seam:
+    - BROADCAST meta (MediaStore / eager sharded store): dict lookups
+      against the session-broadcast {ref: (kind, n_pages[, shard])} map.
+    - TWO-PHASE lazy metas (sharded store with ``meta_ref=None`` — the
+      10^12-doc path): a row's shard comes from its ``media_shard`` column
+      (stamped at corpus write) or ``crc32(ref) % n_shards`` for crc-placed
+      layouts; that shard's meta is built by the requesting worker from the
+      plasma-shared shard table and LRU-cached (``_shard_meta``). No
+      ref-keyed global structure ever exists anywhere.
+    """
+    if getattr(store, "meta_ref", None) is not None:
+        meta_ref = store.meta_ref
+
+        def resolve(refs, shards, unit, n_pages, midx):
+            _resolve_meta(
+                _cached_broadcast(meta_ref), refs, unit, n_pages, midx
+            )
+
+    else:
+        import zlib as _zlib
+
+        registry = store.registry
+        n_shards = len(store.shard_paths)
+        max_cached = store.max_cached_shards
+
+        def resolve(refs, shards, unit, n_pages, midx):
+            for i in midx[shards[midx] < 0]:  # crc-placed layout fallback
+                shards[i] = (
+                    _zlib.crc32(str(refs[i]).encode("utf-8")) % n_shards
+                )
+            for sid in np.unique(shards[midx]):
+                _resolve_meta(
+                    _shard_meta(registry, int(sid), max_cached),
+                    refs, unit, n_pages, midx[shards[midx] == sid],
+                )
 
     def explode(batch: pa.Table) -> pa.Table:
-        return _explode_batch(batch, _cached_broadcast(meta_ref))
+        return _explode_core(batch, resolve)
 
     return explode
 
 
 class ExplodeStage:
-    """Class form of the single-phase explode (used directly in unit tests)."""
+    """Class form of the explode stage (used directly in unit tests)."""
 
     def __init__(self, store: MediaStore):
-        self.meta = store.get_meta()
+        self._fn = make_explode_fn(store)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return _explode_batch(batch, self.meta)
+        return self._fn(batch)
 
 
-def _explode_batch(batch: pa.Table, meta: dict) -> pa.Table:
-    return _page_explode(_resolve_with_meta(_flatten_batch(batch), meta))
+def _resolve_meta(meta, refs, unit, n_pages, idx) -> None:
+    """Fill unit/n_pages for the media rows ``idx`` from a ref-keyed
+    dispatch meta (dict lookups only; payload bytes untouched here)."""
+    get = meta.get
+    for i in idx:
+        m = get(refs[i])
+        if m is None:
+            unit[i] = U_BAD_REF
+        else:
+            unit[i] = m[0]
+            n_pages[i] = m[1]
 
 
-def _flatten_batch(batch: pa.Table) -> pa.Table:
-    """Phase 1 (pure reshape, NO media knowledge): vectorized span explosion.
-    Media spans come out as ``U_MEDIA`` placeholders with n_pages=1; the
-    ``media_shard`` column (present on corpora written by
-    write_derived_corpus_parallel) rides along per row, -1 when absent."""
+def _explode_core(batch: pa.Table, resolve) -> pa.Table:
+    """Vectorized span explosion + media resolve + page explosion.
+
+    Parity with the oracle (extract.py:178): kind == 'text' is a text span;
+    EVERYTHING else takes the media path (an unknown kind with a dangling
+    ref becomes ERR_BAD_REF on both sides). Page explosion repeats resolved
+    pdf_page rows n_pages times — the skew leveler: a 100-page doc becomes
+    100 parallel unit rows. Empty docs emit sentinel rows so they survive
+    to the stitcher as error rows (never dropped silently)."""
     spans = batch.column("spans").combine_chunks()
     if isinstance(spans, pa.ChunkedArray):
         spans = spans.chunk(0) if spans.num_chunks else pa.array([], spans.type)
@@ -110,10 +159,8 @@ def _flatten_batch(batch: pa.Table) -> pa.Table:
 
     n = len(flat)
     kinds = f_kind.to_numpy(zero_copy_only=False)
-    # parity with the oracle (extract.py:178): kind == 'text' is a text
-    # span; EVERYTHING else takes the media path (an unknown kind with a
-    # dangling ref becomes ERR_BAD_REF on both sides)
     unit = np.where(kinds == S.KIND_TEXT, U_TEXT, U_MEDIA).astype(object)
+    n_pages = np.ones(n, dtype=np.int32)
     # span position within its doc: the stitcher groups on this (offsets
     # may legally repeat; the oracle emits one span per INPUT span)
     counts = n_spans.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -121,30 +168,45 @@ def _flatten_batch(batch: pa.Table) -> pa.Table:
     firsts = np.concatenate(([0], np.cumsum(counts)[:-1])) if counts.size else counts
     span_idx = (np.arange(n, dtype=np.int64) - firsts[par]).astype(np.int32)
     if "media_shard" in batch.column_names:
-        f_shard = pc.take(
-            batch.column("media_shard").combine_chunks(), parent
-        ).cast(pa.int32())
+        shards = (
+            pc.take(batch.column("media_shard").combine_chunks(), parent)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int32)
+        )
     else:
-        f_shard = pa.array(np.full(n, -1, dtype=np.int32))
+        shards = np.full(n, -1, dtype=np.int32)
 
+    midx = np.nonzero(unit == U_MEDIA)[0]
+    if midx.size:
+        refs = f_ref.to_numpy(zero_copy_only=False)
+        resolve(refs, shards, unit, n_pages, midx)
+
+    # page explosion: pdf_page units repeat n_pages times
+    lengths = np.where(unit == U_PDF_PAGE, np.maximum(n_pages, 1), 1)
+    idx = np.repeat(np.arange(n), lengths)
+    starts = np.cumsum(lengths) - lengths
+    page_no = (np.arange(idx.size) - starts[idx]).astype(np.int32)
+    u = unit[idx]
+    page_no[u == U_TEXT] = S.PAGE_TEXT
+    page_no[u == U_PDF_DIRECT] = S.PAGE_DIRECT
+
+    take_idx = pa.array(idx)
     out = pa.table(
         {
-            "doc_id": f_doc,
-            "offset": f_off,
-            "kind": f_kind,
-            "text": f_text,
-            "media_ref": f_ref,
-            "unit": pa.array(unit, type=pa.string()),
-            "span_idx": pa.array(span_idx),
-            "page_no": pa.array(np.zeros(n, dtype=np.int32)),
-            "n_pages": pa.array(np.ones(n, dtype=np.int32)),
-            "n_spans": f_nspans.cast(pa.int32()),
-            "media_shard": f_shard,
+            "doc_id": pc.take(f_doc, take_idx),
+            "offset": pc.take(f_off, take_idx),
+            "kind": pc.take(f_kind, take_idx),
+            "text": pc.take(f_text, take_idx),
+            "media_ref": pc.take(f_ref, take_idx),
+            "unit": pa.array(u, type=pa.string()),
+            "span_idx": pa.array(span_idx[idx]),
+            "page_no": pa.array(page_no),
+            "n_pages": pa.array(n_pages[idx]),
+            "n_spans": pc.take(f_nspans, take_idx).cast(pa.int32()),
+            "media_shard": pa.array(shards[idx]),
         }
     )
 
-    # empty docs produce no flat rows — emit sentinel rows so they
-    # survive to the stitcher as error rows (never dropped silently)
     empty_sel = pc.equal(n_spans, 0)
     if pc.any(empty_sel).as_py():
         empty_ids = pc.filter(doc_ids, empty_sel)
@@ -168,52 +230,7 @@ def _flatten_batch(batch: pa.Table) -> pa.Table:
     return out
 
 
-def _resolve_with_meta(t: pa.Table, meta: dict) -> pa.Table:
-    """Fill unit/n_pages for U_MEDIA rows from a ref-keyed dispatch meta."""
-    units = t.column("unit").to_numpy(zero_copy_only=False).copy()
-    media_idx = np.nonzero(units == U_MEDIA)[0]
-    if media_idx.size == 0:
-        return t
-    n_pages = t.column("n_pages").to_numpy(zero_copy_only=False).copy()
-    refs = t.column("media_ref").to_numpy(zero_copy_only=False)
-    get = meta.get
-    for i in media_idx:  # dict lookups only; payload untouched here
-        m = get(refs[i])
-        if m is None:
-            units[i] = U_BAD_REF
-        else:
-            units[i] = m[0]
-            n_pages[i] = m[1]
-    t = t.set_column(
-        t.schema.get_field_index("unit"), "unit",
-        pa.array(units, type=pa.string()),
-    )
-    return t.set_column(
-        t.schema.get_field_index("n_pages"), "n_pages",
-        pa.array(n_pages.astype(np.int32)),
-    )
-
-
-def _page_explode(t: pa.Table) -> pa.Table:
-    """Repeat resolved pdf_page rows n_pages times and finalize page_no
-    (the skew leveler: a 100-page doc becomes 100 parallel unit rows)."""
-    unit = t.column("unit").to_numpy(zero_copy_only=False)
-    n_pages = t.column("n_pages").to_numpy(zero_copy_only=False)
-    lengths = np.where(unit == U_PDF_PAGE, np.maximum(n_pages, 1), 1)
-    idx = np.repeat(np.arange(len(unit)), lengths)
-    starts = np.cumsum(lengths) - lengths
-    page_no = (np.arange(idx.size) - starts[idx]).astype(np.int32)
-    u = unit[idx]
-    page_no[u == U_TEXT] = S.PAGE_TEXT
-    page_no[u == U_PDF_DIRECT] = S.PAGE_DIRECT
-    page_no[u == U_EMPTY_DOC] = -3
-    out = t.take(pa.array(idx))
-    return out.set_column(
-        out.schema.get_field_index("page_no"), "page_no", pa.array(page_no)
-    )
-
-
-#: per-worker LRU of per-shard dispatch metas for the two-phase resolve:
+#: per-worker LRU of per-shard dispatch metas for the lazy-meta resolve:
 #: {(registry actor id, shard id): {ref: (unit_kind, n_pages)}}
 _SHARD_META_CACHE: dict = {}
 
@@ -246,61 +263,6 @@ def _shard_meta(registry, sid: int, max_cached: int) -> dict:
     else:
         _SHARD_META_CACHE.move_to_end(key)
     return meta
-
-
-def make_resolve_fn(store):
-    """Phase 2 of the TWO-PHASE explode (the 10^12-doc path): resolve
-    ``U_MEDIA`` placeholder rows against PER-SHARD dispatch metas and run
-    the page explosion. No ref-keyed global dict is ever built or broadcast
-    — a row's shard comes from its ``media_shard`` column (stamped at corpus
-    write) or, for crc-placed layouts (write_corpus), from
-    ``crc32(ref) % n_shards``; the shard's meta is materialized lazily by
-    the session registry actor and LRU-cached per worker. Stateless elastic
-    tasks: the only state is the per-worker cache."""
-    import zlib as _zlib
-
-    registry = store.registry
-    n_shards = len(store.shard_paths)
-    max_cached = store.max_cached_shards
-
-    def resolve(batch: pa.Table) -> pa.Table:
-        units = batch.column("unit").to_numpy(zero_copy_only=False)
-        midx = np.nonzero(units == U_MEDIA)[0]
-        if midx.size == 0:
-            return _page_explode(batch)
-        units = units.copy()
-        n_pages = batch.column("n_pages").to_numpy(zero_copy_only=False).copy()
-        refs = batch.column("media_ref").to_numpy(zero_copy_only=False)
-        shards = (
-            batch.column("media_shard").to_numpy(zero_copy_only=False).copy()
-        )
-        for i in midx[shards[midx] < 0]:  # crc-placed layout fallback
-            shards[i] = _zlib.crc32(str(refs[i]).encode("utf-8")) % n_shards
-        for sid in np.unique(shards[midx]):
-            meta = _shard_meta(registry, int(sid), max_cached)
-            get = meta.get
-            for i in midx[shards[midx] == sid]:
-                m = get(refs[i])
-                if m is None:
-                    units[i] = U_BAD_REF
-                else:
-                    units[i] = m[0]
-                    n_pages[i] = m[1]
-        t = batch.set_column(
-            batch.schema.get_field_index("unit"), "unit",
-            pa.array(units, type=pa.string()),
-        )
-        t = t.set_column(
-            t.schema.get_field_index("n_pages"), "n_pages",
-            pa.array(n_pages.astype(np.int32)),
-        )
-        t = t.set_column(
-            t.schema.get_field_index("media_shard"), "media_shard",
-            pa.array(shards.astype(np.int32)),
-        )
-        return _page_explode(t)
-
-    return resolve
 
 
 #: Exceptions the per-unit retry loop is allowed to absorb into a data-error
@@ -686,29 +648,15 @@ def extraction_pipeline(
         if ocr_concurrency is None:
             ocr_concurrency = max(2, _math.ceil(budget * 0.9))
         ocr_concurrency = max(1, min(ocr_concurrency, budget))
-    if getattr(store, "meta_ref", 0) is None:
-        # TWO-PHASE explode (the 10^12-doc scale path): pure reshape first,
-        # then per-shard meta resolution — no global ref→(kind, n_pages)
-        # dict is ever built or broadcast. Both stages are stateless elastic
-        # tasks; Ray fuses them into one map pipeline.
-        exploded = docs_ds.map_batches(
-            _flatten_batch,
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            batch_size=batch_size,
-        ).map_batches(
-            make_resolve_fn(store),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            batch_size=batch_size,
-        )
-    else:
-        exploded = docs_ds.map_batches(
-            make_explode_fn(store),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            batch_size=batch_size,
-        )
+    # make_explode_fn picks the meta strategy from the store: broadcast
+    # dict, or — when the sharded store carries no global meta — lazy
+    # per-shard metas resolved inside the task (the 10^12-doc path)
+    exploded = docs_ds.map_batches(
+        make_explode_fn(store),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )
     # Pool floor is a WORKLOAD HINT (GRAFT_OCR_MIN_ACTORS): long compute-
     # dense jobs want a pre-sized pool (the autoscaler's ramp averaged 6/12
     # actors over a 20 s burn run; min=max cut it 24.3 s → 13.4 s at 16
