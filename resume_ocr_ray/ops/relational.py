@@ -1609,36 +1609,50 @@ def dedup_keep_best(docs_ds):
     one candidate row per hash per batch crosses the wire."""
     import hashlib
 
+    from ray.data.aggregate import Max
+
+    # The (max n_chars, min doc_id) argmax packs into ONE sortable int64 —
+    # n_chars·2³² + (2³²−1 − doc_id) — so the merge is a pure Max aggregate
+    # (per-block combine before the shuffle, no per-hash Python calls; the
+    # per-key map_groups form measured 13.9 s vs ~1 s at sf0.1).
     def _partial(b: pa.Table) -> pa.Table:
         texts = b.column("text").to_pylist()
+        doc_id = b.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        n_chars = b.column("n_chars").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
         df = pd.DataFrame(
             {
                 "text_md5": [
                     hashlib.md5((t or "").encode("utf-8")).hexdigest()
                     for t in texts
                 ],
-                "doc_id": b.column("doc_id").to_numpy(zero_copy_only=False),
-                "n_chars": b.column("n_chars").to_numpy(zero_copy_only=False),
+                "packed": n_chars * (1 << 32) + (0xFFFFFFFF - doc_id),
             }
         )
-        best = (
-            df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
-            .groupby("text_md5", sort=False)
-            .head(1)
-        )
+        best = df.groupby("text_md5", as_index=False)["packed"].max()
         return pa.Table.from_pandas(best, preserve_index=False)
 
-    def _merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(
-            ["n_chars", "doc_id"], ascending=[False, True]
-        ).head(1)[["text_md5", "doc_id", "n_chars"]]
+    def _decode(b: pa.Table) -> pa.Table:
+        packed = b.column("packed").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "text_md5": b.column("text_md5"),
+                "doc_id": pa.array(0xFFFFFFFF - (packed & 0xFFFFFFFF)),
+                "n_chars": pa.array(packed >> 32),
+            }
+        )
 
     partials = docs_ds.map_batches(
         _partial, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=65536,
     )
-    return partials.groupby("text_md5").map_groups(
-        _merge, batch_format="pandas"
+    return (
+        partials.groupby("text_md5")
+        .aggregate(Max("packed", alias_name="packed"))
+        .map_batches(_decode, batch_format="pyarrow", zero_copy_batch=True)
     )
 
 
