@@ -75,3 +75,28 @@ def horner_shingles(crcs, window: int, base) -> "np.ndarray":
         for j in range(w):
             h = h * base + crcs[j : j + n_win]
     return h
+
+
+def reap_stale_staging(prefix: str) -> None:
+    """Remove orphaned per-process staging dirs (``{prefix}.__tmp__<pid>``)
+    left behind by CRASHED runs — retries run under a new pid, so the old
+    fixed-name cleanup (`isdir(own tmp)`) never matches them and a full
+    partition/corpus copy would otherwise accumulate per crash. Only dirs
+    whose owning pid is dead are removed; a live concurrent writer's
+    staging (the reason the name carries a pid at all) is never touched.
+    Single-node liveness check (os.kill(pid, 0)) — matches the sandbox and
+    the one-writer-host-per-out_dir deployment assumption."""
+    import glob
+    import os
+    import shutil
+
+    for d in glob.glob(glob.escape(prefix) + ".__tmp__*"):
+        suffix = d.rsplit(".__tmp__", 1)[1]
+        if not suffix.isdigit() or int(suffix) == os.getpid():
+            continue
+        try:
+            os.kill(int(suffix), 0)
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+        except PermissionError:
+            pass  # alive under another uid — leave it

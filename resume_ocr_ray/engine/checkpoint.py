@@ -30,6 +30,7 @@ import zlib
 import pyarrow.parquet as pq
 
 from . import pipeline as P
+from ..common import reap_stale_staging
 from .io import MediaStore
 
 
@@ -129,6 +130,7 @@ def run_checkpointed(
         # pytest on the same sf_dir) must never rmtree each other's live
         # staging mid-write; the commit remains the atomic os.replace below
         tmp_dir = f"{final_dir}.__tmp__{os.getpid()}"
+        reap_stale_staging(final_dir)  # dead-pid leftovers from crashed runs
         if os.path.isdir(tmp_dir):
             import shutil
 

@@ -34,6 +34,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..core import extract as X
+from ..common import reap_stale_staging
 from ..core import media as M
 
 HAVE_LANCE = importlib.util.find_spec("lance") is not None
@@ -239,6 +240,7 @@ def ensure_derived_corpus(sf_dir: str, repeat: int = 2,
     # must never rmtree/write the same staging dir — the loser's finished
     # tree is simply discarded below
     tmp = f"{cache}.__tmp__{os.getpid()}"
+    reap_stale_staging(cache)  # dead-pid leftovers from crashed generators
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
     write_derived_corpus_parallel(src, repeat, tmp, rows_per_shard)

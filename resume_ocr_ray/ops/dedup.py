@@ -37,13 +37,21 @@ from ..common import per_worker_stage
 # exact / prefix dedup
 # ---------------------------------------------------------------------------
 
-def add_md5(batch: pa.Table, col: str = "text", out: str = "text_md5") -> pa.Table:
-    """Content hash per row (hashlib.md5 == DuckDB md5 — oracle-checkable)."""
+def md5_hex(texts) -> list:
+    """Canonical per-row content hash: hashlib.md5 of the utf-8 text, with
+    None → '' — bit-identical to DuckDB ``md5(coalesce(text, ''))``, so it
+    is oracle-checkable. Every op that hashes document text (dedup_exact,
+    connected components, relational.dedup_keep_best) MUST route through
+    this one function so the null convention and encoding cannot drift."""
     import hashlib
 
+    return [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+
+
+def add_md5(batch: pa.Table, col: str = "text", out: str = "text_md5") -> pa.Table:
+    """Content hash per row (see :func:`md5_hex` for the contract)."""
     texts = batch.column(col).to_pylist()
-    hashes = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
-    return batch.append_column(out, pa.array(hashes, type=pa.string()))
+    return batch.append_column(out, pa.array(md5_hex(texts), type=pa.string()))
 
 
 def dedup_exact(docs_ds, key_fn=add_md5, key_col: str = "text_md5"):
@@ -378,13 +386,17 @@ def minhash_verified(docs_ds, *, threshold: float = 0.5, num_perm=64, bands=16,
         return df
 
     # joined holds ONLY candidate-pair edge rows with their joined texts
-    # (LSH candidates — a vanishing fraction of the corpus), so an 8-block
-    # coalesce is cheap at any scale; verify parallelism is re-fanned by
-    # the ppart groupby (PAIR_SALT ranges), and the coalesce keeps its
-    # sort from emitting schema-less empty partitions.
+    # (LSH candidates — a vanishing fraction of the corpus), so the
+    # coalesce is cheap at any scale. The sort-groupby emits ONE output
+    # range per INPUT block, so the repartition count IS the verify
+    # stage's parallelism ceiling — repartition to PAIR_SALT so the
+    # expensive per-pair shingle/Jaccard stage can use all 64 designed
+    # lanes (an 8-way coalesce here silently capped it at 8). The
+    # coalesce also keeps the sort from seeing schema-less empty
+    # partitions (repartition slices typed blocks).
     return (
         joined.map_batches(add_ppart, batch_format="pandas")
-        .repartition(8)
+        .repartition(PAIR_SALT)
         .groupby("ppart")
         .map_groups(verify_part, batch_format="pandas")
     )
@@ -452,13 +464,11 @@ def connected_components_labels(docs_ds, max_iters: int = 10):
     from ray.data.aggregate import Min, Sum
 
     def to_state(batch: pa.Table) -> pa.Table:
-        import hashlib
-
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
         keys, doc_ids = [], []
-        for d, t in zip(ids, texts):
-            keys.append("m:" + hashlib.md5((t or "").encode("utf-8")).hexdigest())
+        for d, t, h in zip(ids, texts, md5_hex(texts)):
+            keys.append("m:" + h)
             doc_ids.append(d)
             keys.append("p:" + (t or "")[:24])
             doc_ids.append(d)
@@ -470,15 +480,10 @@ def connected_components_labels(docs_ds, max_iters: int = 10):
             }
         )
 
-    def _hpart(s: pd.Series) -> pd.Series:
-        return (
-            pd.util.hash_pandas_object(s, index=False) % CC_PARTS
-        ).astype("int32")
-
     def tag_state(df: pd.DataFrame) -> pd.DataFrame:
         df = df[["key", "doc_id", "label"]].copy()
         df["is_min"] = np.int8(0)
-        df["part"] = _hpart(df["key"])
+        df["part"] = _cg_part(df["key"], CC_PARTS)
         return df
 
     def tag_kmin(df: pd.DataFrame) -> pd.DataFrame:
@@ -486,7 +491,7 @@ def connected_components_labels(docs_ds, max_iters: int = 10):
         # it so the union schema and dtypes match the state side exactly
         df = df.rename(columns={"kmin": "label"})
         df = df.assign(doc_id=df["label"], is_min=np.int8(1))
-        df["part"] = _hpart(df["key"])
+        df["part"] = _cg_part(df["key"], CC_PARTS)
         return df[["key", "doc_id", "label", "is_min", "part"]]
 
     def merge_kmin(g: pd.DataFrame) -> pd.DataFrame:
@@ -524,7 +529,7 @@ def connected_components_labels(docs_ds, max_iters: int = 10):
         )
         state = (
             after_key.map_batches(
-                lambda df: df.assign(dpart=_hpart(df["doc_id"])),
+                lambda df: df.assign(dpart=_cg_part(df["doc_id"], CC_PARTS)),
                 batch_format="pandas",
             )
             .groupby("dpart")

@@ -592,16 +592,20 @@ def group_median(ds, group_col: str = "l_returnflag",
     )
 
 
-def grouped_quantile(ds, group_col: str = "l_returnflag",
-                     val_col: str = "l_quantity", p: float = 0.5,
-                     out_col: str = "p_value"):
-    """EXACT distributed per-group quantile without a global sort: per-batch
-    value-counts combiner → small groupby on (group, value) → per-group
-    interpolated quantile from the count histogram. Scales because only
-    ``n_groups × n_distinct_values`` rows ever cross the shuffle (l_quantity
-    has 50 distinct values), never the raw table — the standard trick for
-    exact quantiles over low-cardinality value domains; for continuous
-    domains swap the combiner for a t-digest/DDSketch (ops/sketch.py).
+def grouped_quantiles(ds, group_col: str, val_col: str, ps: list,
+                      with_n_rows: bool = True):
+    """EXACT distributed per-group quantiles (one or MANY p's in a single
+    pass) without a global sort: per-batch value-counts combiner → small
+    groupby on (group, value) → per-group interpolated quantiles from the
+    count histogram. Scales because only ``n_groups × n_distinct_values``
+    rows ever cross the shuffle (l_quantity has 50 distinct values), never
+    the raw table — the standard trick for exact quantiles over
+    low-cardinality value domains; for continuous domains swap the combiner
+    for a t-digest/DDSketch (ops/sketch.py). ``ps`` is a list of
+    ``(p, out_col)`` pairs; the finisher already holds each group's FULL
+    cumulative distribution, so every extra percentile is one more
+    searchsorted — callers needing several (winsorize's lo+hi band) must
+    pass them together instead of re-scanning the corpus per p.
 
     Interpolation matches SQL ``percentile_cont(p)`` BIT-FOR-BIT: rn =
     p·(n−1), result = (ceil(rn)−rn)·v[floor(rn)] + (rn−floor(rn))·v[ceil(rn)]
@@ -616,24 +620,23 @@ def grouped_quantile(ds, group_col: str = "l_returnflag",
         g = g.rename(columns={"size": "cnt"})
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def _median(g: pd.DataFrame) -> pd.DataFrame:
+    def _finish(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(val_col)
         c = g["cnt"].to_numpy(dtype=np.int64)
         v = g[val_col].to_numpy(dtype=np.float64)
         n = int(c.sum())
-        rn = p * (n - 1)
-        lo, hi = int(np.floor(rn)), int(np.ceil(rn))
         cum = np.cumsum(c)
-        lov = v[np.searchsorted(cum, lo, side="right")]
-        hiv = v[np.searchsorted(cum, hi, side="right")]
-        med = (hi - rn) * lov + (rn - lo) * hiv if hi != lo else lov
-        return pd.DataFrame(
-            {
-                group_col: [g[group_col].iloc[0]],
-                out_col: [float(med)],
-                "n_rows": pd.Series([n], dtype="int64"),
-            }
-        )
+        row = {group_col: [g[group_col].iloc[0]]}
+        for p, out_col in ps:
+            rn = p * (n - 1)
+            lo, hi = int(np.floor(rn)), int(np.ceil(rn))
+            lov = v[np.searchsorted(cum, lo, side="right")]
+            hiv = v[np.searchsorted(cum, hi, side="right")]
+            q = (hi - rn) * lov + (rn - lo) * hiv if hi != lo else lov
+            row[out_col] = [float(q)]
+        if with_n_rows:
+            row["n_rows"] = pd.Series([n], dtype="int64")
+        return pd.DataFrame(row)
 
     counts = ds.map_batches(
         _counts, batch_format="pyarrow", zero_copy_batch=True,
@@ -649,8 +652,16 @@ def grouped_quantile(ds, group_col: str = "l_returnflag",
         Sum("cnt", alias_name="cnt")
     )
     return summed.repartition(1).groupby(group_col).map_groups(
-        _median, batch_format="pandas"
+        _finish, batch_format="pandas"
     )
+
+
+def grouped_quantile(ds, group_col: str = "l_returnflag",
+                     val_col: str = "l_quantity", p: float = 0.5,
+                     out_col: str = "p_value"):
+    """Single-p wrapper over :func:`grouped_quantiles` (the oracle-checked
+    group_median / grouped_p95 / arbitrary-p entry point)."""
+    return grouped_quantiles(ds, group_col, val_col, [(p, out_col)])
 
 
 def rollup_agg(lineitem_ds):
@@ -1425,14 +1436,17 @@ def winsorize(docs_ds_factory, sf_dir: str, p_lo: float = 0.05,
 
     from ..common import cached_broadcast
 
-    bounds = {}
-    for p, col in ((p_lo, "lo"), (p_hi, "hi")):
-        qdf = grouped_quantile(
-            docs_ds_factory(), group_col="lang", val_col="n_chars", p=p,
-            out_col=col,
-        ).to_pandas()  # n_langs rows (tiny by the group-cardinality bound)
-        for lang, v in zip(qdf["lang"], qdf[col]):
-            bounds.setdefault(lang, {})[col] = float(v)
+    # ONE corpus scan + ONE (lang, n_chars) counts shuffle yields BOTH
+    # percentiles — the finisher holds each lang's full cumulative
+    # distribution, so a second pass per p would be a redundant full scan
+    qdf = grouped_quantiles(
+        docs_ds_factory(), group_col="lang", val_col="n_chars",
+        ps=[(p_lo, "lo"), (p_hi, "hi")],
+    ).to_pandas()  # n_langs rows (tiny by the group-cardinality bound)
+    bounds = {
+        lang: {"lo": float(lo), "hi": float(hi)}
+        for lang, lo, hi in zip(qdf["lang"], qdf["lo"], qdf["hi"])
+    }
     bounds_ref = ray.put(bounds)
 
     def _clip(b: pa.Table) -> pa.Table:
@@ -1607,14 +1621,18 @@ def dedup_keep_best(docs_ds):
     highest-quality copy, not an arbitrary one). Same shuffle shape: a
     per-batch argmax partial per hash, then one groupby(hash) merge — only
     one candidate row per hash per batch crosses the wire."""
-    import hashlib
-
     from ray.data.aggregate import Max
+
+    from .dedup import md5_hex
 
     # The (max n_chars, min doc_id) argmax packs into ONE sortable int64 —
     # n_chars·2³² + (2³²−1 − doc_id) — so the merge is a pure Max aggregate
     # (per-block combine before the shuffle, no per-hash Python calls; the
-    # per-key map_groups form measured 13.9 s vs ~1 s at sf0.1).
+    # per-key map_groups form measured 13.9 s vs ~1 s at sf0.1). The pack
+    # is only faithful for 0 ≤ doc_id < 2³² and 0 ≤ n_chars < 2³¹ — out of
+    # range it silently corrupts the argmax, so fail LOUDLY instead; the
+    # full-int64 successor is a fixed-width decimal string key under the
+    # same Max aggregate (≈2× shuffle bytes, same shape).
     def _partial(b: pa.Table) -> pa.Table:
         texts = b.column("text").to_pylist()
         doc_id = b.column("doc_id").to_numpy(zero_copy_only=False).astype(
@@ -1623,12 +1641,18 @@ def dedup_keep_best(docs_ds):
         n_chars = b.column("n_chars").to_numpy(zero_copy_only=False).astype(
             np.int64
         )
+        if doc_id.size and (
+            int(doc_id.min()) < 0 or int(doc_id.max()) > 0xFFFFFFFF
+            or int(n_chars.min()) < 0 or int(n_chars.max()) >= (1 << 31)
+        ):
+            raise ValueError(
+                "dedup_keep_best: doc_id/n_chars outside the int64-packable "
+                "range (doc_id < 2**32, n_chars < 2**31) — switch to the "
+                "string-packed key documented above"
+            )
         df = pd.DataFrame(
             {
-                "text_md5": [
-                    hashlib.md5((t or "").encode("utf-8")).hexdigest()
-                    for t in texts
-                ],
+                "text_md5": md5_hex(texts),
                 "packed": n_chars * (1 << 32) + (0xFFFFFFFF - doc_id),
             }
         )
@@ -1693,13 +1717,31 @@ def percent_rank_by_lang(docs_ds):
         if b.num_rows == 0:
             return pa.table(
                 {"bkey": pa.array([], type=pa.string()),
+                 "k_lang": pa.array([], type=pa.string()),
+                 "k_n": pa.array([], type=pa.int64()),
+                 "k_id": pa.array([], type=pa.int64()),
                  "lang": pa.array([], type=pa.string()),
                  "cnt": pa.array([], type=pa.int64())}
             )
         vc = b.column("lang").value_counts()
+        # bkey is an IDENTITY string only (offsets dict key); block ORDER
+        # comes from the raw first-row key columns sorted column-wise —
+        # sorting the '|'-joined string would misorder prefix-related
+        # langs ('en' vs 'en_us': '_' 0x5F < '|' 0x7C)
         return pa.table(
             {
                 "bkey": pa.array([_bkey(b)] * len(vc), type=pa.string()),
+                "k_lang": pa.array(
+                    [b.column("lang")[0].as_py()] * len(vc), type=pa.string()
+                ),
+                "k_n": pa.array(
+                    [b.column("n_chars")[0].as_py()] * len(vc),
+                    type=pa.int64(),
+                ),
+                "k_id": pa.array(
+                    [b.column("doc_id")[0].as_py()] * len(vc),
+                    type=pa.int64(),
+                ),
                 "lang": vc.field("values"),
                 "cnt": vc.field("counts").cast(pa.int64()),
             }
@@ -1708,7 +1750,7 @@ def percent_rank_by_lang(docs_ds):
     metas = s.map_batches(
         _meta, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
     ).to_pandas()  # ≤ n_blocks × n_langs rows
-    metas = metas.sort_values("bkey")
+    metas = metas.sort_values(["k_lang", "k_n", "k_id"])
     offsets: dict = {}
     totals: dict = {}
     for bkey, lang, cnt in metas[["bkey", "lang", "cnt"]].itertuples(

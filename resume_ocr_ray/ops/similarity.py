@@ -202,22 +202,36 @@ def ivf_topk(emb_ds, qvec: np.ndarray, k: int = 10, n_cells: int = 16,
 
 
 #: per-worker cache of decoded right-side chunks for cosine_pairs_exact:
-#: {block ref hex: (ids int64[n], normalized f64[n,d])} — the Arrow block
-#: stays zero-copy in plasma; only the numpy decode is cached per worker
+#: {(block ref hex, node id): (ids int64[n], normalized f64[n,d])} — the
+#: Arrow block stays zero-copy in plasma; only the numpy decode is cached
+#: per worker. Bounded to ONE call's chunk set: on a miss, entries whose
+#: ref is not in the current call's `valid` set are purged, so repeated
+#: invocations in one session hold at most one normalized copy of the
+#: table per worker instead of leaking one copy per call. The node id in
+#: the key mirrors common.cached_broadcast: ray.put/block object ids are
+#: counter-based and repeat across in-process session restarts.
 _PAIR_CHUNKS: dict = {}
 
 
-def _pair_chunk(ref) -> tuple:
+def _pair_chunk(ref, valid: frozenset) -> tuple:
     import ray
 
-    got = _PAIR_CHUNKS.get(ref.hex())
+    try:
+        node = ray.get_runtime_context().get_node_id()
+    except Exception:
+        node = None
+    key = (ref.hex(), node)
+    got = _PAIR_CHUNKS.get(key)
     if got is None:
+        for k in [k for k in _PAIR_CHUNKS
+                  if k[0] not in valid or k[1] != node]:
+            del _PAIR_CHUNKS[k]
         t = ray.get(ref)
         ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
         if mat.size:
             mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-9)
-        got = _PAIR_CHUNKS.setdefault(ref.hex(), (ids, mat))
+        got = _PAIR_CHUNKS.setdefault(key, (ids, mat))
     return got
 
 
@@ -245,6 +259,7 @@ def cosine_pairs_exact(emb_ds, threshold: float = 0.35):
         batch_format="pyarrow", zero_copy_batch=True, batch_size=8192,
     ).materialize()
     chunk_refs = [r for r in right.to_arrow_refs()]
+    valid_hexes = frozenset(r.hex() for r in chunk_refs)
 
     def pairs(batch: pa.Table) -> pa.Table:
         left = _as_matrix(batch).astype(np.float64)
@@ -255,7 +270,7 @@ def cosine_pairs_exact(emb_ds, threshold: float = 0.35):
                 np.linalg.norm(left, axis=1, keepdims=True), 1e-9
             )
             for ref in chunk_refs:
-                rids, rmat = _pair_chunk(ref)
+                rids, rmat = _pair_chunk(ref, valid_hexes)
                 if rmat.size == 0:
                     continue
                 # f64 end to end: f32 re-quantization would shift the 6th

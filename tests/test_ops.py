@@ -1,7 +1,10 @@
 """Unit/behavioral tests for the training-data ops (dedup, similarity,
 multimodal plumbing, job-config validation)."""
 
+import os
+
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -898,3 +901,123 @@ def test_prefix_contained_run_spanning_blocks(ray_session, tmp_path):
     )
     assert got == want
     assert len(got) == 600  # every copy of the contained text, exactly once
+
+
+def test_percent_rank_prefix_related_langs(ray_session, tmp_path):
+    """Adversarial block-ordering case from the round-3 review: langs where
+    one is a proper PREFIX of another ('en' vs 'en_us'). The block metas
+    must be ordered by the raw (lang, n_chars, doc_id) key columns — a
+    '|'-joined string key sorts 'en|…' AFTER 'en_us|…' ('_' 0x5F < '|'
+    0x7C) and permutes the per-lang rank offsets."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import relational as R
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    langs = rng.choice(["en", "en_us", "e", "en_usx"], size=n).tolist()
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "lang": pa.array(langs, type=pa.string()),
+            "n_chars": pa.array(
+                rng.integers(0, 50, size=n), type=pa.int64()
+            ),
+        }
+    )
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(t, p)
+
+    got = (
+        R.percent_rank_by_lang(rd.read_parquet(p, override_num_blocks=16))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.connect()
+        .execute(
+            "SELECT doc_id, lang, percent_rank() OVER ("
+            f"PARTITION BY lang ORDER BY n_chars, doc_id) AS pr "
+            f"FROM read_parquet('{p}') ORDER BY doc_id"
+        )
+        .fetchdf()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_dedup_keep_best_rejects_unpackable_ids(ray_session):
+    """The int64 (n_chars, doc_id) argmax pack is only faithful below
+    doc_id 2³² / n_chars 2³¹ — out of range must fail LOUDLY, never
+    silently corrupt the winner."""
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import relational as R
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 1 << 32], type=pa.int64()),
+                "text": pa.array(["same", "same"], type=pa.string()),
+                "n_chars": pa.array([4, 4], type=pa.int64()),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="int64-packable"):
+        R.dedup_keep_best(ds).to_pandas()
+
+
+def test_reap_stale_staging(tmp_path):
+    """Dead-pid staging dirs are reclaimed; the caller's own and live
+    foreign pids' dirs are left alone."""
+    import subprocess
+
+    from resume_ocr_ray.common import reap_stale_staging
+
+    proc = subprocess.Popen(["sleep", "0"])
+    proc.wait()  # guaranteed-dead pid
+    prefix = str(tmp_path / "part=3")
+    dead = f"{prefix}.__tmp__{proc.pid}"
+    own = f"{prefix}.__tmp__{os.getpid()}"
+    live = f"{prefix}.__tmp__1"  # pid 1 is always alive
+    junk = f"{prefix}.__tmp__notapid"
+    for d in (dead, own, live, junk):
+        os.makedirs(d)
+    reap_stale_staging(prefix)
+    assert not os.path.isdir(dead)
+    assert os.path.isdir(own) and os.path.isdir(live) and os.path.isdir(junk)
+
+
+def test_grouped_quantiles_multi_p_matches_single(ray_session):
+    """One multi-p pass (winsorize's shape) must emit exactly what two
+    single-p passes do."""
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import relational as R
+
+    def docs():
+        return rd.read_parquet(
+            "/root/testdata/sf0.01/documents.parquet",
+            columns=["lang", "n_chars"],
+        )
+
+    multi = (
+        R.grouped_quantiles(
+            docs(), "lang", "n_chars", [(0.05, "lo"), (0.95, "hi")]
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    for p_, col in ((0.05, "lo"), (0.95, "hi")):
+        single = (
+            R.grouped_quantile(docs(), "lang", "n_chars", p=p_, out_col=col)
+            .to_pandas()
+            .sort_values("lang")
+            .reset_index(drop=True)
+        )
+        assert (multi[col] == single[col]).all()
+        assert (multi["n_rows"] == single["n_rows"]).all()
