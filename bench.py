@@ -86,6 +86,9 @@ BENCH_QUERIES = [
     "trailing_count",
     "dedup_keep_best",
     "percent_rank",
+    "ntile",
+    "running_sum",
+    "fuzzy_pairs",
 ]
 
 

@@ -858,6 +858,103 @@ def ngram_jaccard_pairs(docs_ds, prefix_n: int = 32, gram: int = 3,
     return keyed.groupby("part").map_groups(_part_pairs, batch_format="pandas")
 
 
+def levenshtein(a: str, b: str) -> int:
+    """Unit-cost edit distance, two-row DP — semantics identical to DuckDB
+    ``levenshtein()`` (verified row-for-row at sf0.01), so fuzzy_pairs is
+    oracle-checkable. O(len·len) per call over TRUNCATED strings only."""
+    if a == b:
+        return 0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def fuzzy_pairs(docs_ds, pfx_n: int = 8, trunc: int = 40,
+                max_dist: int = 8, max_block: int = 1000):
+    """Edit-distance near-dup pairs: docs sharing their first ``pfx_n``
+    characters whose ``trunc``-char prefixes are within ``max_dist``
+    Levenshtein edits — the fuzzy-match arm of the dedup family (OCR'd /
+    re-keyed corpora where near-dups differ by character noise rather than
+    word substitutions; the shingle ops miss sub-word edits). Deterministic
+    and SQL-expressible (DuckDB ``levenshtein``), so it joins ngram_jaccard
+    as an oracle-checked near-dup member.
+
+    Shape: identical to :func:`ngram_jaccard_pairs` — shuffle key
+    ``hash(prefix) % PAIR_SALT``, one vectorized multi-member prefilter per
+    partition, quadratic work confined to same-prefix blocks with the
+    ``max_block`` star-fallback skew cap (below the cap, output equals the
+    exact all-pairs oracle; the DP runs on ``trunc``-char strings, so a
+    verify costs O(trunc²) regardless of document length)."""
+
+    def _add_pfx(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        pfx = [(t or "")[:pfx_n] for t in texts]
+        part = np.fromiter(
+            (zlib.crc32(p.encode("utf-8")) % PAIR_SALT for p in pfx),
+            dtype=np.int32, count=len(pfx),
+        )
+        heads = pa.array([(t or "")[:trunc] for t in texts], type=pa.string())
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "head": heads,
+                "pfx": pa.array(pfx, type=pa.string()),
+                "part": pa.array(part),
+            }
+        )
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "a": pd.Series(dtype="int64"),
+                "b": pd.Series(dtype="int64"),
+                "dist": pd.Series(dtype="int64"),
+            }
+        )
+
+    def _block_rows(ids, heads):
+        rows = []
+        if len(ids) > max_block:  # skew cap: star vs the min-doc anchor
+            h0 = heads[0]
+            for j in range(1, len(ids)):
+                d = levenshtein(h0, heads[j])
+                if d <= max_dist:
+                    rows.append((int(ids[0]), int(ids[j]), d))
+            return rows
+        for i in range(len(ids)):
+            hi = heads[i]
+            for j in range(i + 1, len(ids)):
+                d = levenshtein(hi, heads[j])
+                if d <= max_dist:
+                    rows.append((int(ids[i]), int(ids[j]), d))
+        return rows
+
+    def _part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        multi = g[g.duplicated("pfx", keep=False)]
+        if multi.empty:
+            return _empty()
+        multi = multi.sort_values(["pfx", "doc_id"], kind="mergesort")
+        rows = []
+        for _, blk in multi.groupby("pfx", sort=False):
+            rows.extend(
+                _block_rows(blk["doc_id"].to_numpy(), blk["head"].tolist())
+            )
+        if not rows:
+            return _empty()
+        return pd.DataFrame(rows, columns=["a", "b", "dist"])
+
+    keyed = docs_ds.map_batches(
+        _add_pfx, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )
+    return keyed.groupby("part").map_groups(_part_pairs, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # prefix-containment dedup (range-sort + boundary exchange)
 # ---------------------------------------------------------------------------

@@ -1685,7 +1685,39 @@ def percent_rank_by_lang(docs_ds):
     quantile features: ``percent_rank() OVER (PARTITION BY lang ORDER BY
     n_chars, doc_id)``. The (n_chars, doc_id) order is total, so ranks are
     unique and pr = (rank−1)/(n_lang−1) is ONE float division per row —
-    bit-identical on both sides.
+    bit-identical on both sides. See :func:`_ranked_window_by_lang` for
+    the distributed-rank machinery (shared with :func:`ntile_by_lang`)."""
+
+    def _pr(r0: "np.ndarray", n: int) -> "np.ndarray":
+        return r0 / max(n - 1, 1)
+
+    return _ranked_window_by_lang(docs_ds, "pr", pa.float64(), _pr)
+
+
+def ntile_by_lang(docs_ds, k: int = 4):
+    """Per-group NTILE(k) — equal-frequency bucketing for stratified
+    training splits: ``ntile(k) OVER (PARTITION BY lang ORDER BY n_chars,
+    doc_id)``. SQL semantics exactly: with n = lang size, the first
+    ``n % k`` buckets hold ``n//k + 1`` rows, the rest ``n//k`` —
+    pure integer arithmetic from the distributed rank, so the oracle
+    hash-match is exact by construction."""
+
+    def _tile(r0: "np.ndarray", n: int) -> "np.ndarray":
+        size, rem = divmod(n, k)
+        cut = rem * (size + 1)
+        return (
+            np.where(r0 < cut, r0 // (size + 1),
+                     rem + (r0 - cut) // max(size, 1)) + 1
+        ).astype(np.int64)
+
+    return _ranked_window_by_lang(docs_ds, "tile", pa.int64(), _tile)
+
+
+def _ranked_window_by_lang(docs_ds, out_col: str, out_type, out_fn):
+    """Shared distributed per-lang rank pass: computes ``out_fn(rank0,
+    n_lang)`` per row, where rank0 is the row's 0-based rank under
+    ``PARTITION BY lang ORDER BY n_chars, doc_id`` (a total order, so
+    ranks are unique).
 
     DISTRIBUTED rank, not per-group materialization: one range sort on
     (lang, n_chars, doc_id) makes ranks block-local up to an offset; each
@@ -1760,12 +1792,12 @@ def percent_rank_by_lang(docs_ds):
         totals[lang] = totals.get(lang, 0) + int(cnt)
     ref = ray.put((offsets, totals))
 
-    def _pr(b: pa.Table) -> pa.Table:
+    def _finish(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return pa.table(
                 {"doc_id": pa.array([], type=pa.int64()),
                  "lang": pa.array([], type=pa.string()),
-                 "pr": pa.array([], type=pa.float64())}
+                 out_col: pa.array([], type=out_type)}
             )
         offs, tots = cached_broadcast(ref)
         bkey = _bkey(b)
@@ -1774,20 +1806,70 @@ def percent_rank_by_lang(docs_ds):
         # = index − first index of that lang (langs are contiguous)
         starts = np.flatnonzero(np.r_[True, langs[1:] != langs[:-1]])
         ends = np.r_[starts[1:], langs.size]
-        rank = np.empty(langs.size, dtype=np.float64)
+        chunks = []
         for st, en in zip(starts, ends):  # one slice per LANG RUN per block
             lang = langs[st]
             base = offs[(bkey, lang)]
-            n = tots[lang]
-            rank[st:en] = (base + np.arange(en - st)) / max(n - 1, 1)
+            chunks.append(out_fn(base + np.arange(en - st), tots[lang]))
         return pa.table(
             {
                 "doc_id": b.column("doc_id"),
                 "lang": b.column("lang"),
-                "pr": pa.array(rank),
+                out_col: pa.array(np.concatenate(chunks), type=out_type),
             }
         )
 
     return s.map_batches(
-        _pr, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+        _finish, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
     )
+
+
+def running_sum_by_user(events_ds, parts: int = 64):
+    """Per-user running total — ``sum(value_cents) OVER (PARTITION BY
+    user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)`` — the
+    cumulative-feature window every sessionized pipeline derives.
+
+    INTEGER CENTS, not float: DuckDB's windowed sum accumulates through a
+    segment tree, sequential cumsum accumulates left-to-right — the two
+    float results differ in final ULPs (measured: only 48% of rows exactly
+    equal at sf0.01), so the op is DEFINED over ``round(value*100)`` as
+    int64, where addition order is irrelevant and the oracle hash-match is
+    exact. Rounding is half-away-from-zero to mirror SQL ``round()``
+    (np.rint's half-to-even would diverge on exact .5 cents).
+
+    Shape: the window_lag_gaps cogroup — one coarse shuffle on
+    ``user_id % parts``, then ONE vectorized pandas sort + groupby-cumsum
+    per partition (never one Python call per user)."""
+
+    def _tag(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        cents = np.where(
+            v >= 0, np.floor(v * 100 + 0.5), np.ceil(v * 100 - 0.5)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "part": _floored_mod(b.column("user_id"), parts),
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "cents": pa.array(cents),
+            }
+        )
+
+    def _cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy("int64"),
+                "user_id": g["user_id"].to_numpy("int64"),
+                "run_cents": g.groupby("user_id")["cents"]
+                .cumsum()
+                .to_numpy("int64"),
+            }
+        )
+
+    tagged = events_ds.map_batches(
+        _tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536,
+    )
+    return tagged.groupby("part").map_groups(_cum, batch_format="pandas")

@@ -791,6 +791,22 @@ def q_percent_rank(sf_dir: str):
     )
 
 
+def q_ntile(sf_dir: str):
+    return R.ntile_by_lang(
+        _read(sf_dir, "documents", ["lang", "doc_id", "n_chars"]), k=4
+    )
+
+
+def q_running_sum(sf_dir: str):
+    return R.running_sum_by_user(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    )
+
+
+def q_fuzzy_pairs(sf_dir: str):
+    return D.fuzzy_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_ann_int8(sf_dir: str):
     qv = SIM.query_vector(64, seed=7)
     return SIM.brute_force_topk_int8(
@@ -947,6 +963,9 @@ def _all_queries() -> dict:
         "trailing_count": q_trailing_count,
         "dedup_keep_best": q_dedup_keep_best,
         "percent_rank": q_percent_rank,
+        "ntile": q_ntile,
+        "running_sum": q_running_sum,
+        "fuzzy_pairs": q_fuzzy_pairs,
         # approximate by construction (int8 quantization) — rows-only;
         # recall@k pinned by tests/test_ops.py::test_ann_int8_recall
         "ann_int8": q_ann_int8,
@@ -1535,6 +1554,30 @@ def oracle_sql() -> dict:
             "SELECT doc_id, lang, percent_rank() OVER ("
             "PARTITION BY lang ORDER BY n_chars, doc_id) AS pr "
             "FROM documents"
+        ),
+        "ntile": (
+            "SELECT doc_id, lang, ntile(4) OVER ("
+            "PARTITION BY lang ORDER BY n_chars, doc_id) AS tile "
+            "FROM documents"
+        ),
+        "running_sum": (
+            # integer cents: float window sums are accumulation-order-
+            # dependent (segment tree vs cumsum) and fail exact compares
+            "SELECT event_id, user_id, "
+            "sum(CAST(round(value*100) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+            ") AS run_cents FROM events"
+        ),
+        "fuzzy_pairs": (
+            # same candidate blocking as the Ray side: shared 8-char prefix
+            "SELECT a.doc_id AS a, b.doc_id AS b, "
+            "levenshtein(substr(a.text,1,40), substr(b.text,1,40)) AS dist "
+            "FROM documents a JOIN documents b "
+            "ON substr(a.text,1,8) = substr(b.text,1,8) "
+            "AND a.doc_id < b.doc_id "
+            "WHERE levenshtein(substr(a.text,1,40), substr(b.text,1,40)) "
+            "<= 8"
         ),
         "winsorize": (
             "WITH q AS (SELECT lang, "

@@ -1021,3 +1021,86 @@ def test_grouped_quantiles_multi_p_matches_single(ray_session):
         )
         assert (multi[col] == single[col]).all()
         assert (multi["n_rows"] == single["n_rows"]).all()
+
+
+def test_fuzzy_pairs_nonzero_distances(ray_session, tmp_path):
+    """fuzzy_pairs must agree with DuckDB levenshtein on pairs that differ
+    (the sf corpora only exercise dist=0 exact-dup pairs)."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    texts = [
+        "prefix00 the quick brown fox jumps over the lazy dog",
+        "prefix00 the quick brown fax jumps over the lazy dog",   # 1 edit
+        "prefix00 the quick brown fox jumped over a lazy dog!!",  # few edits
+        "prefix00 " + "z" * 60,                                   # far
+        "prefix11 completely different block of text here",
+        "prefix11 completely different block of text here",       # exact dup
+        "loner000 nothing shares this prefix at all",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(t, p)
+
+    got = (
+        D.fuzzy_pairs(rd.read_parquet(p, override_num_blocks=4))
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.connect()
+        .execute(
+            "SELECT a.doc_id AS a, b.doc_id AS b, "
+            "levenshtein(substr(a.text,1,40), substr(b.text,1,40)) AS dist "
+            f"FROM read_parquet('{p}') a JOIN read_parquet('{p}') b "
+            "ON substr(a.text,1,8) = substr(b.text,1,8) "
+            "AND a.doc_id < b.doc_id "
+            "WHERE levenshtein(substr(a.text,1,40), substr(b.text,1,40)) "
+            "<= 8 ORDER BY a, b"
+        )
+        .fetchdf()
+    )
+    assert len(want) >= 3 and (want["dist"] > 0).any()  # test has teeth
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_ntile_groups_smaller_than_k(ray_session, tmp_path):
+    """NTILE edge: a lang with fewer rows than k puts every row in its own
+    bucket (n//k == 0 path — guarded against a divide-by-zero)."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import relational as R
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(10), type=pa.int64()),
+            "lang": pa.array(
+                ["aa"] * 2 + ["bb"] * 3 + ["cc"] * 5, type=pa.string()
+            ),
+            "n_chars": pa.array(range(10, 0, -1), type=pa.int64()),
+        }
+    )
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(t, p)
+
+    got = (
+        R.ntile_by_lang(rd.read_parquet(p, override_num_blocks=3), k=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.connect()
+        .execute(
+            "SELECT doc_id, lang, ntile(4) OVER (PARTITION BY lang "
+            f"ORDER BY n_chars, doc_id) AS tile FROM read_parquet('{p}') "
+            "ORDER BY doc_id"
+        )
+        .fetchdf()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
