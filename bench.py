@@ -148,6 +148,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     import ray.data as rd
 
+    from resume_ocr_ray import config as C
     from resume_ocr_ray.engine import io as EIO
     from resume_ocr_ray.engine import pipeline as P
     from resume_ocr_ray.pipelines import registry
@@ -169,13 +170,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     )[0]
     P.extraction_pipeline(
         rd.read_parquet(shard0), store,
-        batch_size=256, analyzed=analyzed, query=query,
+        batch_size=C.OCR_BATCH_SIZE, analyzed=analyzed, query=query,
     ).count()
 
     s0 = _cpu_stat()
     t0 = time.monotonic()
     ds = P.extraction_pipeline(
-        EIO.read_documents_sharded(docs_dir), store, batch_size=256,
+        EIO.read_documents_sharded(docs_dir), store, batch_size=C.OCR_BATCH_SIZE,
         analyzed=analyzed, query=query,
     )
     n_docs = ds.count()

@@ -74,7 +74,11 @@ ERR_BAD_REF = "Erro: referência de mídia inválida ou não resolvida: {ref}"
 #: Rows per batch through the OCR actor pool. Media payloads are the large
 #: column; at 100 TB scale with multi-MB payloads this should drop (the
 #: object store holds batch_size × concurrency payloads in flight).
-OCR_BATCH_SIZE = 256
+#: 512 measured ~5% faster than 256 on the sf0.1 headline (interleaved
+#: repeats, 4/4 pairwise wins: medians 3.13 s vs 3.29 s at 32 CPUs —
+#: per-task fixed costs dominate the synthetic decode); 128/64 measured
+#: 4.0/5.1 s (per-actor LRU locality degrades with small batches).
+OCR_BATCH_SIZE = 512
 
 #: Default OCR actor pool size; bench/pipeline override from num_cpus.
 OCR_CONCURRENCY = 4
