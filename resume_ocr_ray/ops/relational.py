@@ -1272,8 +1272,13 @@ def set_op_two(ds_a, ds_b, key: str, op: str = "except"):
                                 zero_copy_batch=True, batch_size=65536)
     tagged_b = ds_b.map_batches(_tag(False), batch_format="pyarrow",
                                 zero_copy_batch=True, batch_size=65536)
+    # Coalesce the tagged partials before the sort-groupby: the union
+    # carries one small block per read task per side, and the sort-groupby
+    # pays ~fixed cost per input block (the grouped_quantile pattern) —
+    # measured 3.9 s -> 1.6 s warm at sf0.1/32 CPUs with the coalesce.
     merged = (
         tagged_a.union(tagged_b)
+        .repartition(8)
         .groupby(key)
         .aggregate(Max("in_a", alias_name="in_a"), Max("in_b", alias_name="in_b"))
     )
