@@ -100,3 +100,22 @@ def reap_stale_staging(prefix: str) -> None:
             shutil.rmtree(d, ignore_errors=True)
         except PermissionError:
             pass  # alive under another uid — leave it
+
+
+def topk_exact(ds, sort_keys, k: int):
+    """Exact distributed top-k: per-block partial top-k, then one
+    ≤ k×n_blocks-row merge block — the SAME rows as ``sort(...).limit(k)``
+    whenever ``sort_keys`` is a total order (tie-free), with no all-to-all
+    range sort (which boundary-samples and shuffles every input row for a
+    k-row result). ``sort_keys``: pyarrow [(col, "ascending"/"descending")].
+    Output rows are sorted by ``sort_keys``."""
+    import pyarrow.compute as _pc
+
+    def _blk(t):
+        return t.take(_pc.sort_indices(t, sort_keys=sort_keys)[:k])
+
+    return (
+        ds.map_batches(_blk, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(_blk, batch_format="pyarrow", zero_copy_batch=True)
+    )

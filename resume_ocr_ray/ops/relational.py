@@ -277,11 +277,13 @@ def grouped_topk(part_ds, k: int = 3):
 
 
 def top_docs(docs_ds, k: int = 5):
-    """Longest docs: sort desc + deterministic tiebreak + limit (G2/G3)."""
-    return (
-        docs_ds.select_columns(["doc_id", "n_chars"])
-        .sort(["n_chars", "doc_id"], descending=[True, False])
-        .limit(k)
+    """Longest docs: exact top-k under the (n_chars desc, doc_id asc)
+    total order (G2/G3) — per-block partials, no global sort shuffle."""
+    from ..common import topk_exact
+
+    return topk_exact(
+        docs_ds.select_columns(["doc_id", "n_chars"]),
+        [("n_chars", "descending"), ("doc_id", "ascending")], k,
     )
 
 

@@ -448,10 +448,16 @@ def dup_phrases(docs_ds, n: int = 3, min_docs: int = 3, top: int = 50):
         )
         return t.filter(pc.greater_equal(t.column("n_docs"), min_docs))
 
-    return (
-        agg.map_batches(_finish, batch_format="pyarrow", zero_copy_batch=True)
-        .sort(key=["n_docs", "gram"], descending=[True, False])
-        .limit(top)
+    from ..common import topk_exact
+
+    # the filtered gram count is UNBOUNDED (scales with corpus vocabulary),
+    # so the k-row result must come from per-block partials, not a global
+    # range sort of every gram; costs ~+0.6 s at sf0.1 (operator startup)
+    # and removes the corpus-sized all-to-all at scale
+    return topk_exact(
+        agg.map_batches(_finish, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        [("n_docs", "descending"), ("gram", "ascending")], top,
     )
 
 
