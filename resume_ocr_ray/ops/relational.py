@@ -1720,6 +1720,19 @@ def ntile_by_lang(docs_ds, k: int = 4):
     return _ranked_window_by_lang(docs_ds, "tile", pa.int64(), _tile)
 
 
+def cume_dist_by_lang(docs_ds):
+    """Per-group cume_dist — ``cume_dist() OVER (PARTITION BY lang ORDER BY
+    n_chars, doc_id)``. The (n_chars, doc_id) order is tie-free, so every
+    row is its own peer group and cume_dist = rank/n exactly (one float
+    division per row, bit-identical on both sides); same distributed-rank
+    pass as percent_rank/ntile."""
+
+    def _cd(r0: "np.ndarray", n: int) -> "np.ndarray":
+        return (r0 + 1) / n
+
+    return _ranked_window_by_lang(docs_ds, "cd", pa.float64(), _cd)
+
+
 def _ranked_window_by_lang(docs_ds, out_col: str, out_type, out_fn):
     """Shared distributed per-lang rank pass: computes ``out_fn(rank0,
     n_lang)`` per row, where rank0 is the row's 0-based rank under

@@ -797,6 +797,12 @@ def q_ntile(sf_dir: str):
     )
 
 
+def q_cume_dist(sf_dir: str):
+    return R.cume_dist_by_lang(
+        _read(sf_dir, "documents", ["lang", "doc_id", "n_chars"])
+    )
+
+
 def q_running_sum(sf_dir: str):
     return R.running_sum_by_user(
         _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
@@ -964,6 +970,7 @@ def _all_queries() -> dict:
         "dedup_keep_best": q_dedup_keep_best,
         "percent_rank": q_percent_rank,
         "ntile": q_ntile,
+        "cume_dist": q_cume_dist,
         "running_sum": q_running_sum,
         "fuzzy_pairs": q_fuzzy_pairs,
         # approximate by construction (int8 quantization) — rows-only;
@@ -1558,6 +1565,11 @@ def oracle_sql() -> dict:
         "ntile": (
             "SELECT doc_id, lang, ntile(4) OVER ("
             "PARTITION BY lang ORDER BY n_chars, doc_id) AS tile "
+            "FROM documents"
+        ),
+        "cume_dist": (
+            "SELECT doc_id, lang, cume_dist() OVER ("
+            "PARTITION BY lang ORDER BY n_chars, doc_id) AS cd "
             "FROM documents"
         ),
         "running_sum": (
