@@ -666,6 +666,58 @@ def grouped_quantile(ds, group_col: str = "l_returnflag",
     return grouped_quantiles(ds, group_col, val_col, [(p, out_col)])
 
 
+def cube_agg(lineitem_ds):
+    """CUBE aggregate: all four grouping sets over (returnflag, linestatus)
+    — finest, per returnflag, per linestatus, grand total — with 'ALL'
+    placeholder keys. Identical physical shape to :func:`rollup_agg`
+    (one distributed partial-agg + tiny groupby; every coarser level is
+    derived in pandas from the single-digit-row finest result, never by
+    re-scanning the fact table); CUBE adds only the per-linestatus level
+    ROLLUP omits. Rounding per level, after summing."""
+    from ray.data.aggregate import Sum
+
+    partials = lineitem_ds.map_batches(
+        _partial_lineitem, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )
+    finest = (
+        partials.repartition(4)  # ≤6 rows/block partials (see lineitem_agg)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("count_order", alias_name="n_rows"),
+        )
+        .to_pandas()  # |flags| x |statuses| rows — single digits
+    )
+    lvls = [finest.copy()]
+    lvls.append(
+        finest.groupby("l_returnflag", as_index=False)
+        .agg(sum_qty=("sum_qty", "sum"), n_rows=("n_rows", "sum"))
+        .assign(l_linestatus="ALL")
+    )
+    lvls.append(
+        finest.groupby("l_linestatus", as_index=False)
+        .agg(sum_qty=("sum_qty", "sum"), n_rows=("n_rows", "sum"))
+        .assign(l_returnflag="ALL")
+    )
+    lvls.append(
+        pd.DataFrame(
+            {
+                "l_returnflag": ["ALL"],
+                "l_linestatus": ["ALL"],
+                "sum_qty": [finest["sum_qty"].sum()],
+                "n_rows": [finest["n_rows"].sum()],
+            }
+        )
+    )
+    out = pd.concat(lvls, ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "sum_qty", "n_rows"]
+    ]
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out
+
+
 def rollup_agg(lineitem_ds):
     """Multi-level (ROLLUP) aggregate: (returnflag, linestatus) → per
     returnflag → grand total, with 'ALL' placeholder keys. The heavy work is

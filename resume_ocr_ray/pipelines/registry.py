@@ -797,6 +797,12 @@ def q_ntile(sf_dir: str):
     )
 
 
+def q_cube_agg(sf_dir: str):
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount"]
+    return R.cube_agg(_read(sf_dir, "lineitem", cols))
+
+
 def q_cume_dist(sf_dir: str):
     return R.cume_dist_by_lang(
         _read(sf_dir, "documents", ["lang", "doc_id", "n_chars"])
@@ -971,6 +977,7 @@ def _all_queries() -> dict:
         "percent_rank": q_percent_rank,
         "ntile": q_ntile,
         "cume_dist": q_cume_dist,
+        "cube_agg": q_cube_agg,
         "running_sum": q_running_sum,
         "fuzzy_pairs": q_fuzzy_pairs,
         # approximate by construction (int8 quantization) — rows-only;
@@ -1566,6 +1573,12 @@ def oracle_sql() -> dict:
             "SELECT doc_id, lang, ntile(4) OVER ("
             "PARTITION BY lang ORDER BY n_chars, doc_id) AS tile "
             "FROM documents"
+        ),
+        "cube_agg": (
+            "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+            "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows "
+            "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
         ),
         "cume_dist": (
             "SELECT doc_id, lang, cume_dist() OVER ("

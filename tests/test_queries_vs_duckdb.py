@@ -71,7 +71,7 @@ def test_all_queries_run(ray_session, registry):
         "domain_cap", "word_rep", "moving_max", "winsorize",
         "prefix_contained", "tfidf_topk", "left_join",
         "trailing_count", "dedup_keep_best", "percent_rank",
-        "ntile", "running_sum", "fuzzy_pairs", "cume_dist",
+        "ntile", "running_sum", "fuzzy_pairs", "cume_dist", "cube_agg",
     ],
 )
 def test_query_matches_oracle(ray_session, registry, duck, name):
