@@ -1104,3 +1104,22 @@ def test_ntile_groups_smaller_than_k(ray_session, tmp_path):
         .fetchdf()
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_lev_pairs_vectorized_matches_scalar():
+    """The pair-vectorized DP (fuzzy_pairs' verify kernel) is bit-identical
+    to the scalar reference on random strings, including unicode and
+    empty/max-length edges."""
+    import random
+
+    rng = random.Random(7)
+    alpha = "abcdeé 日x"
+    A = ["".join(rng.choice(alpha) for _ in range(rng.randint(0, 40)))
+         for _ in range(400)]
+    B = ["".join(rng.choice(alpha) for _ in range(rng.randint(0, 40)))
+         for _ in range(400)]
+    A[:3] = ["", "", "a" * 40]
+    B[:3] = ["", "abc", ""]
+    got = D._lev_pairs(A, B, 40)
+    want = np.array([D.levenshtein(a, b) for a, b in zip(A, B)])
+    assert (got == want).all()
