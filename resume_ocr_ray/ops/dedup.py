@@ -275,7 +275,7 @@ def minhash_candidates(docs_ds, *, num_perm=64, bands=16, shingle=5,
 
 
 def minhash_verified(docs_ds, *, threshold: float = 0.5, num_perm=64, bands=16,
-                     shingle=5, concurrency=None):
+                     shingle=5, concurrency=None, pair_lanes: int = 8):
     """Candidate pairs verified with TRUE n-gram Jaccard — fully distributed.
 
     The candidate texts are fetched with a keyed hash join of pair-edge rows
@@ -389,14 +389,17 @@ def minhash_verified(docs_ds, *, threshold: float = 0.5, num_perm=64, bands=16,
     # (LSH candidates — a vanishing fraction of the corpus), so the
     # coalesce is cheap at any scale. The sort-groupby emits ONE output
     # range per INPUT block, so the repartition count IS the verify
-    # stage's parallelism ceiling — repartition to PAIR_SALT so the
-    # expensive per-pair shingle/Jaccard stage can use all 64 designed
-    # lanes (an 8-way coalesce here silently capped it at 8). The
-    # coalesce also keeps the sort from seeing schema-less empty
-    # partitions (repartition slices typed blocks).
+    # stage's parallelism ceiling. 8 is the measured optimum at sf0.1's
+    # candidate volume (A/B warm runs: 8→4.0–4.8 s, 16→4.7–5.4 s, 64→
+    # slower still plus schema-less empty ranges once lanes outnumber
+    # occupied ppart values — the executor-warning regression the round-3
+    # sweep eliminated). The verify stage only saturates this ceiling on
+    # candidate-HEAVY corpora; there, raise pair_lanes together with
+    # PAIR_SALT — it is the op's scale knob, sized to candidate volume,
+    # not to the upstream block count.
     return (
         joined.map_batches(add_ppart, batch_format="pandas")
-        .repartition(PAIR_SALT)
+        .repartition(pair_lanes)
         .groupby("ppart")
         .map_groups(verify_part, batch_format="pandas")
     )
