@@ -114,8 +114,13 @@ def topk_exact(ds, sort_keys, k: int):
     def _blk(t):
         return t.take(_pc.sort_indices(t, sort_keys=sort_keys)[:k])
 
+    # batch_size=None: the merge stage is only exact if ONE call sees the
+    # whole repartition(1) block (k rows per BATCH otherwise) — pin the
+    # whole-block batching rather than rely on the engine default
     return (
-        ds.map_batches(_blk, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(_blk, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
         .repartition(1)
-        .map_batches(_blk, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(_blk, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
     )

@@ -769,11 +769,7 @@ def rank_topk(analyzed_ds, k: int = C.TOP_K):
             t["score"].combine_chunks().fill_null(0.0),
         )
 
-    def topk_block(t: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            t, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
-        )[:k]
-        return t.take(idx)
+    from ..common import topk_exact
 
     ok = analyzed_ds.map_batches(
         ok_rows, batch_format="pyarrow", zero_copy_batch=True,
@@ -782,10 +778,6 @@ def rank_topk(analyzed_ds, k: int = C.TOP_K):
     # identical rows to sort().limit(k) under the same total order, without
     # the all-to-all range sort (sample + shuffle of every ranked row for a
     # k-row result; measured 4.5 s → 3.3 s warm on the sf0.1 rank query).
-    return (
-        ok.map_batches(topk_block, batch_format="pyarrow",
-                       zero_copy_batch=True)
-        .repartition(1)
-        .map_batches(topk_block, batch_format="pyarrow",
-                     zero_copy_batch=True)
+    return topk_exact(
+        ok, [("score", "descending"), ("doc_id", "ascending")], k
     )

@@ -862,60 +862,79 @@ def ngram_jaccard_pairs(docs_ds, prefix_n: int = 32, gram: int = 3,
 
 
 def levenshtein(a: str, b: str) -> int:
-    """Unit-cost edit distance, two-row DP — semantics identical to DuckDB
-    ``levenshtein()`` (verified row-for-row at sf0.01), so fuzzy_pairs is
-    oracle-checkable. O(len·len) per call over TRUNCATED strings only."""
+    """Unit-cost edit distance over UTF-8 BYTES, two-row DP — DuckDB's
+    ``levenshtein()`` is byte-based ('café' vs 'cafe' = 2, not 1; verified
+    live), so byte semantics are what keep fuzzy_pairs oracle-checkable on
+    non-ASCII text. O(len·len) per call over TRUNCATED strings only."""
     if a == b:
         return 0
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
+    ab, bb = a.encode("utf-8"), b.encode("utf-8")
+    prev = list(range(len(bb) + 1))
+    for i, ca in enumerate(ab, 1):
         cur = [i]
-        for j, cb in enumerate(b, 1):
+        for j, cb in enumerate(bb, 1):
             cur.append(min(prev[j] + 1, cur[j - 1] + 1,
                            prev[j - 1] + (ca != cb)))
         prev = cur
     return prev[-1]
 
 
-def _codepoint_matrix(texts, width: int):
-    """(n, width) int32 codepoint matrix (zero-padded) + per-row lengths —
-    one numpy decode per distinct string via np.frombuffer(UTF-32)."""
-    n = len(texts)
-    M = np.zeros((n, width), dtype=np.int32)
-    ln = np.empty(n, dtype=np.int64)
-    for i, t in enumerate(texts):
-        ln[i] = len(t)
-        if t:
-            M[i, : len(t)] = np.frombuffer(
-                t.encode("utf-32-le"), dtype=np.uint32
-            ).astype(np.int32)
+def _byte_matrix(texts):
+    """(n, width) int16 UTF-8 byte matrix (zero-padded to the longest row)
+    + per-row BYTE lengths — DuckDB levenshtein counts bytes, so the DP
+    must too. int16 (not uint8) so the zero pad can never collide with a
+    real byte after the per-pair (len_a, len_b) cell read."""
+    enc = [t.encode("utf-8") for t in texts]
+    ln = np.fromiter((len(e) for e in enc), dtype=np.int64, count=len(enc))
+    width = int(ln.max()) if len(enc) else 0
+    M = np.zeros((len(enc), max(width, 1)), dtype=np.int16)
+    for i, e in enumerate(enc):
+        if e:
+            M[i, : len(e)] = np.frombuffer(e, dtype=np.uint8)
     return M, ln
 
 
-def _lev_pairs(a_list, b_list, width: int) -> np.ndarray:
+def _lev_pairs(a_list, b_list) -> np.ndarray:
     """Levenshtein distance for MANY string pairs at once: the classic
     two-row DP with the pair axis vectorized in numpy — width² scalar
     steps of P-vector kernels instead of P·width² Python steps (≈100×
-    on the fuzzy_pairs verify). Strings are codepoint arrays padded to
-    ``width``; each pair's answer is read at its own (len_a, len_b) cell,
-    so padding never affects the result. Bit-identical to
+    on the fuzzy_pairs verify). Strings are UTF-8 byte arrays padded to
+    the longest row; each pair's answer is read at its own (len_a, len_b)
+    cell, so padding never affects the result. Bit-identical to
     :func:`levenshtein` (property-tested)."""
     P = len(a_list)
     if P == 0:
         return np.empty(0, dtype=np.int64)
-    A, la = _codepoint_matrix(a_list, width)
-    B, lb = _codepoint_matrix(b_list, width)
+    A, la = _byte_matrix(a_list)
+    B, lb = _byte_matrix(b_list)
+    width = max(A.shape[1], B.shape[1])
+    if A.shape[1] < width:
+        A = np.pad(A, ((0, 0), (0, width - A.shape[1])))
+    if B.shape[1] < width:
+        B = np.pad(B, ((0, 0), (0, width - B.shape[1])))
     return _lev_core(A, la, B, lb, width)
+
+
+#: pairs per vectorized-DP chunk: bounds the DP working set (~8 arrays of
+#: chunk×(width+1) int16/int32 ≈ tens of MB at width 160) — a partition of
+#: several near-cap prefix blocks would otherwise build one multi-GB DP
+_LEV_CHUNK = 65536
 
 
 def _lev_pairs_idx(rows: np.ndarray, lens: np.ndarray,
                    ai: np.ndarray, bi: np.ndarray) -> np.ndarray:
     """Pairwise Levenshtein over (ai, bi) index pairs into a shared
-    codepoint-row matrix — rows are decoded ONCE per partition, never per
-    pair."""
+    byte-row matrix — rows are decoded ONCE per partition, never per pair;
+    the DP runs in fixed-size pair chunks so peak memory is bounded
+    regardless of how many hot prefix blocks land in one partition."""
     if len(ai) == 0:
         return np.empty(0, dtype=np.int64)
-    return _lev_core(rows[ai], lens[ai], rows[bi], lens[bi], rows.shape[1])
+    out = np.empty(len(ai), dtype=np.int64)
+    for lo in range(0, len(ai), _LEV_CHUNK):
+        sl = slice(lo, lo + _LEV_CHUNK)
+        out[sl] = _lev_core(rows[ai[sl]], lens[ai[sl]],
+                            rows[bi[sl]], lens[bi[sl]], rows.shape[1])
+    return out
 
 
 def _lev_core(A, la, B, lb, width: int) -> np.ndarray:
@@ -960,13 +979,18 @@ def fuzzy_pairs(docs_ds, pfx_n: int = 8, trunc: int = 40,
     verify costs O(trunc²) regardless of document length)."""
 
     def _add_pfx(b: pa.Table) -> pa.Table:
+        # NULL text is DROPPED, matching the oracle: SQL's
+        # substr(NULL,1,8)=substr(NULL,1,8) join predicate is NULL → no
+        # row (a ''-coercion here would emit dist-0 pairs the oracle
+        # never produces). Empty-string text stays: ''='' joins in SQL.
+        b = b.filter(pc.is_valid(b.column("text")))
         texts = b.column("text").to_pylist()
-        pfx = [(t or "")[:pfx_n] for t in texts]
+        pfx = [t[:pfx_n] for t in texts]
         part = np.fromiter(
             (zlib.crc32(p.encode("utf-8")) % PAIR_SALT for p in pfx),
             dtype=np.int32, count=len(pfx),
         )
-        heads = pa.array([(t or "")[:trunc] for t in texts], type=pa.string())
+        heads = pa.array([t[:trunc] for t in texts], type=pa.string())
         return pa.table(
             {
                 "doc_id": b.column("doc_id"),
@@ -1012,7 +1036,7 @@ def fuzzy_pairs(docs_ds, pfx_n: int = 8, trunc: int = 40,
             ai.append(pi)
             bi.append(pj)
         ai, bi = np.concatenate(ai), np.concatenate(bi)
-        H, hl = _codepoint_matrix(multi["head"].tolist(), trunc)
+        H, hl = _byte_matrix(multi["head"].tolist())
         dist = _lev_pairs_idx(H, hl, ai, bi)
         keep = dist <= max_dist
         if not keep.any():

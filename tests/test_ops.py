@@ -1038,6 +1038,10 @@ def test_fuzzy_pairs_nonzero_distances(ray_session, tmp_path):
         "prefix11 completely different block of text here",
         "prefix11 completely different block of text here",       # exact dup
         "loner000 nothing shares this prefix at all",
+        "prefixé0 café au lait — das größte Straßencafé überhaupt",
+        "prefixé0 cafe au lait — das grosste Strassencafe uberhaupt",
+        None,                                                     # dropped
+        None,                                                     # dropped
     ]
     t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
                   "text": pa.array(texts, type=pa.string())})
@@ -1064,6 +1068,9 @@ def test_fuzzy_pairs_nonzero_distances(ray_session, tmp_path):
         .fetchdf()
     )
     assert len(want) >= 3 and (want["dist"] > 0).any()  # test has teeth
+    # the é pair differs by multi-byte chars: byte distance ≠ codepoint
+    # distance, so this pins DuckDB's byte semantics; the NULL rows pin
+    # the substr(NULL) join-drop
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
@@ -1120,6 +1127,6 @@ def test_lev_pairs_vectorized_matches_scalar():
          for _ in range(400)]
     A[:3] = ["", "", "a" * 40]
     B[:3] = ["", "abc", ""]
-    got = D._lev_pairs(A, B, 40)
+    got = D._lev_pairs(A, B)
     want = np.array([D.levenshtein(a, b) for a, b in zip(A, B)])
     assert (got == want).all()
