@@ -1187,3 +1187,90 @@ def prefix_contained(docs_ds):
         .count()
         .select_columns(["doc_id"])
     )
+
+
+def substring_dup_docs(docs_ds_factory, w: int = 64):
+    """Docs sharing any EXACT ``w``-char substring window with another doc
+    — the exact-substring dedup primitive (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): boilerplate headers,
+    templated passages and verbatim re-crawls that word-shingle ops
+    (dup_phrases) see only after tokenization. Deterministic and
+    SQL-expressible, so oracle-checked.
+
+    Shape (two streaming passes, the boilerplate_gate pattern):
+      1. per-batch partial: each doc's DISTINCT windows → one
+         (win, min_doc, max_doc) row per window per batch; a groupby(win)
+         Min/Max merge then flags cross-doc windows (min ≠ max works
+         because a window seen by ≥2 distinct docs must separate its
+         global min and max doc ids). Only (string, int, int) partials
+         shuffle — never per-(window, doc) pairs.
+      2. the flagged windows broadcast once via ray.put; a second doc pass
+         emits doc_ids whose window set intersects it.
+    The broadcast set is bounded by CROSS-DOC duplicated content (template
+    volume, not corpus volume); a corpus whose dup-window set outgrows a
+    broadcast would hash-partition windows and semi-join pass 2 instead —
+    the decontaminate successor. At scale, windows would carry a 128-bit
+    hash instead of the raw string (collision-safe shuffle-byte cut); the
+    oracle op keeps exact strings."""
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    from ..common import cached_broadcast
+
+    def _win_set(t: str):
+        return {t[i : i + w] for i in range(len(t) - w + 1)} if t else set()
+
+    def _partial(b: pa.Table) -> pa.Table:
+        agg: dict = {}
+        ids = b.column("doc_id").to_pylist()
+        for d, t in zip(ids, b.column("text").to_pylist()):
+            if t is None or len(t) < w:
+                continue  # oracle: length(text) >= w guard, NULL dropped
+            for win in _win_set(t):
+                got = agg.get(win)
+                if got is None:
+                    agg[win] = [d, d]
+                else:
+                    if d < got[0]:
+                        got[0] = d
+                    if d > got[1]:
+                        got[1] = d
+        return pa.table(
+            {
+                "win": pa.array(list(agg), type=pa.string()),
+                "dmin": pa.array([v[0] for v in agg.values()], pa.int64()),
+                "dmax": pa.array([v[1] for v in agg.values()], pa.int64()),
+            }
+        )
+
+    merged = (
+        docs_ds_factory()
+        .map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=65536)
+        .groupby("win")
+        .aggregate(Min("dmin", alias_name="dmin"),
+                   Max("dmax", alias_name="dmax"))
+    )
+    dup_wins: set = set()
+    for bt in merged.map_batches(
+        lambda t: t.filter(pc.not_equal(t["dmin"], t["dmax"])).select(["win"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).iter_batches(batch_format="pyarrow"):
+        dup_wins.update(bt.column("win").to_pylist())
+    ref = ray.put(frozenset(dup_wins))
+
+    def _flag(b: pa.Table) -> pa.Table:
+        wins = cached_broadcast(ref)
+        ids = b.column("doc_id").to_pylist()
+        out = [
+            d
+            for d, t in zip(ids, b.column("text").to_pylist())
+            if t is not None and len(t) >= w
+            and not wins.isdisjoint(_win_set(t))
+        ]
+        return pa.table({"doc_id": pa.array(out, type=pa.int64())})
+
+    return docs_ds_factory().map_batches(
+        _flag, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )

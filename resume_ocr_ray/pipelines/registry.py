@@ -803,6 +803,12 @@ def q_cube_agg(sf_dir: str):
     return R.cube_agg(_read(sf_dir, "lineitem", cols))
 
 
+def q_substring_dups(sf_dir: str):
+    return D.substring_dup_docs(
+        lambda: _read(sf_dir, "documents", ["doc_id", "text"])
+    )
+
+
 def q_cume_dist(sf_dir: str):
     return R.cume_dist_by_lang(
         _read(sf_dir, "documents", ["lang", "doc_id", "n_chars"])
@@ -978,6 +984,7 @@ def _all_queries() -> dict:
         "ntile": q_ntile,
         "cume_dist": q_cume_dist,
         "cube_agg": q_cube_agg,
+        "substring_dups": q_substring_dups,
         "running_sum": q_running_sum,
         "fuzzy_pairs": q_fuzzy_pairs,
         # approximate by construction (int8 quantization) — rows-only;
@@ -1573,6 +1580,17 @@ def oracle_sql() -> dict:
             "SELECT doc_id, lang, ntile(4) OVER ("
             "PARTITION BY lang ORDER BY n_chars, doc_id) AS tile "
             "FROM documents"
+        ),
+        "substring_dups": (
+            "WITH mx AS (SELECT CAST(max(length(text)) AS BIGINT) AS m "
+            "FROM documents), "
+            "gs AS (SELECT CAST(unnest(range(1, (SELECT m FROM mx) - 62)) "
+            "AS INT) AS g), "
+            "wd AS (SELECT DISTINCT d.doc_id, substr(d.text, gs.g, 64) AS "
+            "win FROM documents d JOIN gs ON gs.g <= length(d.text) - 63), "
+            "dw AS (SELECT win FROM wd GROUP BY win "
+            "HAVING count(DISTINCT doc_id) >= 2) "
+            "SELECT DISTINCT doc_id FROM wd JOIN dw USING (win)"
         ),
         "cube_agg": (
             "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "

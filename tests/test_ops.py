@@ -1130,3 +1130,49 @@ def test_lev_pairs_vectorized_matches_scalar():
     got = D._lev_pairs(A, B)
     want = np.array([D.levenshtein(a, b) for a, b in zip(A, B)])
     assert (got == want).all()
+
+
+def test_substring_dups_offset_windows(ray_session, tmp_path):
+    """Exact-substring dedup must catch a shared 64-char window at
+    DIFFERENT offsets in each doc (not prefix-aligned), skip docs shorter
+    than the window, and drop NULL text like the oracle."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    shared = "S" * 10 + "the exact shared boilerplate window content here!" + "E" * 5
+    assert len(shared) == 64
+    texts = [
+        "lead-in text then " + shared + " and a tail",
+        shared + " right at the start of this one",
+        "completely unrelated document body with no shared window at all"
+        + " padding " * 10,
+        "short doc",  # < 64 chars: excluded by the length guard
+        None,         # dropped
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(t, p)
+
+    got = sorted(
+        D.substring_dup_docs(
+            lambda: rd.read_parquet(p, override_num_blocks=3)
+        ).to_pandas()["doc_id"]
+    )
+    want = sorted(
+        r[0]
+        for r in duckdb.connect().execute(
+            "WITH mx AS (SELECT CAST(max(length(text)) AS BIGINT) AS m "
+            f"FROM read_parquet('{p}')), "
+            "gs AS (SELECT CAST(unnest(range(1, (SELECT m FROM mx) - 62)) "
+            "AS INT) AS g), "
+            "wd AS (SELECT DISTINCT d.doc_id, substr(d.text, gs.g, 64) AS "
+            f"win FROM read_parquet('{p}') d "
+            "JOIN gs ON gs.g <= length(d.text) - 63), "
+            "dw AS (SELECT win FROM wd GROUP BY win "
+            "HAVING count(DISTINCT doc_id) >= 2) "
+            "SELECT DISTINCT doc_id FROM wd JOIN dw USING (win)"
+        ).fetchall()
+    )
+    assert got == want == [0, 1]
