@@ -1199,11 +1199,16 @@ def substring_dup_docs(docs_ds_factory, w: int = 64):
 
     Shape (two streaming passes, the boilerplate_gate pattern):
       1. per-batch partial: each doc's DISTINCT windows → one
-         (win, min_doc, max_doc) row per window per batch; a groupby(win)
-         Min/Max merge then flags cross-doc windows (min ≠ max works
-         because a window seen by ≥2 distinct docs must separate its
-         global min and max doc ids). Only (string, int, int) partials
-         shuffle — never per-(window, doc) pairs.
+         (win, min_doc, max_doc) row per window per batch; a COARSE
+         ``crc32(win) % parts`` cogroup + one vectorized pandas
+         min/max-merge per partition flags cross-doc windows (min ≠ max
+         works because a window seen by ≥2 distinct docs must separate
+         its global min and max doc ids). The key space is ~one window
+         per corpus char, so a per-key ``Aggregate`` is the wrong form
+         (measured >2 min vs 6.4 s for the cogroup at sf0.1's 1.1M
+         distinct windows — the engine aggregate pays per-KEY cost,
+         the cogroup one Python call per partition). Only
+         (string, int, int) partials shuffle — never (window, doc) pairs.
       2. the flagged windows broadcast once via ray.put; a second doc pass
          emits doc_ids whose window set intersects it.
     The broadcast set is bounded by CROSS-DOC duplicated content (template
@@ -1213,7 +1218,6 @@ def substring_dup_docs(docs_ds_factory, w: int = 64):
     hash instead of the raw string (collision-safe shuffle-byte cut); the
     oracle op keeps exact strings."""
     import ray
-    from ray.data.aggregate import Max, Min
 
     from ..common import cached_broadcast
 
@@ -1235,27 +1239,38 @@ def substring_dup_docs(docs_ds_factory, w: int = 64):
                         got[0] = d
                     if d > got[1]:
                         got[1] = d
+        wins = list(agg)
+        part = np.fromiter(
+            (zlib.crc32(x.encode("utf-8")) % COGROUP_PARTS for x in wins),
+            dtype=np.int32, count=len(wins),
+        )
         return pa.table(
             {
-                "win": pa.array(list(agg), type=pa.string()),
+                "win": pa.array(wins, type=pa.string()),
                 "dmin": pa.array([v[0] for v in agg.values()], pa.int64()),
                 "dmax": pa.array([v[1] for v in agg.values()], pa.int64()),
+                "part": pa.array(part),
             }
         )
 
-    merged = (
+    def _dup_wins(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("win", sort=False).agg(
+            dmin=("dmin", "min"), dmax=("dmax", "max")
+        )
+        return m.index[m["dmin"] != m["dmax"]].to_frame(
+            index=False, name="win"
+        )
+
+    dup_ds = (
         docs_ds_factory()
         .map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True,
                      batch_size=65536)
-        .groupby("win")
-        .aggregate(Min("dmin", alias_name="dmin"),
-                   Max("dmax", alias_name="dmax"))
+        .repartition(16)  # coalesce partials; 16 ranges span ≥4 part values
+        .groupby("part")
+        .map_groups(_dup_wins, batch_format="pandas")
     )
     dup_wins: set = set()
-    for bt in merged.map_batches(
-        lambda t: t.filter(pc.not_equal(t["dmin"], t["dmax"])).select(["win"]),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).iter_batches(batch_format="pyarrow"):
+    for bt in dup_ds.iter_batches(batch_format="pyarrow"):
         dup_wins.update(bt.column("win").to_pylist())
     ref = ray.put(frozenset(dup_wins))
 
