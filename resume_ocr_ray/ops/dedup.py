@@ -62,7 +62,7 @@ def dedup_exact(docs_ds, key_fn=add_md5, key_col: str = "text_md5"):
     min doc_id), so at most one row per distinct hash per batch crosses the
     groupby shuffle — on a duplicate-heavy corpus the shuffle carries the
     distinct-hash count, not the row count."""
-    from ray.data.aggregate import Min
+    from ..common import cogroup_agg
 
     def partial(batch: pa.Table) -> pa.Table:
         t = key_fn(batch).select([key_col, "doc_id"])
@@ -75,10 +75,11 @@ def dedup_exact(docs_ds, key_fn=add_md5, key_col: str = "text_md5"):
         partial, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=65536,
     )
-    return (
-        hashed.groupby(key_col)
-        .aggregate(Min("doc_id", alias_name="keep_doc_id"))
-    )
+    # hash keys number ~one per distinct doc — the engine Aggregate pays
+    # per-KEY cost at that cardinality; the coarse cogroup merge is exact
+    # (each key lands wholly in one partition) and the per-batch partial
+    # above keeps hot keys at one row per block across the shuffle
+    return cogroup_agg(hashed, key_col, {"keep_doc_id": ("doc_id", "min")})
 
 
 def add_prefix_key(batch: pa.Table, n: int = 24) -> pa.Table:
@@ -270,7 +271,11 @@ def minhash_candidates(docs_ds, *, num_perm=64, bands=16, shingle=5,
 
     pairs = _raw_band_pairs(docs_ds, num_perm=num_perm, bands=bands,
                             shingle=shingle, concurrency=concurrency)
-    # distinct pairs (a<b by construction); n_bands = LSH vote count
+    # distinct pairs (a<b by construction); n_bands = LSH vote count.
+    # LSH candidate pairs are a vanishing fraction of the corpus (sparse
+    # key space), so the engine Aggregate's per-block combine wins here —
+    # the cogroup_agg form A/B'd SLOWER (3.7-5.1 s vs 2.6-2.9 s at sf0.1);
+    # see common.cogroup_agg for the cardinality rule.
     return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
 
 
@@ -519,10 +524,23 @@ def connected_components_labels(docs_ds, max_iters: int = 10):
         to_state, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
     prev = None
+    from ..common import cogroup_agg
+
+    def _kmin_partial(b: pa.Table) -> pa.Table:
+        # per-block combine keeps a hot key at one partial row per block
+        # (the two-level partial-min), with the merge done by cogroup —
+        # keys number 2× docs, past the per-key-Aggregate cliff
+        g = b.select(["key", "label"]).group_by("key").aggregate(
+            [("label", "min")]
+        )
+        return g.rename_columns(["key", "label"])
+
     converged = False
     for _ in range(max_iters):
-        key_min = state.groupby("key").aggregate(
-            Min("label", alias_name="kmin")
+        key_min = cogroup_agg(
+            state.map_batches(_kmin_partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=65536),
+            "key", {"kmin": ("label", "min")},
         )
         tagged = state.map_batches(
             tag_state, batch_format="pandas"
@@ -666,6 +684,7 @@ def simhash_candidates(docs_ds, max_hamming: int = 3, concurrency=None):
     pairs = salted.groupby(["block", "salt"]).map_groups(
         lambda g: _simhash_salt_pairs(g, max_hamming), batch_format="pandas"
     )
+    # sparse candidate-pair keys: engine Aggregate (see minhash_pairs)
     return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
@@ -767,6 +786,7 @@ def embedding_near_dups(emb_ds, threshold: float = 0.95, concurrency=None,
         lambda g: _cosine_bucket_pairs(g, threshold, max_bucket),
         batch_format="pandas",
     )
+    # sparse candidate-pair keys: engine Aggregate (see minhash_pairs)
     return pairs.groupby(["a", "b"]).aggregate(Max("cosine", alias_name="cosine"))
 
 

@@ -1732,11 +1732,13 @@ def dedup_keep_best(docs_ds):
         _partial, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=65536,
     )
-    return (
-        partials.groupby("text_md5")
-        .aggregate(Max("packed", alias_name="packed"))
-        .map_batches(_decode, batch_format="pyarrow", zero_copy_batch=True)
-    )
+    from ..common import cogroup_agg
+
+    # hash keys ~ distinct docs: coarse cogroup merge, not the per-key
+    # engine Aggregate (see common.cogroup_agg)
+    return cogroup_agg(
+        partials, "text_md5", {"packed": ("packed", "max")}
+    ).map_batches(_decode, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def percent_rank_by_lang(docs_ds):

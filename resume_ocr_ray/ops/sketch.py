@@ -196,11 +196,15 @@ def heavy_hitters(docs_ds, ppm: int = 2000, capacity: int = 4096):
                 pa.compute.greater_equal(t["residual"], min_resid)
             )
 
+        from ..common import cogroup_agg
+
+        # summary words are vocabulary-cardinality keys: cogroup sum, not
+        # the per-key engine Aggregate (see common.cogroup_agg)
         cand = (
-            summ.select_columns(["word", "residual"])
-            .repartition(8)  # coalesce summaries (empty-range warning sweep)
-            .groupby("word")
-            .aggregate(Sum("residual", alias_name="residual"))
+            cogroup_agg(
+                summ.select_columns(["word", "residual"]),
+                "word", {"residual": ("residual", "sum")},
+            )
             .map_batches(_cand_filter, batch_format="pyarrow",
                          zero_copy_batch=True)
             .to_pandas()
