@@ -126,7 +126,7 @@ def topk_exact(ds, sort_keys, k: int):
     )
 
 
-def cogroup_agg(ds, key, aggs: dict, parts: int = 64, coalesce: int = 16):
+def cogroup_agg(ds, key, aggs: dict, parts: int = 64, coalesce: int = 8):
     """HIGH-CARDINALITY keyed aggregate (distinct keys ~ row count: content
     hashes, windows, grams, candidate pairs). The engine's
     ``groupby().aggregate()`` pays per-KEY cost — measured >2 min vs 6.4 s

@@ -542,9 +542,15 @@ def connected_components_labels(docs_ds, max_iters: int = 10):
                               zero_copy_batch=True, batch_size=65536),
             "key", {"kmin": ("label", "min")},
         )
-        tagged = state.map_batches(
-            tag_state, batch_format="pandas"
-        ).union(key_min.map_batches(tag_kmin, batch_format="pandas"))
+        # coalesce both cogroup inputs: the sort-groupby makes one output
+        # range per input block, and ranges beyond the occupied part
+        # values come out empty and schema-less (executor warning spam —
+        # the minhash join's 16-over-64 spacing rule)
+        tagged = (
+            state.map_batches(tag_state, batch_format="pandas")
+            .union(key_min.map_batches(tag_kmin, batch_format="pandas"))
+            .repartition(16)
+        )
         after_key = tagged.groupby("part").map_groups(
             merge_kmin, batch_format="pandas"
         )
@@ -553,6 +559,7 @@ def connected_components_labels(docs_ds, max_iters: int = 10):
                 lambda df: df.assign(dpart=_cg_part(df["doc_id"], CC_PARTS)),
                 batch_format="pandas",
             )
+            .repartition(16)
             .groupby("dpart")
             .map_groups(doc_min_part, batch_format="pandas")
         ).materialize()
@@ -571,10 +578,8 @@ def connected_components_labels(docs_ds, max_iters: int = 10):
             "iterations; raise max_iters (component key-chain diameter "
             "exceeds it)"
         )
-    return (
-        state.groupby("doc_id")
-        .aggregate(Min("label", alias_name="component"))
-    )
+    # doc_id keys are corpus-cardinality: coarse cogroup, not per-key agg
+    return cogroup_agg(state, "doc_id", {"component": ("label", "min")})
 
 
 # ---------------------------------------------------------------------------
