@@ -89,6 +89,9 @@ BENCH_QUERIES = [
     "ntile",
     "running_sum",
     "fuzzy_pairs",
+    "cume_dist",
+    "cube_agg",
+    "substring_dups",
 ]
 
 
