@@ -157,7 +157,10 @@ def cogroup_agg(ds, key, aggs: dict, parts: int = 64, coalesce: int = 8):
         return b.append_column("part", pa.array(part.to_numpy()))
 
     def _agg(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.groupby(keys, sort=False).agg(
+        # dropna=False: the engine Aggregate this replaces keeps null keys
+        # as a group (so does SQL GROUP BY); pandas' default would silently
+        # drop them for any future nullable-key caller
+        m = g.groupby(keys, sort=False, dropna=False).agg(
             **{o: (c, f) for o, (c, f) in aggs.items()}
         )
         return m.reset_index()

@@ -469,7 +469,7 @@ def connected_components_labels(docs_ds, max_iters: int = 10):
     per round; state is materialized per iteration like any iterative
     algorithm).
     """
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Sum
 
     def to_state(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -533,7 +533,11 @@ def connected_components_labels(docs_ds, max_iters: int = 10):
         g = b.select(["key", "label"]).group_by("key").aggregate(
             [("label", "min")]
         )
-        return g.rename_columns(["key", "label"])
+        # select by NAME before renaming: pyarrow versions differ on
+        # whether aggregate columns precede or follow the group keys
+        return g.select(["key", "label_min"]).rename_columns(
+            ["key", "label"]
+        )
 
     converged = False
     for _ in range(max_iters):
@@ -1264,35 +1268,25 @@ def substring_dup_docs(docs_ds_factory, w: int = 64):
                         got[0] = d
                     if d > got[1]:
                         got[1] = d
-        wins = list(agg)
-        part = np.fromiter(
-            (zlib.crc32(x.encode("utf-8")) % COGROUP_PARTS for x in wins),
-            dtype=np.int32, count=len(wins),
-        )
         return pa.table(
             {
-                "win": pa.array(wins, type=pa.string()),
+                "win": pa.array(list(agg), type=pa.string()),
                 "dmin": pa.array([v[0] for v in agg.values()], pa.int64()),
                 "dmax": pa.array([v[1] for v in agg.values()], pa.int64()),
-                "part": pa.array(part),
             }
         )
 
-    def _dup_wins(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.groupby("win", sort=False).agg(
-            dmin=("dmin", "min"), dmax=("dmax", "max")
-        )
-        return m.index[m["dmin"] != m["dmax"]].to_frame(
-            index=False, name="win"
-        )
+    from ..common import cogroup_agg
 
-    dup_ds = (
-        docs_ds_factory()
-        .map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True,
-                     batch_size=65536)
-        .repartition(16)  # coalesce partials; 16 ranges span ≥4 part values
-        .groupby("part")
-        .map_groups(_dup_wins, batch_format="pandas")
+    dup_ds = cogroup_agg(
+        docs_ds_factory().map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536,
+        ),
+        "win", {"dmin": ("dmin", "min"), "dmax": ("dmax", "max")},
+    ).map_batches(
+        lambda t: t.filter(pc.not_equal(t["dmin"], t["dmax"])).select(["win"]),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
     dup_wins: set = set()
     for bt in dup_ds.iter_batches(batch_format="pyarrow"):
@@ -1302,11 +1296,15 @@ def substring_dup_docs(docs_ds_factory, w: int = 64):
     def _flag(b: pa.Table) -> pa.Table:
         wins = cached_broadcast(ref)
         ids = b.column("doc_id").to_pylist()
+        # generator, not _win_set: isdisjoint short-circuits on the first
+        # matching window, so flagged docs never materialize their full set
         out = [
             d
             for d, t in zip(ids, b.column("text").to_pylist())
             if t is not None and len(t) >= w
-            and not wins.isdisjoint(_win_set(t))
+            and not wins.isdisjoint(
+                t[i : i + w] for i in range(len(t) - w + 1)
+            )
         ]
         return pa.table({"doc_id": pa.array(out, type=pa.int64())})
 

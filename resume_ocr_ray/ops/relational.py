@@ -1680,8 +1680,6 @@ def dedup_keep_best(docs_ds):
     highest-quality copy, not an arbitrary one). Same shuffle shape: a
     per-batch argmax partial per hash, then one groupby(hash) merge — only
     one candidate row per hash per batch crosses the wire."""
-    from ray.data.aggregate import Max
-
     from .dedup import md5_hex
 
     # The (max n_chars, min doc_id) argmax packs into ONE sortable int64 —

@@ -220,7 +220,6 @@ def stopword_filter(docs_ds_factory, k: int = 20):
     bigger lookup sides). Tokenization is single-space split with empties
     dropped — exactly DuckDB ``string_split(text, ' ')`` semantics, so
     the op is oracle-checkable value-for-value."""
-    from ray.data.aggregate import Sum
 
     def _term_counts(b: pa.Table) -> pa.Table:
         toks = pc.split_pattern(b.column("text"), " ")
@@ -661,7 +660,6 @@ def tfidf_topk(docs_ds_factory, k: int = 3):
     (parent, term) groupby, score + per-doc top-k vectorized. Tokenization
     is single-space split with empties dropped == DuckDB
     ``string_split(text, ' ')``."""
-    from ray.data.aggregate import Sum
 
     def _df_partial(b: pa.Table) -> pa.Table:
         toks = pc.split_pattern(b.column("text"), " ")
