@@ -82,6 +82,32 @@ def dedup_exact(docs_ds, key_fn=add_md5, key_col: str = "text_md5"):
     return cogroup_agg(hashed, key_col, {"keep_doc_id": ("doc_id", "min")})
 
 
+def add_norm_md5(batch: pa.Table, col: str = "text",
+                 out: str = "norm_md5") -> pa.Table:
+    """Canonicalized content hash: md5 of lower(strip-accents(text)) —
+    the normalization-dedup key (re-encoded / re-cased / accent-mangled
+    re-crawls collapse to one canonical form). Accent stripping is NFD
+    decomposition minus combining marks (category Mn), verified
+    char-for-char against DuckDB ``strip_accents`` on the corpus and the
+    tricky cases (ß/ø/æ pass through, double-combining 'café́' → 'cafe',
+    dotted İ lowercases with the combining dot stripped)."""
+    import unicodedata
+
+    def _norm(t):
+        return "".join(
+            c
+            for c in unicodedata.normalize("NFD", t)
+            if unicodedata.category(c) != "Mn"
+        ).lower()
+
+    texts = batch.column(col).to_pylist()
+    return batch.append_column(
+        out,
+        pa.array(md5_hex([_norm(t) if t is not None else None
+                          for t in texts]), type=pa.string()),
+    )
+
+
 def add_prefix_key(batch: pa.Table, n: int = 24) -> pa.Table:
     key = pc.utf8_slice_codeunits(batch.column("text"), 0, n)
     return batch.append_column("prefix_key", key)

@@ -803,6 +803,13 @@ def q_cube_agg(sf_dir: str):
     return R.cube_agg(_read(sf_dir, "lineitem", cols))
 
 
+def q_dedup_normalized(sf_dir: str):
+    return D.dedup_exact(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        key_fn=D.add_norm_md5, key_col="norm_md5",
+    )
+
+
 def q_substring_dups(sf_dir: str):
     return D.substring_dup_docs(
         lambda: _read(sf_dir, "documents", ["doc_id", "text"])
@@ -985,6 +992,7 @@ def _all_queries() -> dict:
         "cume_dist": q_cume_dist,
         "cube_agg": q_cube_agg,
         "substring_dups": q_substring_dups,
+        "dedup_normalized": q_dedup_normalized,
         "running_sum": q_running_sum,
         "fuzzy_pairs": q_fuzzy_pairs,
         # approximate by construction (int8 quantization) — rows-only;
@@ -1580,6 +1588,11 @@ def oracle_sql() -> dict:
             "SELECT doc_id, lang, ntile(4) OVER ("
             "PARTITION BY lang ORDER BY n_chars, doc_id) AS tile "
             "FROM documents"
+        ),
+        "dedup_normalized": (
+            "SELECT md5(coalesce(lower(strip_accents(text)), '')) AS "
+            "norm_md5, min(doc_id) AS keep_doc_id "
+            "FROM documents GROUP BY 1"
         ),
         "substring_dups": (
             "WITH mx AS (SELECT CAST(max(length(text)) AS BIGINT) AS m "

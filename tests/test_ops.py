@@ -1176,3 +1176,80 @@ def test_substring_dups_offset_windows(ray_session, tmp_path):
         ).fetchall()
     )
     assert got == want == [0, 1]
+
+
+def test_dedup_normalized_collapses_case_and_accents(ray_session, tmp_path):
+    """Accent-/case-mangled re-crawls collapse to one canonical winner;
+    genuinely different docs survive."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    texts = [
+        "Résumé of José — Señor Développeur",
+        "resume of jose — senor developpeur",   # same after normalization
+        "RÉSUMÉ OF JOSÉ — SEÑOR DÉVELOPPEUR",   # same again
+        "a different document entirely",
+        None,
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(t, p)
+
+    got = (
+        D.dedup_exact(
+            rd.read_parquet(p, override_num_blocks=2),
+            key_fn=D.add_norm_md5, key_col="norm_md5",
+        )
+        .to_pandas()
+        .sort_values("norm_md5")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.connect()
+        .execute(
+            "SELECT md5(coalesce(lower(strip_accents(text)), '')) AS "
+            "norm_md5, min(doc_id) AS keep_doc_id "
+            f"FROM read_parquet('{p}') GROUP BY 1 ORDER BY 1"
+        )
+        .fetchdf()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) == 3  # mangled trio collapsed; distinct + null survive
+
+
+def test_cogroup_agg_matches_pandas_groupby(ray_session):
+    """cogroup_agg is exactly a distributed pandas groupby-agg, including
+    null keys (dropna=False) and multi-column keys."""
+    import ray.data as rd
+
+    from resume_ocr_ray.common import cogroup_agg
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "k": [None if i % 97 == 0 else f"key{i % 311}"
+                  for i in range(n)],
+            "k2": rng.integers(0, 3, n),
+            "v": rng.integers(-1000, 1000, n),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(7)
+
+    got = (
+        cogroup_agg(ds, ["k", "k2"],
+                    {"mn": ("v", "min"), "sm": ("v", "sum")})
+        .to_pandas()
+        .sort_values(["k", "k2"], na_position="last")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby(["k", "k2"], dropna=False)
+        .agg(mn=("v", "min"), sm=("v", "sum"))
+        .reset_index()
+        .sort_values(["k", "k2"], na_position="last")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
