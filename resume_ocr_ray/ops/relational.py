@@ -1945,3 +1945,73 @@ def running_sum_by_user(events_ds, parts: int = 64):
         _tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536,
     )
     return tagged.groupby("part").map_groups(_cum, batch_format="pandas")
+
+
+def json_props_agg(events_ds):
+    """Per-type aggregate over a JSON payload column: sum of ``props.k``
+    and row count per event_type — the extract-then-aggregate shape every
+    event pipeline needs for semi-structured columns. Extraction is a
+    compiled-RE2 pyarrow kernel (``"k": <int>`` — the props schema is
+    fixed single-key JSON; a general pipeline would swap in a JSON kernel,
+    same stage shape), values are integers so the Sum is exact. Keys are
+    the event_type domain (handful) — the engine Aggregate's per-block
+    combine is the right form here, not cogroup_agg."""
+    from ray.data.aggregate import Count, Sum
+
+    def _extract(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b.column("props"), r'"k": (?P<k>\d+)')
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        return pa.table({"event_type": b.column("event_type"), "k": k})
+
+    return (
+        events_ds.map_batches(
+            _extract, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536,
+        )
+        .groupby("event_type")
+        .aggregate(Sum("k", alias_name="sum_k"), Count(alias_name="n"))
+    )
+
+
+def funnel_users(events_ds, steps=("view", "click", "purchase"),
+                 parts: int = 64):
+    """Ordered-funnel cohort: users with a strictly time-increasing
+    occurrence of each step in sequence (first 'view', then a 'click'
+    after it, then a 'purchase' after that) — the sessionized-funnel
+    primitive. Greedy earliest-completion is exact for sequence
+    containment (taking the EARLIEST valid time for step i can only
+    enlarge the candidate set for step i+1).
+
+    Shape: one coarse shuffle on ``user_id % parts`` (each user's history
+    co-located), then per PARTITION the greedy DP runs as len(steps)
+    vectorized pandas passes (conditional groupby-min + merge + filter) —
+    never one Python call per user. Emits qualifying user_ids."""
+
+    def _tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": _floored_mod(b.column("user_id"), parts),
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "event_type": b.column("event_type"),
+            }
+        )
+
+    def _funnel(g: pd.DataFrame) -> pd.DataFrame:
+        cur = None  # Series: user_id -> completion time of prior step
+        for step in steps:
+            ev = g[g["event_type"] == step]
+            if cur is not None:
+                prev = ev["user_id"].map(cur)
+                ev = ev[prev.notna() & (ev["ts"] > prev)]
+            if ev.empty:
+                return pd.DataFrame({"user_id": pd.Series(dtype="int64")})
+            cur = ev.groupby("user_id")["ts"].min()
+        return pd.DataFrame(
+            {"user_id": np.sort(cur.index.to_numpy("int64"))}
+        )
+
+    tagged = events_ds.map_batches(
+        _tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536,
+    )
+    return tagged.groupby("part").map_groups(_funnel, batch_format="pandas")

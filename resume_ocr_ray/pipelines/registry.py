@@ -803,6 +803,18 @@ def q_cube_agg(sf_dir: str):
     return R.cube_agg(_read(sf_dir, "lineitem", cols))
 
 
+def q_json_props(sf_dir: str):
+    return R.json_props_agg(
+        _read(sf_dir, "events", ["event_type", "props"])
+    )
+
+
+def q_funnel(sf_dir: str):
+    return R.funnel_users(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    )
+
+
 def q_dedup_normalized(sf_dir: str):
     return D.dedup_exact(
         _read(sf_dir, "documents", ["doc_id", "text"]),
@@ -993,6 +1005,8 @@ def _all_queries() -> dict:
         "cube_agg": q_cube_agg,
         "substring_dups": q_substring_dups,
         "dedup_normalized": q_dedup_normalized,
+        "json_props": q_json_props,
+        "funnel": q_funnel,
         "running_sum": q_running_sum,
         "fuzzy_pairs": q_fuzzy_pairs,
         # approximate by construction (int8 quantization) — rows-only;
@@ -1588,6 +1602,22 @@ def oracle_sql() -> dict:
             "SELECT doc_id, lang, ntile(4) OVER ("
             "PARTITION BY lang ORDER BY n_chars, doc_id) AS tile "
             "FROM documents"
+        ),
+        "json_props": (
+            "SELECT event_type, "
+            "sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k, count(*) AS n "
+            "FROM events GROUP BY 1"
+        ),
+        "funnel": (
+            "WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events "
+            "WHERE event_type='view' GROUP BY 1), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+            "JOIN s1 USING (user_id) WHERE e.event_type='click' "
+            "AND e.ts > s1.t1 GROUP BY 1), "
+            "s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+            "JOIN s2 USING (user_id) WHERE e.event_type='purchase' "
+            "AND e.ts > s2.t2 GROUP BY 1) "
+            "SELECT user_id FROM s3"
         ),
         "dedup_normalized": (
             "SELECT md5(coalesce(lower(strip_accents(text)), '')) AS "

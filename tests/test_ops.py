@@ -1253,3 +1253,61 @@ def test_cogroup_agg_matches_pandas_groupby(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_funnel_strict_order_and_ties(ray_session, tmp_path):
+    """Funnel membership requires STRICTLY increasing step times: reversed
+    orders and equal-timestamp steps must not qualify; a later re-view
+    must not rescue a user whose only click precedes every view... unless
+    a later click exists (greedy earliest-completion semantics)."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import relational as R
+
+    T = lambda m: np.datetime64(f"2026-01-01T00:{m:02d}:00", "us")
+    rows = [
+        # user 1: clean v->c->p  (qualifies)
+        (1, T(1), "view"), (1, T(2), "click"), (1, T(3), "purchase"),
+        # user 2: reversed  (no)
+        (2, T(3), "view"), (2, T(2), "click"), (2, T(1), "purchase"),
+        # user 3: tie between view and click  (no — strict >)
+        (3, T(1), "view"), (3, T(1), "click"), (3, T(2), "purchase"),
+        # user 4: click before first view, second click after  (qualifies)
+        (4, T(1), "click"), (4, T(2), "view"), (4, T(3), "click"),
+        (4, T(4), "purchase"),
+        # user 5: no purchase  (no)
+        (5, T(1), "view"), (5, T(2), "click"),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows],
+                           type=pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows],
+                                   type=pa.string()),
+        }
+    )
+    p = str(tmp_path / "events.parquet")
+    pq.write_table(t, p)
+
+    got = sorted(
+        R.funnel_users(rd.read_parquet(p, override_num_blocks=3))
+        .to_pandas()["user_id"]
+    )
+    want = sorted(
+        r[0]
+        for r in duckdb.connect().execute(
+            "WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM "
+            f"read_parquet('{p}') WHERE event_type='view' GROUP BY 1), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM "
+            f"read_parquet('{p}') e JOIN s1 USING (user_id) "
+            "WHERE e.event_type='click' AND e.ts > s1.t1 GROUP BY 1), "
+            "s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM "
+            f"read_parquet('{p}') e JOIN s2 USING (user_id) "
+            "WHERE e.event_type='purchase' AND e.ts > s2.t2 GROUP BY 1) "
+            "SELECT user_id FROM s3"
+        ).fetchall()
+    )
+    assert got == want == [1, 4]
