@@ -2015,3 +2015,76 @@ def funnel_users(events_ds, steps=("view", "click", "purchase"),
         _tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536,
     )
     return tagged.groupby("part").map_groups(_funnel, batch_format="pandas")
+
+
+#: microseconds per week — integer week buckets from the epoch avoid the
+#: date_trunc('week') ISO-Monday semantics mismatch between engines
+_WEEK_US = 604_800_000_000
+
+
+def retention_cohorts(events_ds, parts: int = 64):
+    """Retention matrix: (signup-cohort week, weeks-since-signup) →
+    DISTINCT active users — the cohort-retention analytics primitive.
+    Weeks are integer ``epoch_us // week_us`` buckets (exact in both
+    engines; SQL ``date_trunc('week')`` ISO semantics would be a parity
+    trap). Rows at or after the user's first 'signup' count; users who
+    never signed up are excluded (SQL inner join).
+
+    Shape: ONE coarse shuffle on ``user_id % parts`` co-locates each
+    user's history; per partition, first-signup + join-back + per-user
+    (cohort, wk) dedup run as three vectorized pandas ops. Per-user
+    distinctness is partition-local BY CONSTRUCTION (a user hashes to
+    exactly one partition), so per-partition distinct counts Sum to the
+    exact global distinct — no second distinct pass. The final groupby
+    carries ≤ cohorts × weeks rows per partition (tiny, engine
+    Aggregate's per-block combine is right)."""
+    from ray.data.aggregate import Sum
+
+    def _tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": _floored_mod(b.column("user_id"), parts),
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "event_type": b.column("event_type"),
+            }
+        )
+
+    def _partial(g: pd.DataFrame) -> pd.DataFrame:
+        su = g.loc[g["event_type"] == "signup"]
+        if su.empty:
+            return pd.DataFrame(
+                {
+                    "cohort_wk": pd.Series(dtype="int64"),
+                    "wk": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        t0 = su.groupby("user_id")["ts"].min()
+        prev = g["user_id"].map(t0)
+        act = g[prev.notna() & (g["ts"] >= prev)]
+        ts_us = act["ts"].to_numpy("datetime64[us]").astype("int64")
+        t0_us = (
+            act["user_id"].map(t0).to_numpy("datetime64[us]").astype("int64")
+        )
+        d = pd.DataFrame(
+            {
+                "user_id": act["user_id"].to_numpy("int64"),
+                "cohort_wk": t0_us // _WEEK_US,
+                "wk": ts_us // _WEEK_US - t0_us // _WEEK_US,
+            }
+        ).drop_duplicates()
+        out = d.groupby(["cohort_wk", "wk"], as_index=False).size()
+        return out.rename(columns={"size": "n"}).astype(
+            {"n": "int64"}
+        )
+
+    tagged = events_ds.map_batches(
+        _tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536,
+    )
+    return (
+        tagged.groupby("part")
+        .map_groups(_partial, batch_format="pandas")
+        .groupby(["cohort_wk", "wk"])
+        .aggregate(Sum("n", alias_name="n_users"))
+    )

@@ -815,6 +815,12 @@ def q_funnel(sf_dir: str):
     )
 
 
+def q_retention(sf_dir: str):
+    return R.retention_cohorts(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    )
+
+
 def q_dedup_normalized(sf_dir: str):
     return D.dedup_exact(
         _read(sf_dir, "documents", ["doc_id", "text"]),
@@ -1007,6 +1013,7 @@ def _all_queries() -> dict:
         "dedup_normalized": q_dedup_normalized,
         "json_props": q_json_props,
         "funnel": q_funnel,
+        "retention": q_retention,
         "running_sum": q_running_sum,
         "fuzzy_pairs": q_fuzzy_pairs,
         # approximate by construction (int8 quantization) — rows-only;
@@ -1618,6 +1625,18 @@ def oracle_sql() -> dict:
             "JOIN s2 USING (user_id) WHERE e.event_type='purchase' "
             "AND e.ts > s2.t2 GROUP BY 1) "
             "SELECT user_id FROM s3"
+        ),
+        "retention": (
+            "WITH f AS (SELECT user_id, min(ts) AS t0 FROM events "
+            "WHERE event_type='signup' GROUP BY 1), "
+            "a AS (SELECT DISTINCT e.user_id, "
+            "CAST(floor(epoch_us(f.t0) / 604800000000) AS BIGINT) "
+            "AS cohort_wk, "
+            "CAST(floor(epoch_us(e.ts) / 604800000000) - "
+            "floor(epoch_us(f.t0) / 604800000000) AS BIGINT) AS wk "
+            "FROM events e JOIN f USING (user_id) WHERE e.ts >= f.t0) "
+            "SELECT cohort_wk, wk, count(*) AS n_users "
+            "FROM a GROUP BY 1, 2"
         ),
         "dedup_normalized": (
             "SELECT md5(coalesce(lower(strip_accents(text)), '')) AS "
