@@ -87,17 +87,22 @@ def add_norm_md5(batch: pa.Table, col: str = "text",
     """Canonicalized content hash: md5 of lower(strip-accents(text)) —
     the normalization-dedup key (re-encoded / re-cased / accent-mangled
     re-crawls collapse to one canonical form). Accent stripping is NFD
-    decomposition minus combining marks (category Mn), verified
-    char-for-char against DuckDB ``strip_accents`` on the corpus and the
-    tricky cases (ß/ø/æ pass through, double-combining 'café́' → 'cafe',
-    dotted İ lowercases with the combining dot stripped)."""
+    decomposition minus combining marks (category Mn), re-COMPOSED to NFC
+    after the strip (DuckDB returns composed forms — without the NFC pass
+    Hangul decomposes to Jamo and diverges), verified char-for-char
+    against DuckDB ``strip_accents`` on the corpus and the tricky cases
+    (ß/ø/æ pass through, double-combining 'café́' → 'cafe', dotted İ
+    lowercases with the combining dot stripped, 한글 stays composed)."""
     import unicodedata
 
     def _norm(t):
-        return "".join(
-            c
-            for c in unicodedata.normalize("NFD", t)
-            if unicodedata.category(c) != "Mn"
+        return unicodedata.normalize(
+            "NFC",
+            "".join(
+                c
+                for c in unicodedata.normalize("NFD", t)
+                if unicodedata.category(c) != "Mn"
+            ),
         ).lower()
 
     texts = batch.column(col).to_pylist()

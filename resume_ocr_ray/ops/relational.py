@@ -1973,6 +1973,26 @@ def json_props_agg(events_ds):
     )
 
 
+def _tag_user_events(events_ds, parts: int):
+    """Shared user-hash partition tagger for the per-user event cogroups
+    (funnel, retention): ONE definition so the co-partitioning contract
+    cannot drift between ops."""
+
+    def _tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": _floored_mod(b.column("user_id"), parts),
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "event_type": b.column("event_type"),
+            }
+        )
+
+    return events_ds.map_batches(
+        _tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536,
+    )
+
+
 def funnel_users(events_ds, steps=("view", "click", "purchase"),
                  parts: int = 64):
     """Ordered-funnel cohort: users with a strictly time-increasing
@@ -1986,16 +2006,6 @@ def funnel_users(events_ds, steps=("view", "click", "purchase"),
     co-located), then per PARTITION the greedy DP runs as len(steps)
     vectorized pandas passes (conditional groupby-min + merge + filter) —
     never one Python call per user. Emits qualifying user_ids."""
-
-    def _tag(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "part": _floored_mod(b.column("user_id"), parts),
-                "user_id": b.column("user_id"),
-                "ts": b.column("ts"),
-                "event_type": b.column("event_type"),
-            }
-        )
 
     def _funnel(g: pd.DataFrame) -> pd.DataFrame:
         cur = None  # Series: user_id -> completion time of prior step
@@ -2011,10 +2021,11 @@ def funnel_users(events_ds, steps=("view", "click", "purchase"),
             {"user_id": np.sort(cur.index.to_numpy("int64"))}
         )
 
-    tagged = events_ds.map_batches(
-        _tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536,
+    return (
+        _tag_user_events(events_ds, parts)
+        .groupby("part")
+        .map_groups(_funnel, batch_format="pandas")
     )
-    return tagged.groupby("part").map_groups(_funnel, batch_format="pandas")
 
 
 #: microseconds per week — integer week buckets from the epoch avoid the
@@ -2040,16 +2051,6 @@ def retention_cohorts(events_ds, parts: int = 64):
     Aggregate's per-block combine is right)."""
     from ray.data.aggregate import Sum
 
-    def _tag(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "part": _floored_mod(b.column("user_id"), parts),
-                "user_id": b.column("user_id"),
-                "ts": b.column("ts"),
-                "event_type": b.column("event_type"),
-            }
-        )
-
     def _partial(g: pd.DataFrame) -> pd.DataFrame:
         su = g.loc[g["event_type"] == "signup"]
         if su.empty:
@@ -2062,16 +2063,16 @@ def retention_cohorts(events_ds, parts: int = 64):
             )
         t0 = su.groupby("user_id")["ts"].min()
         prev = g["user_id"].map(t0)
-        act = g[prev.notna() & (g["ts"] >= prev)]
+        keep = prev.notna() & (g["ts"] >= prev)
+        act = g[keep]
         ts_us = act["ts"].to_numpy("datetime64[us]").astype("int64")
-        t0_us = (
-            act["user_id"].map(t0).to_numpy("datetime64[us]").astype("int64")
-        )
+        t0_us = prev[keep].to_numpy("datetime64[us]").astype("int64")
+        cw = t0_us // _WEEK_US
         d = pd.DataFrame(
             {
                 "user_id": act["user_id"].to_numpy("int64"),
-                "cohort_wk": t0_us // _WEEK_US,
-                "wk": ts_us // _WEEK_US - t0_us // _WEEK_US,
+                "cohort_wk": cw,
+                "wk": ts_us // _WEEK_US - cw,
             }
         ).drop_duplicates()
         out = d.groupby(["cohort_wk", "wk"], as_index=False).size()
@@ -2079,11 +2080,9 @@ def retention_cohorts(events_ds, parts: int = 64):
             {"n": "int64"}
         )
 
-    tagged = events_ds.map_batches(
-        _tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536,
-    )
     return (
-        tagged.groupby("part")
+        _tag_user_events(events_ds, parts)
+        .groupby("part")
         .map_groups(_partial, batch_format="pandas")
         .groupby(["cohort_wk", "wk"])
         .aggregate(Sum("n", alias_name="n_users"))
