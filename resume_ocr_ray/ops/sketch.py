@@ -200,10 +200,15 @@ def heavy_hitters(docs_ds, ppm: int = 2000, capacity: int = 4096):
 
         # summary words are vocabulary-cardinality keys: cogroup sum, not
         # the per-key engine Aggregate (see common.cogroup_agg)
+        # coalesce=4: the per-batch summaries hold few distinct words at
+        # small scale, and sort ranges beyond the occupied part values
+        # come out empty/schema-less (executor warnings); 4 lanes are
+        # plenty for the tiny candidate merge
         cand = (
             cogroup_agg(
                 summ.select_columns(["word", "residual"]),
                 "word", {"residual": ("residual", "sum")},
+                coalesce=4,
             )
             .map_batches(_cand_filter, batch_format="pyarrow",
                          zero_copy_batch=True)
