@@ -2087,3 +2087,55 @@ def retention_cohorts(events_ds, parts: int = 64):
         .groupby(["cohort_wk", "wk"])
         .aggregate(Sum("n", alias_name="n_users"))
     )
+
+
+def region_rollup(customer_ds, nation_path: str, region_path: str):
+    """Star-schema enrichment rollup: customers → nation → region by
+    BROADCAST dimension lookup (the canonical small-side join at scale:
+    dims are read once driver-side — 25 nations / 5 regions — composed
+    into one nationkey→region-name dict, ray.put once, probed per worker;
+    the fact table streams through a single map_batches, no shuffle except
+    the 5-row final groupby). Balance sums in integer CENTS so the
+    aggregate is accumulation-order-independent and the oracle hash-match
+    is exact."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    from ..common import cached_broadcast
+
+    nat = pq.read_table(nation_path, columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(region_path, columns=["r_regionkey", "r_name"])
+    rname = dict(zip(reg.column("r_regionkey").to_pylist(),
+                     reg.column("r_name").to_pylist()))
+    n2r = {
+        nk: rname[rk]
+        for nk, rk in zip(nat.column("n_nationkey").to_pylist(),
+                          nat.column("n_regionkey").to_pylist())
+    }
+    ref = ray.put(n2r)
+
+    def _enrich(b: pa.Table) -> pa.Table:
+        lookup = cached_broadcast(ref)
+        nk = b.column("c_nationkey").to_pylist()
+        bal = b.column("c_acctbal").to_numpy(zero_copy_only=False)
+        cents = np.where(
+            bal >= 0, np.floor(bal * 100 + 0.5), np.ceil(bal * 100 - 0.5)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "r_name": pa.array([lookup[k] for k in nk],
+                                   type=pa.string()),
+                "bal_cents": pa.array(cents),
+            }
+        )
+
+    return (
+        customer_ds.map_batches(
+            _enrich, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536,
+        )
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_cust"),
+                   Sum("bal_cents", alias_name="bal_cents"))
+    )

@@ -815,6 +815,13 @@ def q_funnel(sf_dir: str):
     )
 
 
+def q_region_rollup(sf_dir: str):
+    return R.region_rollup(
+        _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"]),
+        f"{sf_dir}/nation.parquet", f"{sf_dir}/region.parquet",
+    )
+
+
 def q_retention(sf_dir: str):
     return R.retention_cohorts(
         _read(sf_dir, "events", ["user_id", "ts", "event_type"])
@@ -1014,6 +1021,7 @@ def _all_queries() -> dict:
         "json_props": q_json_props,
         "funnel": q_funnel,
         "retention": q_retention,
+        "region_rollup": q_region_rollup,
         "running_sum": q_running_sum,
         "fuzzy_pairs": q_fuzzy_pairs,
         # approximate by construction (int8 quantization) — rows-only;
@@ -1625,6 +1633,12 @@ def oracle_sql() -> dict:
             "JOIN s2 USING (user_id) WHERE e.event_type='purchase' "
             "AND e.ts > s2.t2 GROUP BY 1) "
             "SELECT user_id FROM s3"
+        ),
+        "region_rollup": (
+            "SELECT r_name, count(*) AS n_cust, "
+            "sum(CAST(round(c_acctbal*100) AS BIGINT)) AS bal_cents "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY 1"
         ),
         "retention": (
             "WITH f AS (SELECT user_id, min(ts) AS t0 FROM events "

@@ -72,7 +72,7 @@ def test_all_queries_run(ray_session, registry):
         "prefix_contained", "tfidf_topk", "left_join",
         "trailing_count", "dedup_keep_best", "percent_rank",
         "ntile", "running_sum", "fuzzy_pairs", "cume_dist", "cube_agg",
-        "substring_dups", "dedup_normalized", "json_props", "funnel", "retention",
+        "substring_dups", "dedup_normalized", "json_props", "funnel", "retention", "region_rollup",
     ],
 )
 def test_query_matches_oracle(ray_session, registry, duck, name):
