@@ -175,6 +175,19 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         rd.read_parquet(shard0), store,
         batch_size=C.OCR_BATCH_SIZE, analyzed=analyzed, query=query,
     ).count()
+    # ...and one tiny sort+groupby+map_groups chain: the shuffle machinery
+    # (sort executors, aggregator workers) otherwise cold-starts inside
+    # the FIRST timed groupby query, charging session bring-up to that
+    # query instead of steady state
+    (
+        rd.range(256)
+        .map_batches(
+            lambda t: t.rename_columns(["part"]), batch_format="pyarrow"
+        )
+        .groupby("part")
+        .count()
+        .materialize()
+    )
 
     s0 = _cpu_stat()
     t0 = time.monotonic()
