@@ -1311,3 +1311,57 @@ def test_funnel_strict_order_and_ties(ray_session, tmp_path):
         ).fetchall()
     )
     assert got == want == [1, 4]
+
+
+def test_fuzzy_pairs_hot_prefix_star_cap(ray_session, tmp_path):
+    """A prefix block past max_block falls back to STAR comparison
+    against the block's min doc_id — bounding the quadratic blowup: the
+    output must be exactly the (anchor, other) pairs, not all pairs."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    n = 40
+    texts = [f"hotpfx00 shared head {i:04d}" for i in range(n)]
+    t = pa.table({"doc_id": pa.array(range(n), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(t, p)
+
+    got = (
+        D.fuzzy_pairs(rd.read_parquet(p, override_num_blocks=4),
+                      max_dist=40, max_block=10)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    # star fallback: every pair anchors at the min doc_id of the block
+    assert (got["a"] == 0).all()
+    assert sorted(got["b"]) == list(range(1, n))
+
+
+def test_topk_exact_equals_sort_limit(ray_session):
+    """topk_exact returns exactly sort().limit(k) rows for a tie-free
+    order, across block layouts."""
+    import ray.data as rd
+
+    from resume_ocr_ray.common import topk_exact
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "v": rng.integers(0, 100, 3000),
+            "id": np.arange(3000, dtype=np.int64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(11)
+    got = (
+        topk_exact(ds, [("v", "descending"), ("id", "ascending")], 25)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["v", "id"], ascending=[False, True])
+        .head(25)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
