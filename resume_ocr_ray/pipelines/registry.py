@@ -815,6 +815,12 @@ def q_funnel(sf_dir: str):
     )
 
 
+def q_resize_images(sf_dir: str):
+    """Byte-budget page resize; payloads dropped so the driver compare
+    stays light (the stats columns prove the transform ran)."""
+    return MM.resize_images(_media_ds(sf_dir)).drop_columns(["payload"])
+
+
 def q_region_rollup(sf_dir: str):
     return R.region_rollup(
         _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"]),
@@ -951,6 +957,7 @@ def _all_queries() -> dict:
         "probe_media": q_probe_media,
         "decode_features": q_decode_features,
         "frame_sample": q_frame_sample,
+        "resize_images": q_resize_images,
         # relational / windows / ranking / sampling
         "top_docs": q_top_docs,
         "short_docs_by_lang": q_short_docs_by_lang,

@@ -1365,3 +1365,43 @@ def test_topk_exact_equals_sort_limit(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_resize_images_bounds_page_bytes(ray_session):
+    """Resize plumbing: page count and order preserved, every output page
+    within the byte budget, output re-decodes as the same media kind, and
+    the transform is deterministic."""
+    import ray.data as rd
+
+    from resume_ocr_ray.core import media as M2
+
+    docs, media = corpus.generate_corpus(30, seed=21)
+    ds = rd.from_arrow(media)
+    out = (
+        MM.resize_images(ds, max_bytes_per_page=64)
+        .to_pandas()
+        .sort_values("media_ref")
+        .reset_index(drop=True)
+    )
+    src = {
+        r: p
+        for r, p in zip(
+            media.column("media_ref").to_pylist(),
+            media.column("payload").to_pylist(),
+        )
+    }
+    assert len(out) > 0
+    for _, row in out.iterrows():
+        before = M2.decode_media(src[row["media_ref"]])
+        after = M2.decode_media(row["payload"])
+        assert after.media_kind == before.media_kind
+        assert len(after.pages) == len(before.pages) == row["n_pages"]
+        assert all(len(p) <= 64 for p in after.pages)
+        assert row["bytes_out"] <= row["bytes_in"]
+    out2 = (
+        MM.resize_images(rd.from_arrow(media), max_bytes_per_page=64)
+        .to_pandas()
+        .sort_values("media_ref")
+        .reset_index(drop=True)
+    )
+    assert (out2["payload"] == out["payload"]).all()
