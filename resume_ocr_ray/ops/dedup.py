@@ -1257,89 +1257,164 @@ def substring_dup_docs(docs_ds_factory, w: int = 64):
     (dup_phrases) see only after tokenization. Deterministic and
     SQL-expressible, so oracle-checked.
 
-    Shape (two streaming passes, the boilerplate_gate pattern):
-      1. per-batch partial: each doc's DISTINCT windows → one
-         (win, min_doc, max_doc) row per window per batch; a COARSE
-         ``crc32(win) % parts`` cogroup + one vectorized pandas
-         min/max-merge per partition flags cross-doc windows (min ≠ max
-         works because a window seen by ≥2 distinct docs must separate
-         its global min and max doc ids). The key space is ~one window
-         per corpus char, so a per-key ``Aggregate`` is the wrong form
-         (measured >2 min vs 6.4 s for the cogroup at sf0.1's 1.1M
-         distinct windows — the engine aggregate pays per-KEY cost,
-         the cogroup one Python call per partition). Only
-         (string, int, int) partials shuffle — never (window, doc) pairs.
-      2. the flagged windows broadcast once via ray.put; a second doc pass
-         emits doc_ids whose window set intersects it.
-    The broadcast set is bounded by CROSS-DOC duplicated content (template
-    volume, not corpus volume); a corpus whose dup-window set outgrows a
-    broadcast would hash-partition windows and semi-join pass 2 instead —
-    the decontaminate successor. At scale, windows would carry a 128-bit
-    hash instead of the raw string (collision-safe shuffle-byte cut); the
-    oracle op keeps exact strings."""
+    Shape — HASH candidates, EXACT verify (three fully-vectorized stages;
+    the first string-keyed version paid ~1 Python dict op per corpus char
+    and shuffled 72-byte window strings):
+      1. per-batch: u64 rolling hashes of every window via ONE UTF-32
+         codepoint array per batch (w shifted multiply-adds, boundary
+         windows masked) and a sort+reduceat per-hash (min_doc, max_doc)
+         combine — 8-byte keys cross the cogroup merge, never strings.
+         min ≠ max flags CROSS-DOC hashes (a window in ≥2 docs must
+         separate its global min and max doc ids).
+      2. the dup-hash set (bounded by cross-doc duplicated content)
+         broadcasts as one sorted int64 array; a second pass extracts the
+         ACTUAL window strings only at hash-hit positions (searchsorted
+         membership — Python slicing only on candidates).
+      3. exact confirm: candidate (win, doc) rows cogroup on the window
+         STRING and keep docs of windows with ≥2 distinct docs — hash
+         collisions die here, so the result is exactly the oracle's. At a
+         corpus where even the dup-hash set outgrows a broadcast,
+         stage 2/3 become a hash-keyed semi join (decontaminate's
+         successor), same shapes."""
     import ray
 
-    from ..common import cached_broadcast
+    from ..common import cached_broadcast, cogroup_agg
 
-    def _win_set(t: str):
-        return {t[i : i + w] for i in range(len(t) - w + 1)} if t else set()
-
-    def _partial(b: pa.Table) -> pa.Table:
-        agg: dict = {}
-        ids = b.column("doc_id").to_pylist()
-        for d, t in zip(ids, b.column("text").to_pylist()):
-            if t is None or len(t) < w:
-                continue  # oracle: length(text) >= w guard, NULL dropped
-            for win in _win_set(t):
-                got = agg.get(win)
-                if got is None:
-                    agg[win] = [d, d]
-                else:
-                    if d < got[0]:
-                        got[0] = d
-                    if d > got[1]:
-                        got[1] = d
-        return pa.table(
-            {
-                "win": pa.array(list(agg), type=pa.string()),
-                "dmin": pa.array([v[0] for v in agg.values()], pa.int64()),
-                "dmax": pa.array([v[1] for v in agg.values()], pa.int64()),
-            }
+    def _keep(b: pa.Table):
+        mask = pc.and_(
+            pc.is_valid(b.column("text")),
+            pc.greater_equal(
+                pc.utf8_length(
+                    pc.fill_null(b.column("text"), "")
+                ),
+                w,
+            ),
+        )
+        t = b.filter(mask)  # oracle: length(text) >= w guard, NULL dropped
+        return (
+            t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            ),
+            t.column("text").to_pylist(),
         )
 
-    from ..common import cogroup_agg
+    _B = np.uint64(1099511628211)
+
+    def _win_hashes(texts):
+        """(hash u64[n], doc_row int64[n], start int64[n]) for every
+        w-CHAR window of every text — one codepoint array per batch."""
+        enc = [t.encode("utf-32-le") for t in texts]
+        lens = np.fromiter(
+            (len(e) >> 2 for e in enc), dtype=np.int64, count=len(enc)
+        )
+        big = np.frombuffer(b"".join(enc), dtype=np.uint32).astype(
+            np.uint64
+        )
+        n = big.size - w + 1
+        if n <= 0:
+            z = np.empty(0, dtype=np.int64)
+            return np.empty(0, dtype=np.uint64), z, z
+        h = np.zeros(n, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(w):
+                h = h * _B + big[j : j + n]
+        starts = np.r_[0, np.cumsum(lens)[:-1]]
+        doc_idx = np.repeat(np.arange(len(enc)), lens)[:n]
+        pos = np.arange(n)
+        valid = pos + w <= (starts + lens)[doc_idx]
+        return h[valid], doc_idx[valid], (pos - starts[doc_idx])[valid]
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ids, texts = _keep(b)
+        h, didx, _ = _win_hashes(texts)
+        if h.size == 0:
+            return pa.table(
+                {"h": pa.array([], type=pa.int64()),
+                 "dmin": pa.array([], type=pa.int64()),
+                 "dmax": pa.array([], type=pa.int64())}
+            )
+        d = ids[didx]
+        order = np.argsort(h, kind="stable")
+        sh, sd = h[order], d[order]
+        bnd = np.r_[0, np.flatnonzero(sh[1:] != sh[:-1]) + 1]
+        return pa.table(
+            {
+                "h": pa.array(sh[bnd].view(np.int64)),
+                "dmin": pa.array(np.minimum.reduceat(sd, bnd)),
+                "dmax": pa.array(np.maximum.reduceat(sd, bnd)),
+            }
+        )
 
     dup_ds = cogroup_agg(
         docs_ds_factory().map_batches(
             _partial, batch_format="pyarrow", zero_copy_batch=True,
             batch_size=65536,
         ),
-        "win", {"dmin": ("dmin", "min"), "dmax": ("dmax", "max")},
+        "h", {"dmin": ("dmin", "min"), "dmax": ("dmax", "max")},
     ).map_batches(
-        lambda t: t.filter(pc.not_equal(t["dmin"], t["dmax"])).select(["win"]),
+        lambda t: t.filter(pc.not_equal(t["dmin"], t["dmax"])).select(["h"]),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    dup_wins: set = set()
-    for bt in dup_ds.iter_batches(batch_format="pyarrow"):
-        dup_wins.update(bt.column("win").to_pylist())
-    ref = ray.put(frozenset(dup_wins))
+    chunks = [
+        bt.column("h").to_numpy(zero_copy_only=False)
+        for bt in dup_ds.iter_batches(batch_format="pyarrow")
+    ]
+    dup_h = np.sort(np.concatenate(chunks)) if chunks else np.empty(
+        0, dtype=np.int64
+    )
+    ref = ray.put(dup_h)
 
-    def _flag(b: pa.Table) -> pa.Table:
-        wins = cached_broadcast(ref)
-        ids = b.column("doc_id").to_pylist()
-        # generator, not _win_set: isdisjoint short-circuits on the first
-        # matching window, so flagged docs never materialize their full set
-        out = [
-            d
-            for d, t in zip(ids, b.column("text").to_pylist())
-            if t is not None and len(t) >= w
-            and not wins.isdisjoint(
-                t[i : i + w] for i in range(len(t) - w + 1)
-            )
-        ]
-        return pa.table({"doc_id": pa.array(out, type=pa.int64())})
+    def _cand(b: pa.Table) -> pa.Table:
+        dup = cached_broadcast(ref)
+        ids, texts = _keep(b)
+        h, didx, st = _win_hashes(texts)
+        empty = pa.table(
+            {"win": pa.array([], type=pa.string()),
+             "doc_id": pa.array([], type=pa.int64())}
+        )
+        if h.size == 0 or dup.size == 0:
+            return empty
+        i = np.searchsorted(dup, h.view(np.int64))
+        hit = (i < dup.size) & (dup[np.minimum(i, dup.size - 1)]
+                                == h.view(np.int64))
+        if not hit.any():
+            return empty
+        rows = pd.DataFrame(
+            {
+                "win": [
+                    texts[di][s0 : s0 + w]
+                    for di, s0 in zip(didx[hit], st[hit])
+                ],
+                "doc_id": ids[didx[hit]],
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(rows, preserve_index=False)
 
-    return docs_ds_factory().map_batches(
-        _flag, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=65536,
+    def _confirm(g: pd.DataFrame) -> pd.DataFrame:
+        dd = g.drop_duplicates(["win", "doc_id"])
+        nun = dd.groupby("win", sort=False)["doc_id"].transform("nunique")
+        out = dd.loc[nun >= 2, "doc_id"].unique()
+        return pd.DataFrame({"doc_id": np.sort(out).astype(np.int64)})
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = _cg_part(df["win"])
+        return df
+
+    confirmed = (
+        docs_ds_factory()
+        .map_batches(_cand, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=65536)
+        .map_batches(_tag, batch_format="pandas")
+        .repartition(8)  # candidate rows only — coalesce (warning rule)
+        .groupby("part")
+        .map_groups(_confirm, batch_format="pandas")
+    )
+    # a doc can qualify via windows hashed to several partitions — one
+    # tiny distinct pass (doc-cardinality keys: cogroup form)
+    return cogroup_agg(
+        confirmed, "doc_id", {"n": ("doc_id", "size")}, coalesce=4,
+    ).map_batches(
+        lambda t: t.select(["doc_id"]),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
