@@ -92,6 +92,12 @@ def make_explode_fn(store: MediaStore):
         registry = store.registry
         n_shards = len(store.shard_paths)
         max_cached = store.max_cached_shards
+        # stable public cache key: the shard-path set identifies the store's
+        # content (same paths ⇒ same dispatch metas), unlike the private
+        # actor-handle id the cache used to key on
+        store_key = _zlib.crc32(
+            "\0".join(store.shard_paths).encode("utf-8")
+        )
 
         def resolve(refs, shards, unit, n_pages, midx):
             for i in midx[shards[midx] < 0]:  # crc-placed layout fallback
@@ -100,7 +106,7 @@ def make_explode_fn(store: MediaStore):
                 )
             for sid in np.unique(shards[midx]):
                 _resolve_meta(
-                    _shard_meta(registry, int(sid), max_cached),
+                    _shard_meta(registry, store_key, int(sid), max_cached),
                     refs, unit, n_pages, midx[shards[midx] == sid],
                 )
 
@@ -231,11 +237,11 @@ def _explode_core(batch: pa.Table, resolve) -> pa.Table:
 
 
 #: per-worker LRU of per-shard dispatch metas for the lazy-meta resolve:
-#: {(registry actor id, shard id): {ref: (unit_kind, n_pages)}}
+#: {(store shard-path crc, shard id): {ref: (unit_kind, n_pages)}}
 _SHARD_META_CACHE: dict = {}
 
 
-def _shard_meta(registry, sid: int, max_cached: int) -> dict:
+def _shard_meta(registry, store_key: int, sid: int, max_cached: int) -> dict:
     import ray
     from collections import OrderedDict
 
@@ -244,7 +250,7 @@ def _shard_meta(registry, sid: int, max_cached: int) -> dict:
     global _SHARD_META_CACHE
     if not isinstance(_SHARD_META_CACHE, OrderedDict):
         _SHARD_META_CACHE = OrderedDict(_SHARD_META_CACHE)
-    key = (registry._actor_id.hex(), sid)
+    key = (store_key, sid)
     meta = _SHARD_META_CACHE.get(key)
     if meta is None:
         # The registry serves only the shard TABLE (zero-copy plasma map,

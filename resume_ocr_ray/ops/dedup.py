@@ -1150,6 +1150,10 @@ def prefix_contained(docs_ds):
     )
 
     def _block(b: pa.Table) -> pa.Table:
+        # NULL text can never be (or have) a prefix; factorize would map it
+        # to code -1, which then indexes flag[-1] (the LAST distinct's flag)
+        # and mis-flags the null rows — drop them first (fuzzy_pairs' guard)
+        b = b.filter(pc.is_valid(b.column("text")))
         if b.num_rows == 0:
             return OUT_SCHEMA.empty_table()
         df = b.to_pandas()  # sorted by text within the block (range sort)

@@ -58,12 +58,22 @@ class MediaProbeStage:
         )
 
 
+def _byte_entropy(arr: "np.ndarray") -> float:
+    counts = np.bincount(arr, minlength=256).astype(np.float64)
+    probs = counts[counts > 0] / max(1, arr.size)
+    return float(np.round(-(probs * np.log2(probs)).sum(), 4))
+
+
 class ImageDecodeStage:
     """Decode pages → per-page features. Stateful (decoder init once).
 
     For synthetic payloads: decodes via the deterministic codec and emits
-    text-length / byte-entropy features. For real image bytes: requires PIL —
-    raises NotImplementedError when unavailable (clearly-marked stub)."""
+    text-length / byte-entropy features. For real image bytes
+    (``real_images=True``): decodes the payload with PIL — one feature row
+    per frame (``ImageSequence`` covers multi-frame GIF/TIFF), entropy over
+    the decoded 8-bit luminance pixels, ``text_len=-1`` (no OCR lib in a
+    PIL-only install). Raises NotImplementedError at CONSTRUCTION when PIL
+    is absent, so a misconfigured pool fails at actor start, not mid-data."""
 
     def __init__(self, real_images: bool = False):
         if real_images and not HAVE_PIL:
@@ -74,34 +84,50 @@ class ImageDecodeStage:
         self.real_images = real_images
         self.engine = M.OcrEngine()
 
+    def _real_frames(self, payload: bytes):
+        """(frame_no, text_len, entropy) rows for one real image payload."""
+        import io
+
+        from PIL import Image, ImageSequence
+
+        with Image.open(io.BytesIO(payload)) as im:
+            for i, frame in enumerate(ImageSequence.Iterator(im)):
+                lum = np.asarray(frame.convert("L"), dtype=np.uint8)
+                yield i, -1, _byte_entropy(lum.ravel())
+
+    def _synthetic_frames(self, payload: bytes):
+        doc = M.decode_media(payload)
+        for i, page in enumerate(doc.pages):
+            try:
+                if doc.media_kind == "html":
+                    # html pages are raw utf-8 markup, not codec images
+                    text = page.decode("utf-8")
+                else:
+                    text = self.engine.image_to_string(page)
+                tl = len(text)
+            except (M.OcrDecodeError, UnicodeDecodeError):
+                tl = -1
+            arr = np.frombuffer(page, dtype=np.uint8)
+            yield i, tl, _byte_entropy(arr)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        frames = self._real_frames if self.real_images else self._synthetic_frames
         refs, pages_out, feat_len, feat_entropy = [], [], [], []
         for ref, payload in zip(
             batch.column("media_ref").to_pylist(), batch.column("payload").to_pylist()
         ):
             try:
-                doc = M.decode_media(payload)
+                rows = list(frames(payload))
             except Exception:
                 continue
-            for i, page in enumerate(doc.pages):
+            for i, tl, ent in rows:
                 refs.append(ref)
                 pages_out.append(i)
-                try:
-                    if doc.media_kind == "html":
-                        # html pages are raw utf-8 markup, not codec images
-                        text = page.decode("utf-8")
-                    else:
-                        text = self.engine.image_to_string(page)
-                    feat_len.append(len(text))
-                except (M.OcrDecodeError, UnicodeDecodeError):
-                    feat_len.append(-1)
-                arr = np.frombuffer(page, dtype=np.uint8)
-                counts = np.bincount(arr, minlength=256).astype(np.float64)
-                probs = counts[counts > 0] / max(1, arr.size)
-                feat_entropy.append(float(np.round(-(probs * np.log2(probs)).sum(), 4)))
+                feat_len.append(tl)
+                feat_entropy.append(ent)
         return pa.table(
             {
-                "media_ref": pa.array(refs),
+                "media_ref": pa.array(refs, type=pa.string()),
                 "page_no": pa.array(pages_out, type=pa.int32()),
                 "text_len": pa.array(feat_len, type=pa.int64()),
                 "byte_entropy": pa.array(feat_entropy, type=pa.float64()),
@@ -151,16 +177,28 @@ def frame_sample(media_ds, every_k: int = 2, concurrency: int = 2):
 class ImageResizeStage:
     """Batched image resize — the bandwidth-reduction stage every
     multimodal training pipeline runs before feature extraction. Stateful
-    actor form (transform params resolved once per actor). Real image
-    bytes require PIL (``Image.resize`` per page) — honestly gated like
-    ImageDecodeStage; the synthetic-codec path applies a deterministic
-    byte-budget downsample per page (every ceil(len/budget)-th byte),
-    which preserves the plumbing contract a real resize has: per-page
-    payloads shrink to ≤ budget, page COUNT and order are preserved, and
-    the output re-encodes as a valid payload of the same media kind."""
+    actor form (transform params resolved once per actor).
+
+    Synthetic-codec path: a deterministic byte-budget downsample per page
+    (every ceil(len/budget)-th byte), preserving the plumbing contract a
+    real resize has — per-page payloads shrink to ≤ budget, page COUNT and
+    order are preserved, and the output re-encodes as a valid payload of
+    the same media kind.
+
+    Real-image path (``real_images=True``, requires PIL): the payload is
+    one image file; ``Image.thumbnail(box, LANCZOS)`` shrinks it to fit
+    ``target_box`` preserving aspect ratio (never upscales), then
+    re-encodes in the ORIGINAL format (alpha/palette flattened to RGB
+    first when the format is JPEG, which has no alpha channel).
+
+    Rows whose payload fails to decode are NOT silently dropped: they come
+    out with ``error`` set, a null payload and ``bytes_out=0``, matching
+    the OCR path's explicit error-row convention, so bytes_in/bytes_out
+    totals stay auditable. Successful rows carry ``error=None``."""
 
     def __init__(self, max_bytes_per_page: int = 256,
-                 real_images: bool = False):
+                 real_images: bool = False,
+                 target_box: tuple = (512, 512)):
         if real_images and not HAVE_PIL:
             raise NotImplementedError(
                 "real image resize requires PIL, which is not installed in "
@@ -168,6 +206,7 @@ class ImageResizeStage:
             )
         self.real_images = real_images
         self.budget = max(1, int(max_bytes_per_page))
+        self.box = (int(target_box[0]), int(target_box[1]))
 
     def _shrink(self, page: bytes) -> bytes:
         if len(page) <= self.budget:
@@ -175,24 +214,56 @@ class ImageResizeStage:
         step = -(-len(page) // self.budget)  # ceil: output ≤ budget bytes
         return page[::step]
 
+    def _resize_synthetic(self, payload: bytes) -> tuple:
+        doc = M.decode_media(payload)
+        small = [self._shrink(p) for p in doc.pages]
+        return (
+            M.encode_media(doc.media_kind, small, doc.direct_text),
+            len(small),
+            sum(len(p) for p in doc.pages),
+            sum(len(p) for p in small),
+        )
+
+    def _resize_real(self, payload: bytes) -> tuple:
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as im:
+            fmt = (im.format or "PNG").upper()
+            im.load()
+            # thumbnail = in-place aspect-preserving fit into the box;
+            # never upscales a smaller-than-box image
+            im.thumbnail(self.box, Image.LANCZOS)
+            if fmt in ("JPEG", "JPG") and im.mode not in ("RGB", "L"):
+                im = im.convert("RGB")  # JPEG has no alpha/palette
+            buf = io.BytesIO()
+            im.save(buf, format=fmt)
+            out = buf.getvalue()
+            return out, 1, len(payload), len(out)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        refs, payloads, n_pages, in_b, out_b = [], [], [], [], []
+        resize = self._resize_real if self.real_images else self._resize_synthetic
+        refs, payloads, n_pages, in_b, out_b, errors = [], [], [], [], [], []
         for ref, payload in zip(
             batch.column("media_ref").to_pylist(),
             batch.column("payload").to_pylist(),
         ):
-            try:
-                doc = M.decode_media(payload)
-            except Exception:
-                continue
-            small = [self._shrink(p) for p in doc.pages]
             refs.append(ref)
-            payloads.append(
-                M.encode_media(doc.media_kind, small, doc.direct_text)
-            )
-            n_pages.append(len(small))
-            in_b.append(sum(len(p) for p in doc.pages))
-            out_b.append(sum(len(p) for p in small))
+            try:
+                out, np_, bi, bo = resize(payload)
+            except Exception as e:
+                payloads.append(None)
+                n_pages.append(0)
+                in_b.append(len(payload) if payload is not None else 0)
+                out_b.append(0)
+                errors.append(f"{type(e).__name__}: {e}"[:200])
+                continue
+            payloads.append(out)
+            n_pages.append(np_)
+            in_b.append(bi)
+            out_b.append(bo)
+            errors.append(None)
         return pa.table(
             {
                 "media_ref": pa.array(refs, type=pa.string()),
@@ -200,6 +271,7 @@ class ImageResizeStage:
                 "n_pages": pa.array(n_pages, type=pa.int32()),
                 "bytes_in": pa.array(in_b, type=pa.int64()),
                 "bytes_out": pa.array(out_b, type=pa.int64()),
+                "error": pa.array(errors, type=pa.string()),
             }
         )
 

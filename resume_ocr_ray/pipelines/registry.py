@@ -1091,8 +1091,12 @@ def oracle_sql() -> dict:
             "FROM documents"
         ),
         "dedup_exact": (
-            "SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id "
-            "FROM documents GROUP BY md5(text)"
+            # coalesce matches the op's md5_hex None->'' contract: on a
+            # corpus with NULL text, md5(NULL) would group under NULL while
+            # the Ray side emits md5('')
+            "SELECT md5(coalesce(text, '')) AS text_md5, "
+            "min(doc_id) AS keep_doc_id "
+            "FROM documents GROUP BY md5(coalesce(text, ''))"
         ),
         "dedup_prefix": (
             "SELECT substr(text, 1, 24) AS prefix_key, min(doc_id) AS keep_doc_id, "
@@ -1103,9 +1107,11 @@ def oracle_sql() -> dict:
         "dedup_components": (
             "WITH RECURSIVE "
             "keys AS ("
-            "SELECT doc_id, 'm:' || md5(text) AS k FROM documents "
+            "SELECT doc_id, 'm:' || md5(coalesce(text, '')) AS k "
+            "FROM documents "
             "UNION ALL "
-            "SELECT doc_id, 'p:' || substr(text, 1, 24) FROM documents), "
+            "SELECT doc_id, 'p:' || coalesce(substr(text, 1, 24), '') "
+            "FROM documents), "
             "edges AS ("
             "SELECT DISTINCT a.doc_id AS u, b.doc_id AS v "
             "FROM keys a JOIN keys b ON a.k = b.k AND a.doc_id <> b.doc_id), "
@@ -1609,9 +1615,10 @@ def oracle_sql() -> dict:
             ") AS n_window FROM events"
         ),
         "dedup_keep_best": (
+            # coalesce: see dedup_exact — md5_hex maps None -> md5('')
             "SELECT text_md5, doc_id, n_chars FROM ("
-            "SELECT md5(text) AS text_md5, doc_id, n_chars, "
-            "row_number() OVER (PARTITION BY md5(text) "
+            "SELECT md5(coalesce(text, '')) AS text_md5, doc_id, n_chars, "
+            "row_number() OVER (PARTITION BY md5(coalesce(text, '')) "
             "ORDER BY n_chars DESC, doc_id) AS rn FROM documents) "
             "WHERE rn = 1"
         ),
