@@ -102,6 +102,27 @@ def reap_stale_staging(prefix: str) -> None:
             pass  # alive under another uid — leave it
 
 
+def strip_schema_metadata(t):
+    """Zero-copy drop of a table's schema-level metadata. pyarrow's
+    ``Schema.__hash__`` raises ``unhashable type: 'dict'`` on ANY schema
+    carrying metadata (the ``b'pandas'`` blob ``Table.from_pandas`` and
+    pandas-written parquet attach), which makes Ray's schema dedup at every
+    shuffle reduce log a warning per block set. Strip it at the boundaries
+    we control (reads, pandas→arrow conversions)."""
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def from_pandas_clean(df, preserve_index: bool = False, **kwargs):
+    """``pa.Table.from_pandas`` without the ``b'pandas'`` schema metadata
+    (see strip_schema_metadata — the blob makes schemas unhashable and
+    spams shuffle-reduce warnings). Defaults ``preserve_index=False``."""
+    import pyarrow as pa
+
+    return pa.Table.from_pandas(
+        df, preserve_index=preserve_index, **kwargs
+    ).replace_schema_metadata(None)
+
+
 def topk_exact(ds, sort_keys, k: int):
     """Exact distributed top-k: per-block partial top-k, then one
     ≤ k×n_blocks-row merge block — the SAME rows as ``sort(...).limit(k)``
@@ -147,6 +168,11 @@ def cogroup_agg(ds, key, aggs: dict, parts: int = 64, coalesce: int = 8):
     keys = [key] if isinstance(key, str) else list(key)
 
     def _tag(b: pa.Table) -> pa.Table:
+        # strip metadata before the shuffle: when the upstream stage emits
+        # pandas blocks, Ray's arrow conversion attaches the b'pandas'
+        # schema blob, which is unhashable and makes every reduce task log
+        # a schema-dedup warning (see strip_schema_metadata)
+        b = strip_schema_metadata(b)
         kdf = b.select(keys).to_pandas()
         part = (
             pd.util.hash_pandas_object(
@@ -156,14 +182,16 @@ def cogroup_agg(ds, key, aggs: dict, parts: int = 64, coalesce: int = 8):
         ).astype("int32")
         return b.append_column("part", pa.array(part.to_numpy()))
 
-    def _agg(g: pd.DataFrame) -> pd.DataFrame:
+    def _agg(g: pd.DataFrame) -> pa.Table:
         # dropna=False: the engine Aggregate this replaces keeps null keys
         # as a group (so does SQL GROUP BY); pandas' default would silently
         # drop them for any future nullable-key caller
         m = g.groupby(keys, sort=False, dropna=False).agg(
             **{o: (c, f) for o, (c, f) in aggs.items()}
         )
-        return m.reset_index()
+        # arrow out, metadata-free: pandas output blocks would be converted
+        # downstream with the unhashable b'pandas' schema blob
+        return from_pandas_clean(m.reset_index())
 
     return (
         ds.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True,

@@ -31,6 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..common import per_worker_stage
+from ..common import from_pandas_clean as _fpc
 
 
 # ---------------------------------------------------------------------------
@@ -475,8 +476,19 @@ def jaccard(text_a: str, text_b: str, shingle: int = 5) -> float:
 CC_PARTS = 64
 
 
-def connected_components_labels(docs_ds, max_iters: int = 10):
-    """Dedup-cluster labels via distributed min-label propagation.
+def connected_components_labels(docs_ds, max_iters: int = 10,
+                                to_state_fn=None, stats: dict | None = None):
+    """Dedup-cluster labels via distributed min-label propagation with
+    POINTER JUMPING (label doubling): each iteration does one key-hop min
+    propagation, then follows ``label <- label[label]``, so convergence is
+    O(log component-diameter) instead of one hop per pass (a 50-link key
+    chain converges in ~5 iterations, not 50).
+
+    ``to_state_fn``: optional replacement for the md5+prefix key builder —
+    a map_batches fn producing (key, doc_id, label) rows; the built-in keys
+    form equivalence cliques (diameter 1), so chain-shaped graphs only
+    arise with custom keys. ``stats``: when given, ``stats["iters"]``
+    records the iteration count (convergence evidence for tests).
 
     Graph: docs are connected when they share ANY dedup key (exact md5 OR
     24-char prefix — both SQL-expressible, so the DuckDB oracle can recompute
@@ -519,19 +531,21 @@ def connected_components_labels(docs_ds, max_iters: int = 10):
             }
         )
 
-    def tag_state(df: pd.DataFrame) -> pd.DataFrame:
+    def tag_state(df: pd.DataFrame) -> pa.Table:
+        # arrow out on every stage feeding a shuffle: pandas blocks would be
+        # converted by Ray with the unhashable b'pandas' schema metadata
         df = df[["key", "doc_id", "label"]].copy()
         df["is_min"] = np.int8(0)
         df["part"] = _cg_part(df["key"], CC_PARTS)
-        return df
+        return _fpc(df)
 
-    def tag_kmin(df: pd.DataFrame) -> pd.DataFrame:
+    def tag_kmin(df: pd.DataFrame) -> pa.Table:
         # doc_id is never read off min rows — label (itself a doc id) fills
         # it so the union schema and dtypes match the state side exactly
         df = df.rename(columns={"kmin": "label"})
         df = df.assign(doc_id=df["label"], is_min=np.int8(1))
         df["part"] = _cg_part(df["key"], CC_PARTS)
-        return df[["key", "doc_id", "label", "is_min", "part"]]
+        return _fpc(df[["key", "doc_id", "label", "is_min", "part"]])
 
     def merge_kmin(g: pd.DataFrame) -> pd.DataFrame:
         mins = g.loc[g["is_min"] == 1, ["key", "label"]].rename(
@@ -551,8 +565,51 @@ def connected_components_labels(docs_ds, max_iters: int = 10):
         g["label"] = g.groupby("doc_id")["label"].transform("min")
         return g
 
+    # --- pointer-jumping (label doubling): label <- label[label] ----------
+    # Min propagation alone moves ONE key-hop per iteration, so a chain of
+    # linked dup keys needs diameter-many passes. Following the label's own
+    # label each round halves the remaining distance (O(log diameter)
+    # convergence — Shiloach-Vishkin style), at the cost of one extra keyed
+    # cogroup per iteration. label(d) <= d always holds (labels start at
+    # doc_id and only decrease), so jumped labels stay within the component
+    # and monotone — the Sum fixpoint detector is unaffected.
+
+    def tag_jump(df: pd.DataFrame) -> pa.Table:
+        # ONE pass emits both sides of the jump cogroup: state rows keyed
+        # by their LABEL, plus doc->label map rows keyed by the doc's own
+        # id. Per-batch map duplicates (a doc's md5+prefix rows, or a doc
+        # split across batches) are harmless: every copy carries the SAME
+        # post-doc-min label, and the merge partition dedups on jkey.
+        s = df[["key", "doc_id", "label"]].copy()
+        s["jkey"] = s["label"]
+        s["is_map"] = np.int8(0)
+        m = df[["doc_id", "label"]].drop_duplicates("doc_id").copy()
+        m = m.rename(columns={"doc_id": "jkey"})
+        m["key"] = ""
+        m["doc_id"] = m["jkey"]
+        m["is_map"] = np.int8(1)
+        both = pd.concat(
+            [s, m[["key", "doc_id", "label", "jkey", "is_map"]]],
+            ignore_index=True,
+        )
+        both["jpart"] = _cg_part(both["jkey"], CC_PARTS)
+        return _fpc(both)
+
+    def merge_jump(g: pd.DataFrame) -> pa.Table:
+        m = g.loc[g["is_map"] == 1, ["jkey", "label"]].drop_duplicates(
+            "jkey"
+        ).rename(columns={"label": "jlabel"})
+        rows = g.loc[g["is_map"] == 0, ["key", "doc_id", "label", "jkey"]]
+        if rows.empty:
+            return _fpc(rows[["key", "doc_id", "label"]])
+        out = rows.merge(m, on="jkey", how="left")
+        # every label IS a doc_id, so its map row co-hashes here; the
+        # fillna is belt-and-braces for an empty map partition
+        out["label"] = out["jlabel"].fillna(out["label"]).astype(np.int64)
+        return _fpc(out[["key", "doc_id", "label"]])
+
     state = docs_ds.map_batches(
-        to_state, batch_format="pyarrow", zero_copy_batch=True
+        to_state_fn or to_state, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
     prev = None
     from ..common import cogroup_agg
@@ -571,7 +628,9 @@ def connected_components_labels(docs_ds, max_iters: int = 10):
         )
 
     converged = False
+    n_iters = 0
     for _ in range(max_iters):
+        n_iters += 1
         key_min = cogroup_agg(
             state.map_batches(_kmin_partial, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=65536),
@@ -589,29 +648,39 @@ def connected_components_labels(docs_ds, max_iters: int = 10):
         after_key = tagged.groupby("part").map_groups(
             merge_kmin, batch_format="pandas"
         )
-        state = (
+        after_doc = (
             after_key.map_batches(
-                lambda df: df.assign(dpart=_cg_part(df["doc_id"], CC_PARTS)),
+                lambda df: _fpc(
+                    df.assign(dpart=_cg_part(df["doc_id"], CC_PARTS))
+                ),
                 batch_format="pandas",
             )
             .repartition(16)
             .groupby("dpart")
             .map_groups(doc_min_part, batch_format="pandas")
+        )
+        state = (
+            after_doc.map_batches(tag_jump, batch_format="pandas")
+            .repartition(16)
+            .groupby("jpart")
+            .map_groups(merge_jump, batch_format="pandas")
         ).materialize()
         sig = state.aggregate(Sum("label", alias_name="s"))["s"]
         if sig == prev:
             converged = True
             break
         prev = sig
+    if stats is not None:
+        stats["iters"] = n_iters
     if not converged:
-        # min-label propagation moves one key-hop per iteration; a component
-        # whose key-chain diameter exceeds max_iters would otherwise return
-        # silently WRONG intermediate labels (diverging from the exact
-        # recursive-CTE oracle) — fail loudly instead
+        # with pointer jumping, reach grows ~2^iters, so non-convergence in
+        # max_iters means a component diameter past ~2^max_iters — still
+        # fail loudly rather than return silently WRONG intermediate labels
+        # (diverging from the exact recursive-CTE oracle)
         raise RuntimeError(
             f"connected_components_labels did not converge in {max_iters} "
             "iterations; raise max_iters (component key-chain diameter "
-            "exceeds it)"
+            f"exceeds ~2^{max_iters})"
         )
     # doc_id keys are corpus-cardinality: coarse cogroup, not per-key agg
     return cogroup_agg(state, "doc_id", {"component": ("label", "min")})
@@ -1392,7 +1461,7 @@ def substring_dup_docs(docs_ds_factory, w: int = 64):
                 "doc_id": ids[didx[hit]],
             }
         ).drop_duplicates()
-        return pa.Table.from_pandas(rows, preserve_index=False)
+        return _fpc(rows, preserve_index=False)
 
     def _confirm(g: pd.DataFrame) -> pd.DataFrame:
         dd = g.drop_duplicates(["win", "doc_id"])
@@ -1400,10 +1469,12 @@ def substring_dup_docs(docs_ds_factory, w: int = 64):
         out = dd.loc[nun >= 2, "doc_id"].unique()
         return pd.DataFrame({"doc_id": np.sort(out).astype(np.int64)})
 
-    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+    def _tag(df: pd.DataFrame) -> pa.Table:
+        # arrow out: pandas blocks entering the repartition shuffle would be
+        # converted by Ray with the unhashable b'pandas' schema metadata
         df = df.copy()
         df["part"] = _cg_part(df["win"])
-        return df
+        return _fpc(df)
 
     confirmed = (
         docs_ds_factory()

@@ -16,6 +16,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from ..common import from_pandas_clean as _fpc
 import pyarrow.compute as pc
 
 
@@ -38,7 +40,7 @@ def _partial_lineitem(batch: pa.Table) -> pa.Table:
             count_order=("l_quantity", "size"),
         )
     )
-    return pa.Table.from_pandas(g, preserve_index=False)
+    return _fpc(g, preserve_index=False)
 
 
 def lineitem_agg(lineitem_ds):
@@ -78,7 +80,7 @@ def _segment_join_batch(batch: pa.Table, cust: pd.DataFrame) -> pa.Table:
     g = j.groupby("c_mktsegment", as_index=False).agg(
         total_price=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
     )
-    return pa.Table.from_pandas(g, preserve_index=False)
+    return _fpc(g, preserve_index=False)
 
 
 def orders_by_segment(orders_ds, customer_df: pd.DataFrame):
@@ -120,7 +122,7 @@ def _window_partial(batch: pa.Table) -> pa.Table:
     g = df.groupby(["event_type", "window_start"], as_index=False).agg(
         n_events=("value", "size"), sum_value=("value", "sum")
     )
-    return pa.Table.from_pandas(g, preserve_index=False)
+    return _fpc(g, preserve_index=False)
 
 
 def events_hourly(events_ds):
@@ -187,7 +189,7 @@ def events_sliding(events_ds, window_min: int = 60, slide_min: int = 30):
         g = ex.groupby(["event_type", "window_start"], as_index=False).agg(
             n_events=("value", "size"), sum_value=("value", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _fpc(g, preserve_index=False)
 
     partials = events_ds.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True,
@@ -263,7 +265,7 @@ def grouped_topk(part_ds, k: int = 3):
             .groupby("p_brand", sort=False)
             .head(k)
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _fpc(out, preserve_index=False)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(
@@ -301,7 +303,7 @@ def stratified_sample(docs_ds, per_group: int = 2):
     def partial_head(batch: pa.Table) -> pa.Table:
         df = batch.select(["doc_id", "source"]).to_pandas()
         out = df.sort_values("doc_id").groupby("source", sort=False).head(per_group)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _fpc(out, preserve_index=False)
 
     def merge_head(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values("doc_id").head(per_group)[["doc_id", "source"]]
@@ -331,10 +333,14 @@ def point_lookup(docs_ds_factory, sf_dir: str, doc_id: int):
     import pyarrow.compute as _pc
     import ray.data as rd
 
+    from ..common import strip_schema_metadata
+
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "lang", "source", "n_chars"],
         filter=_pc.field("doc_id") == doc_id,
+    ).map_batches(  # fused: drop the file's unhashable b'pandas' metadata
+        strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
@@ -620,7 +626,7 @@ def grouped_quantiles(ds, group_col: str, val_col: str, ps: list,
         df = b.select([group_col, val_col]).to_pandas()
         g = df.groupby([group_col, val_col], as_index=False).size()
         g = g.rename(columns={"size": "cnt"})
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _fpc(g, preserve_index=False)
 
     def _finish(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(val_col)
@@ -858,7 +864,7 @@ def shuffle_join_revenue(orders_ds, lineitem_ds, parts: int = 64):
         g = df.groupby("o_orderkey", as_index=False).agg(rev=("rev", "sum"))
         g["part"] = (g["o_orderkey"] % parts).astype("int32")
         g["o_orderpriority"] = ""
-        return pa.Table.from_pandas(
+        return _fpc(
             g[["part", "o_orderkey", "o_orderpriority", "rev"]],
             preserve_index=False,
         )
@@ -1153,7 +1159,7 @@ def grouped_count_distinct(ds, group_col: str, value_col: str):
                 value_col: b.column(value_col).to_numpy(zero_copy_only=False),
             }
         ).drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _fpc(df, preserve_index=False)
 
     def _partial_count(b: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -1162,7 +1168,7 @@ def grouped_count_distinct(ds, group_col: str, value_col: str):
         g = df.groupby(group_col, as_index=False).size()
         g = g.rename(columns={"size": "n_distinct"})
         g["n_distinct"] = g["n_distinct"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _fpc(g, preserve_index=False)
 
     def _cast(df: pd.DataFrame) -> pd.DataFrame:
         df["n_distinct"] = df["n_distinct"].astype("int64")
@@ -1218,7 +1224,7 @@ def pivot_events(events_ds, types=EVENT_TYPES):
         ct = pd.crosstab(df["user_id"], df["event_type"])
         ct = ct.reindex(columns=list(types), fill_value=0).astype("int64")
         ct.columns = cols
-        return pa.Table.from_pandas(ct.reset_index(), preserve_index=False)
+        return _fpc(ct.reset_index(), preserve_index=False)
 
     def _cast(df: pd.DataFrame) -> pd.DataFrame:
         for c in cols:
@@ -1279,7 +1285,7 @@ def user_set_op(events_ds, type_a: str, type_b: str, op: str = "intersect"):
         df["in_a"] = (df["event_type"] == type_a).astype("int64")
         df["in_b"] = (df["event_type"] == type_b).astype("int64")
         g = df.groupby("user_id", as_index=False)[["in_a", "in_b"]].max()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _fpc(g, preserve_index=False)
 
     merged = (
         events_ds.filter(
@@ -1365,13 +1371,13 @@ def grouped_mode(ds, group_col: str, value_col: str):
         g = df.groupby([group_col, value_col], as_index=False).size()
         g = g.rename(columns={"size": "n"})
         g["n"] = g["n"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _fpc(g, preserve_index=False)
 
     def _best_per_group(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
         df = df.sort_values([group_col, "n", value_col],
                             ascending=[True, False, True])
-        return pa.Table.from_pandas(
+        return _fpc(
             df.groupby(group_col, as_index=False).head(1),
             preserve_index=False,
         )
@@ -1417,7 +1423,7 @@ def domain_cap(docs_ds, k: int = 15):
             .groupby("source", sort=False)
             .head(k)
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _fpc(out, preserve_index=False)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(
@@ -1566,7 +1572,7 @@ def left_outer_join_customer_orders(customer_ds, orders_ds, parts: int = 64):
         g["part"] = (g["c_custkey"] % parts).astype("int32")
         g["c_mktsegment"] = ""
         g["is_cust"] = False
-        return pa.Table.from_pandas(
+        return _fpc(
             g[["part", "c_custkey", "c_mktsegment", "is_cust", "n_orders",
                "total_price"]],
             preserve_index=False,
@@ -1714,7 +1720,7 @@ def dedup_keep_best(docs_ds):
             }
         )
         best = df.groupby("text_md5", as_index=False)["packed"].max()
-        return pa.Table.from_pandas(best, preserve_index=False)
+        return _fpc(best, preserve_index=False)
 
     def _decode(b: pa.Table) -> pa.Table:
         packed = b.column("packed").to_numpy(zero_copy_only=False)

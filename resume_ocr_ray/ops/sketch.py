@@ -16,6 +16,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..common import from_pandas_clean as _fpc
+
 #: register-count exponent: m = 2^P registers = 4096 → ~1.6% typical error,
 #: linear-counting correction below ~2.5m distincts
 HLL_P = 12
@@ -391,7 +393,7 @@ def bloom_semi_join_revenue(lineitem_ds, orders_ds,
         g["part"] = (g["key"] % parts).astype("int32")
         g["is_key"] = np.int8(0)
         g["n"] = g["n"].astype("int64")
-        return pa.Table.from_pandas(
+        return _fpc(
             g[["part", "key", "flag", "rev", "n", "is_key"]],
             preserve_index=False,
         )

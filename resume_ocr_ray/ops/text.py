@@ -19,6 +19,8 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from ..common import from_pandas_clean as _fpc
 import pyarrow.compute as pc
 
 
@@ -238,7 +240,7 @@ def stopword_filter(docs_ds_factory, k: int = 20):
 
         df = b.to_pandas()
         df = df.sort_values(["n", "term"], ascending=[False, True]).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _fpc(df, preserve_index=False)
 
     # partial top-k per aggregated block → ≤ k rows per block reach the
     # driver (vocabulary never materializes anywhere whole), tiny final merge

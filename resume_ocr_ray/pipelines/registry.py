@@ -33,7 +33,15 @@ DEFAULT_QUERY = "python spark backend docker dados"
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from ..common import strip_schema_metadata
+
+    # strip the parquet files' b'pandas' schema metadata (fuses with the
+    # read — zero-copy): metadata-carrying schemas are unhashable in this
+    # pyarrow and make every downstream shuffle reduce log a schema-dedup
+    # warning per block set
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns).map_batches(
+        strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -131,6 +131,44 @@ def test_connected_components_transitive_chain(ray_session):
     assert comp[9] == 9
 
 
+def test_connected_components_pointer_jumping_long_chain(ray_session):
+    """A 50-link key chain (doc i shares key i with doc i-1 and key i+1
+    with doc i+1 — diameter 50) converges in O(log d) iterations thanks to
+    label doubling; one-hop-per-pass propagation would need ~50 passes and
+    trip the max_iters=8 loud-failure guard."""
+    import ray.data as rd
+
+    n = 51  # docs 0..50, chain diameter 50
+
+    def chain_state(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keys, doc_ids = [], []
+        for d in ids:
+            keys.append(f"c:{d}")
+            doc_ids.append(int(d))
+            keys.append(f"c:{d + 1}")
+            doc_ids.append(int(d))
+        return pa.table(
+            {
+                "key": pa.array(keys, type=pa.string()),
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "label": pa.array(doc_ids, type=pa.int64()),
+            }
+        )
+
+    stats: dict = {}
+    out = D.connected_components_labels(
+        rd.range(n).map_batches(
+            lambda t: t.rename_columns(["doc_id"]), batch_format="pyarrow"
+        ),
+        max_iters=8,
+        to_state_fn=chain_state,
+        stats=stats,
+    ).to_pandas()
+    assert (out["component"] == 0).all()
+    assert stats["iters"] <= 6  # log-diameter, not one hop per pass
+
+
 def test_brute_force_vs_ivf_overlap(ray_session):
     import ray.data as rd
 
