@@ -1322,7 +1322,8 @@ def prefix_contained(docs_ds):
     )
 
 
-def substring_dup_docs(docs_ds_factory, w: int = 64):
+def substring_dup_docs(docs_ds_factory, w: int = 64,
+                       broadcast_max: int = 4_000_000):
     """Docs sharing any EXACT ``w``-char substring window with another doc
     — the exact-substring dedup primitive (Lee et al., "Deduplicating
     Training Data Makes Language Models Better"): boilerplate headers,
@@ -1339,16 +1340,27 @@ def substring_dup_docs(docs_ds_factory, w: int = 64):
          combine — 8-byte keys cross the cogroup merge, never strings.
          min ≠ max flags CROSS-DOC hashes (a window in ≥2 docs must
          separate its global min and max doc ids).
-      2. the dup-hash set (bounded by cross-doc duplicated content)
-         broadcasts as one sorted int64 array; a second pass extracts the
-         ACTUAL window strings only at hash-hit positions (searchsorted
-         membership — Python slicing only on candidates).
+      2. candidate extraction, TWO physical forms behind an explicit count
+         threshold (``broadcast_max`` dup hashes, default 4M = one 32 MB
+         int64 array):
+         - fast path (dup set ≤ threshold): the dup-hash set broadcasts as
+           one sorted int64 array; a second pass extracts the ACTUAL window
+           strings only at hash-hit positions (searchsorted membership —
+           Python slicing only on candidates). Zero extra shuffle.
+         - scale path (dup set > threshold — boilerplate-heavy crawls where
+           cross-doc duplicated content explodes): NOTHING is collected on
+           the driver. Window rows (h, doc_id, start) — 8-byte ints, one
+           per window, deduped per (h, doc, window-content) within batch —
+           semi-join the dup-hash DATASET on ``h % parts`` cogroups (the
+           decontaminate-successor shape); surviving (doc_id, start) hits
+           then cogroup with the docs text on ``doc_id % parts`` to slice
+           the actual window strings. Two extra linear all-to-alls (window
+           keys, then one pass of the corpus text) buy bounded memory
+           everywhere.
       3. exact confirm: candidate (win, doc) rows cogroup on the window
          STRING and keep docs of windows with ≥2 distinct docs — hash
-         collisions die here, so the result is exactly the oracle's. At a
-         corpus where even the dup-hash set outgrows a broadcast,
-         stage 2/3 become a hash-keyed semi join (decontaminate's
-         successor), same shapes."""
+         collisions die here (either path), so the result is exactly the
+         oracle's."""
     import ray
 
     from ..common import cached_broadcast, cogroup_agg
@@ -1428,40 +1440,198 @@ def substring_dup_docs(docs_ds_factory, w: int = 64):
         lambda t: t.filter(pc.not_equal(t["dmin"], t["dmax"])).select(["h"]),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    chunks = [
-        bt.column("h").to_numpy(zero_copy_only=False)
-        for bt in dup_ds.iter_batches(batch_format="pyarrow")
-    ]
-    dup_h = np.sort(np.concatenate(chunks)) if chunks else np.empty(
-        0, dtype=np.int64
-    )
-    ref = ray.put(dup_h)
+    # The dup-hash dataset is consumed either way (count + one read), and
+    # it is bounded by cross-doc duplicated content — materializing it in
+    # the OBJECT STORE is strictly smaller than the old unconditional
+    # driver collect.
+    dup_ds = dup_ds.materialize()
+    n_dup = dup_ds.count()
 
-    def _cand(b: pa.Table) -> pa.Table:
-        dup = cached_broadcast(ref)
-        ids, texts = _keep(b)
-        h, didx, st = _win_hashes(texts)
-        empty = pa.table(
-            {"win": pa.array([], type=pa.string()),
-             "doc_id": pa.array([], type=pa.int64())}
+    def _cand_broadcast():
+        """Fast path: dup-hash set fits one broadcast array — extract hit
+        windows with zero additional shuffle."""
+        chunks = [
+            bt.column("h").to_numpy(zero_copy_only=False)
+            for bt in dup_ds.iter_batches(batch_format="pyarrow")
+        ]
+        dup_h = np.sort(np.concatenate(chunks)) if chunks else np.empty(
+            0, dtype=np.int64
         )
-        if h.size == 0 or dup.size == 0:
-            return empty
-        i = np.searchsorted(dup, h.view(np.int64))
-        hit = (i < dup.size) & (dup[np.minimum(i, dup.size - 1)]
-                                == h.view(np.int64))
-        if not hit.any():
-            return empty
-        rows = pd.DataFrame(
-            {
-                "win": [
-                    texts[di][s0 : s0 + w]
-                    for di, s0 in zip(didx[hit], st[hit])
-                ],
-                "doc_id": ids[didx[hit]],
-            }
-        ).drop_duplicates()
-        return _fpc(rows, preserve_index=False)
+        ref = ray.put(dup_h)
+
+        def _cand(b: pa.Table) -> pa.Table:
+            dup = cached_broadcast(ref)
+            ids, texts = _keep(b)
+            h, didx, st = _win_hashes(texts)
+            empty = pa.table(
+                {"win": pa.array([], type=pa.string()),
+                 "doc_id": pa.array([], type=pa.int64())}
+            )
+            if h.size == 0 or dup.size == 0:
+                return empty
+            i = np.searchsorted(dup, h.view(np.int64))
+            hit = (i < dup.size) & (dup[np.minimum(i, dup.size - 1)]
+                                    == h.view(np.int64))
+            if not hit.any():
+                return empty
+            rows = pd.DataFrame(
+                {
+                    "win": [
+                        texts[di][s0 : s0 + w]
+                        for di, s0 in zip(didx[hit], st[hit])
+                    ],
+                    "doc_id": ids[didx[hit]],
+                }
+            ).drop_duplicates()
+            return _fpc(rows, preserve_index=False)
+
+        return docs_ds_factory().map_batches(
+            _cand, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536,
+        )
+
+    SEMI_PARTS = COGROUP_PARTS
+    SEMI_COALESCE = COGROUP_PARTS // 4  # occupied-range rule (minhash join)
+
+    def _cand_semi_join():
+        """Scale path: candidate windows semi-join the dup-hash DATASET on
+        ``h % parts`` cogroups; hits join the docs text on ``doc_id %
+        parts`` to slice the window strings. No driver state at any size."""
+
+        def _win_rows(b: pa.Table) -> pa.Table:
+            # (h, doc_id, start) per window, deduped to one position per
+            # (h, doc, DISTINCT window content): same-doc repeats of the
+            # same string collapse (boilerplate within a doc), while the
+            # astronomically-rare same-doc same-hash DIFFERENT-string
+            # collision keeps both positions — exactness is preserved, the
+            # strings are compared locally only inside multi-position
+            # groups.
+            ids, texts = _keep(b)
+            h, didx, st = _win_hashes(texts)
+            if h.size == 0:
+                return pa.table(
+                    {"h": pa.array([], type=pa.int64()),
+                     "doc_id": pa.array([], type=pa.int64()),
+                     "start": pa.array([], type=pa.int64()),
+                     "is_dup": pa.array([], type=pa.int8()),
+                     "part": pa.array([], type=pa.int32())}
+                )
+            d = ids[didx]
+            order = np.lexsort((st, d, h))
+            hs, ds_, ss = h[order], d[order], st[order]
+            di = didx[order]
+            new = np.r_[True, (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])]
+            bnd = np.flatnonzero(new)
+            sizes = np.diff(np.r_[bnd, hs.size])
+            keep = [bnd[sizes == 1]]
+            extra = []
+            for k, sz in zip(bnd[sizes > 1], sizes[sizes > 1]):
+                seen = set()
+                for j in range(k, k + int(sz)):
+                    wstr = texts[di[j]][ss[j] : ss[j] + w]
+                    if wstr not in seen:
+                        seen.add(wstr)
+                        extra.append(j)
+            kee = np.sort(np.concatenate(
+                [keep[0], np.asarray(extra, dtype=np.int64)]
+            )) if extra else keep[0]
+            return pa.table(
+                {
+                    "h": pa.array(hs[kee].view(np.int64)),
+                    "doc_id": pa.array(ds_[kee]),
+                    "start": pa.array(ss[kee].astype(np.int64)),
+                    "is_dup": pa.array(np.zeros(kee.size, dtype=np.int8)),
+                    "part": pa.array(
+                        (hs[kee] % np.uint64(SEMI_PARTS)).astype(np.int32)
+                    ),
+                }
+            )
+
+        def _dup_side(t: pa.Table) -> pa.Table:
+            hv = t.column("h").to_numpy(zero_copy_only=False)
+            n = hv.size
+            return pa.table(
+                {
+                    "h": t.column("h"),
+                    "doc_id": pa.array(np.full(n, -1, dtype=np.int64)),
+                    "start": pa.array(np.full(n, -1, dtype=np.int64)),
+                    "is_dup": pa.array(np.ones(n, dtype=np.int8)),
+                    "part": pa.array(
+                        (hv.view(np.uint64) % np.uint64(SEMI_PARTS)).astype(
+                            np.int32
+                        )
+                    ),
+                }
+            )
+
+        def _semi(g: pd.DataFrame) -> pa.Table:
+            dup = g.loc[g["is_dup"] == 1, "h"].unique()
+            rows = g.loc[g["is_dup"] == 0, ["h", "doc_id", "start"]]
+            hit = rows[rows["h"].isin(dup)] if dup.size else rows.iloc[:0]
+            out = hit[["doc_id", "start"]].copy()
+            out["dpart"] = (
+                out["doc_id"].to_numpy(np.int64) % SEMI_PARTS
+            ).astype(np.int32)
+            out["text"] = ""
+            out["is_text"] = np.int8(0)
+            return _fpc(out[["doc_id", "start", "text", "is_text", "dpart"]])
+
+        def _text_side(b: pa.Table) -> pa.Table:
+            ids, texts = _keep(b)
+            n = ids.size
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids),
+                    "start": pa.array(np.full(n, -1, dtype=np.int64)),
+                    "text": pa.array(texts, type=pa.string()),
+                    "is_text": pa.array(np.ones(n, dtype=np.int8)),
+                    "dpart": pa.array(
+                        (ids % SEMI_PARTS).astype(np.int32)
+                    ),
+                }
+            )
+
+        def _extract(g: pd.DataFrame) -> pa.Table:
+            t = g.loc[g["is_text"] == 1, ["doc_id", "text"]]
+            r = g.loc[g["is_text"] == 0, ["doc_id", "start"]]
+            if r.empty or t.empty:
+                return pa.table(
+                    {"win": pa.array([], type=pa.string()),
+                     "doc_id": pa.array([], type=pa.int64())}
+                )
+            m = r.merge(t, on="doc_id")
+            win = [
+                tx[int(s) : int(s) + w]
+                for tx, s in zip(m["text"], m["start"])
+            ]
+            return _fpc(
+                pd.DataFrame({"win": win, "doc_id": m["doc_id"]})
+                .drop_duplicates()
+            )
+
+        hits = (
+            docs_ds_factory()
+            .map_batches(_win_rows, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=65536)
+            .union(dup_ds.map_batches(_dup_side, batch_format="pyarrow",
+                                      zero_copy_batch=True))
+            .repartition(SEMI_COALESCE)
+            .groupby("part")
+            .map_groups(_semi, batch_format="pandas")
+        )
+        return (
+            hits.union(
+                docs_ds_factory().map_batches(
+                    _text_side, batch_format="pyarrow",
+                    zero_copy_batch=True, batch_size=65536,
+                )
+            )
+            .repartition(SEMI_COALESCE)
+            .groupby("dpart")
+            .map_groups(_extract, batch_format="pandas")
+        )
+
+    cand = _cand_broadcast() if n_dup <= broadcast_max else _cand_semi_join()
 
     def _confirm(g: pd.DataFrame) -> pd.DataFrame:
         dd = g.drop_duplicates(["win", "doc_id"])
@@ -1477,9 +1647,7 @@ def substring_dup_docs(docs_ds_factory, w: int = 64):
         return _fpc(df)
 
     confirmed = (
-        docs_ds_factory()
-        .map_batches(_cand, batch_format="pyarrow", zero_copy_batch=True,
-                     batch_size=65536)
+        cand
         .map_batches(_tag, batch_format="pandas")
         .repartition(8)  # candidate rows only — coalesce (warning rule)
         .groupby("part")

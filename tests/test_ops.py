@@ -1215,6 +1215,56 @@ def test_substring_dups_offset_windows(ray_session, tmp_path):
     )
     assert got == want == [0, 1]
 
+    # scale path (broadcast_max=0 forces the hash-keyed semi join): same
+    # rows, no driver collect anywhere
+    got_semi = sorted(
+        D.substring_dup_docs(
+            lambda: rd.read_parquet(p, override_num_blocks=3),
+            broadcast_max=0,
+        ).to_pandas()["doc_id"]
+    )
+    assert got_semi == want
+
+
+def test_substring_dups_semi_join_adversarial_all_docs_share(
+    ray_session, tmp_path
+):
+    """Adversarial for the old driver funnel: EVERY doc shares one window
+    (templated boilerplate corpus), so the dup-hash set is maximal relative
+    to the corpus. Forced onto the semi-join scale path, the op must flag
+    every doc without collecting hashes on the driver, and agree with the
+    broadcast fast path row-for-row."""
+    import random
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    rng = random.Random(11)
+    shared = ("COMMON-BOILERPLATE-" * 4)[:64]
+    alpha = "abcdefgh ijklmnop"
+    texts = []
+    n = 60
+    for i in range(n):
+        pre = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 90)))
+        post = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 90)))
+        texts.append(pre + shared + post)
+    # plus two cross-doc dups NOT via the shared window (their own window)
+    texts.append("Z" * 80 + "unique tail one")
+    texts.append("Z" * 80 + "different tail!")
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(t, p)
+
+    factory = lambda: rd.read_parquet(p, override_num_blocks=4)
+    semi = sorted(
+        D.substring_dup_docs(factory, broadcast_max=0).to_pandas()["doc_id"]
+    )
+    bcast = sorted(
+        D.substring_dup_docs(factory).to_pandas()["doc_id"]
+    )
+    assert semi == bcast == list(range(n + 2))
+
 
 def test_dedup_normalized_collapses_case_and_accents(ray_session, tmp_path):
     """Accent-/case-mangled re-crawls collapse to one canonical winner;
