@@ -311,8 +311,27 @@ def minhash_candidates(docs_ds, *, num_perm=64, bands=16, shingle=5,
     return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
 
 
+#: verify-lane sizing: ~this many candidate edge rows per verify partition.
+#: 8 lanes was the measured A/B optimum at sf0.1's ~7.2k edge rows (≈900
+#: rows/lane); deriving lanes from the measured count keeps that density on
+#: candidate-heavy corpora instead of serializing the verify stage at 8.
+_EDGE_ROWS_PER_LANE = 1000
+
+
+def _derive_pair_lanes(n_edge_rows: int, floor: int = 8,
+                       cap: int = PAIR_SALT) -> int:
+    """Verify-stage parallelism from candidate volume: edge rows /
+    _EDGE_ROWS_PER_LANE, floored at the small-corpus optimum (8 — fewer
+    lanes than that re-creates the empty-schema-less-range warning spam)
+    and capped at PAIR_SALT (the ppart modulus: more lanes than salt values
+    produce guaranteed-empty ranges; at true scale raise PAIR_SALT and the
+    cap together)."""
+    return int(min(cap, max(floor, n_edge_rows // _EDGE_ROWS_PER_LANE)))
+
+
 def minhash_verified(docs_ds, *, threshold: float = 0.5, num_perm=64, bands=16,
-                     shingle=5, concurrency=None, pair_lanes: int = 8):
+                     shingle=5, concurrency=None, pair_lanes: int | None = None,
+                     stats: dict | None = None):
     """Candidate pairs verified with TRUE n-gram Jaccard — fully distributed.
 
     The candidate texts are fetched with a keyed hash join of pair-edge rows
@@ -329,6 +348,15 @@ def minhash_verified(docs_ds, *, threshold: float = 0.5, num_perm=64, bands=16,
     edges = _raw_band_pairs(docs_ds, num_perm=num_perm, bands=bands,
                             shingle=shingle, concurrency=concurrency,
                             explode_sides=True)
+    if pair_lanes is None:
+        # size the verify stage from the MEASURED candidate volume (LSH
+        # candidates are a vanishing fraction of the corpus, so holding
+        # them in the object store is cheap; the union consumer reuses the
+        # materialized blocks, so the band pipeline still runs once)
+        edges = edges.materialize()
+        pair_lanes = _derive_pair_lanes(edges.count())
+    if stats is not None:
+        stats["pair_lanes"] = pair_lanes
 
     def text_side(batch: pa.Table) -> pd.DataFrame:
         df = batch.select(["doc_id", "text"]).to_pandas()
@@ -426,14 +454,13 @@ def minhash_verified(docs_ds, *, threshold: float = 0.5, num_perm=64, bands=16,
     # (LSH candidates — a vanishing fraction of the corpus), so the
     # coalesce is cheap at any scale. The sort-groupby emits ONE output
     # range per INPUT block, so the repartition count IS the verify
-    # stage's parallelism ceiling. 8 is the measured optimum at sf0.1's
-    # candidate volume (A/B warm runs: 8→4.0–4.8 s, 16→4.7–5.4 s, 64→
-    # slower still plus schema-less empty ranges once lanes outnumber
-    # occupied ppart values — the executor-warning regression the round-3
-    # sweep eliminated). The verify stage only saturates this ceiling on
-    # candidate-HEAVY corpora; there, raise pair_lanes together with
-    # PAIR_SALT — it is the op's scale knob, sized to candidate volume,
-    # not to the upstream block count.
+    # stage's parallelism ceiling. pair_lanes is DERIVED from the measured
+    # edge-row count (see _derive_pair_lanes): 8 was the A/B optimum at
+    # sf0.1's ~7.2k edge rows (8→4.0–4.8 s, 16→4.7–5.4 s, 64→slower plus
+    # schema-less empty ranges once lanes outnumber occupied ppart values),
+    # so the derivation keeps that ~1k-rows/lane density and fans the
+    # verify stage out on candidate-heavy corpora instead of serializing
+    # at a constant 8. Callers can still pin an explicit pair_lanes.
     return (
         joined.map_batches(add_ppart, batch_format="pandas")
         .repartition(pair_lanes)

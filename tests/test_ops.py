@@ -798,6 +798,47 @@ def test_boilerplate_gate_occurrence_counts(ray_session):
     assert out.loc[3, "n_boiler"] > 1
 
 
+def test_derive_pair_lanes_scales_with_candidate_volume():
+    assert D._derive_pair_lanes(0) == 8          # floor
+    assert D._derive_pair_lanes(7_182) == 8      # sf0.1's measured volume
+    assert D._derive_pair_lanes(40_000) == 40    # fans past the old const 8
+    assert D._derive_pair_lanes(10**9) == D.PAIR_SALT  # capped at the salt
+
+
+def test_minhash_verified_fans_out_on_candidate_heavy_corpus(ray_session):
+    """A near-dup-heavy corpus (every doc in a large similar cluster)
+    produces enough LSH candidates that the derived verify parallelism
+    exceeds the old constant 8 — and the verified pairs are identical to a
+    run pinned at 8 lanes."""
+    import ray.data as rd
+
+    base = ("data pipeline dedup shuffle arrow ray batch block " * 6).split()
+    texts, ids = [], []
+    k = 220
+    for i in range(k):
+        toks = list(base)
+        toks[i % len(toks)] = f"tok{i % 7}"  # 7 rotating variants → clusters
+        texts.append(" ".join(toks))
+        ids.append(i)
+    tbl = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                    "text": pa.array(texts, type=pa.string())})
+    stats: dict = {}
+    out = (
+        D.minhash_verified(rd.from_arrow(tbl), threshold=0.5, stats=stats)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert stats["pair_lanes"] > 8
+    pinned = (
+        D.minhash_verified(rd.from_arrow(tbl), threshold=0.5, pair_lanes=8)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, pinned)
+
+
 def test_minhash_verified_reports_within_cluster_pairs(ray_session):
     """A near-identical triple must surface all three pairs, not just the
     two star edges anchored at the min doc_id (round-2 regression)."""
