@@ -478,23 +478,49 @@ def dup_phrases(docs_ds, n: int = 3, min_docs: int = 3, top: int = 50):
 # ---------------------------------------------------------------------------
 
 
-def decontaminate(docs_ds, bench_ds, n: int = 5):
+#: gram-set broadcast ceiling for decontaminate / boilerplate_gate: above
+#: this many distinct grams the ops trip to the hash-keyed semi-join scale
+#: path instead of building an unbounded driver object.
+GRAM_BROADCAST_MAX = 2_000_000
+
+#: coarse gram-hash partition count for the semi-join paths
+_GRAM_PARTS = 64
+
+
+def _gpart(grams: pd.Series) -> np.ndarray:
+    """Stable gram → partition id (crc-based — same on both join sides)."""
+    import zlib as _zlib
+
+    return np.fromiter(
+        (_zlib.crc32(g.encode("utf-8")) % _GRAM_PARTS for g in grams),
+        dtype=np.int32, count=len(grams),
+    )
+
+
+def decontaminate(docs_ds, bench_ds, n: int = 5,
+                  broadcast_max: int = GRAM_BROADCAST_MAX):
     """Flag training documents that share any word ``n``-gram with a
     benchmark/test set — the GPT-3/Pile-style decontamination primitive.
 
-    Shape: the benchmark side is reduced to a distinct-gram set with
-    per-batch partial sets (batch-local dedup) unioned driver-side — test
-    sets are SMALL by nature, so one ``ray.put`` broadcast of the frozen
-    set is the right scale path (a benchmark too big to broadcast would
-    hash-partition grams on both sides and semi-join instead). Each
-    training batch then does set-membership probes against the worker-local
-    cached set — no shuffle of the big side at all.
+    Shape: the benchmark side is reduced to a distinct-gram DATASET (one
+    coarse cogroup over the small side), counted, then:
+    - fast path (≤ ``broadcast_max`` grams — test sets are small by
+      nature): one ``ray.put`` broadcast of the frozen set; each training
+      batch does worker-local set-membership probes — no shuffle of the
+      big side at all.
+    - scale path (an oversized 'benchmark' — e.g. decontaminating against
+      another corpus): NOTHING is collected on the driver. Training docs
+      explode to within-doc-distinct (gram, doc_id) rows that semi-join
+      the bench-gram dataset on crc(gram) % parts cogroups; hit doc_ids
+      then cogroup with the all-docs row set on doc_id % parts to emit the
+      same (doc_id, contaminated) schema. Two linear all-to-alls, bounded
+      memory everywhere.
 
     Docs with fewer than ``n`` tokens carry no shingle and are excluded on
     both sides (the oracle restates the same ``len >= n`` guard)."""
     import ray
 
-    from ..common import cached_broadcast
+    from ..common import cached_broadcast, cogroup_agg
 
     def _grams(text: str) -> set:
         toks = (text or "").split(" ")
@@ -508,47 +534,157 @@ def decontaminate(docs_ds, bench_ds, n: int = 5):
             s |= _grams(t)
         return pa.table({"gram": pa.array(sorted(s), type=pa.string())})
 
-    bench_grams: set = set()
-    for bt in bench_ds.map_batches(
-        _bench_partial, batch_format="pyarrow", zero_copy_batch=True
-    ).iter_batches(batch_format="pyarrow"):
-        bench_grams.update(bt.column("gram").to_pylist())
-    ref = ray.put(frozenset(bench_grams))
+    bench_grams_ds = cogroup_agg(
+        bench_ds.map_batches(_bench_partial, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        "gram", {"c": ("gram", "size")},
+    ).map_batches(
+        lambda t: t.select(["gram"]), batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    n_bench = bench_grams_ds.count()
 
-    def _flag(b: pa.Table) -> pa.Table:
-        bg = cached_broadcast(ref)
-        keep, flags = [], []
-        for t in b.column("text").to_pylist():
-            g = _grams(t)
-            keep.append(bool(g))
-            flags.append(bool(g) and not bg.isdisjoint(g))
-        out = pa.table(
+    if n_bench <= broadcast_max:
+        bench_grams: set = set()
+        for bt in bench_grams_ds.iter_batches(batch_format="pyarrow"):
+            bench_grams.update(bt.column("gram").to_pylist())
+        ref = ray.put(frozenset(bench_grams))
+
+        def _flag(b: pa.Table) -> pa.Table:
+            bg = cached_broadcast(ref)
+            keep, flags = [], []
+            for t in b.column("text").to_pylist():
+                g = _grams(t)
+                keep.append(bool(g))
+                flags.append(bool(g) and not bg.isdisjoint(g))
+            out = pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "contaminated": pa.array(flags, type=pa.bool_()),
+                }
+            )
+            return out.filter(pa.array(keep, type=pa.bool_()))
+
+        return docs_ds.map_batches(
+            _flag, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536,
+        )
+
+    # ---- semi-join scale path --------------------------------------------
+    def _doc_gram_rows(b: pa.Table) -> pa.Table:
+        grams, ids = [], []
+        for d, t in zip(b.column("doc_id").to_pylist(),
+                        b.column("text").to_pylist()):
+            for g in _grams(t):
+                grams.append(g)
+                ids.append(d)
+        gs = pd.Series(grams, dtype="object")
+        return pa.table(
             {
-                "doc_id": b.column("doc_id"),
-                "contaminated": pa.array(flags, type=pa.bool_()),
+                "gram": pa.array(grams, type=pa.string()),
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "is_bench": pa.array(
+                    np.zeros(len(ids), dtype=np.int8)
+                ),
+                "gpart": pa.array(_gpart(gs)),
             }
         )
-        return out.filter(pa.array(keep, type=pa.bool_()))
 
-    return docs_ds.map_batches(
-        _flag, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+    def _bench_side(t: pa.Table) -> pa.Table:
+        gs = t.column("gram").to_pandas()
+        return pa.table(
+            {
+                "gram": t.column("gram"),
+                "doc_id": pa.array(np.full(len(gs), -1, dtype=np.int64)),
+                "is_bench": pa.array(np.ones(len(gs), dtype=np.int8)),
+                "gpart": pa.array(_gpart(gs)),
+            }
+        )
+
+    def _semi(g: pd.DataFrame) -> pa.Table:
+        bench = g.loc[g["is_bench"] == 1, "gram"].unique()
+        rows = g.loc[g["is_bench"] == 0, ["gram", "doc_id"]]
+        if len(bench) and not rows.empty:
+            ids = rows.loc[rows["gram"].isin(bench), "doc_id"].unique()
+            ids = np.sort(ids.astype(np.int64))
+        else:
+            ids = np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "is_hit": pa.array(np.ones(ids.size, dtype=np.int8)),
+                "dpart": pa.array((ids % _GRAM_PARTS).astype(np.int32)),
+            }
+        )
+
+    def _all_docs(b: pa.Table) -> pa.Table:
+        keep = [bool(_grams(t)) for t in b.column("text").to_pylist()]
+        t = b.filter(pa.array(keep, type=pa.bool_()))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "is_hit": pa.array(np.zeros(ids.size, dtype=np.int8)),
+                "dpart": pa.array(
+                    (ids.astype(np.int64) % _GRAM_PARTS).astype(np.int32)
+                ),
+            }
+        )
+
+    hits = (
+        docs_ds.map_batches(_doc_gram_rows, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=65536)
+        .union(bench_grams_ds.map_batches(_bench_side,
+                                          batch_format="pyarrow",
+                                          zero_copy_batch=True))
+        .repartition(_GRAM_PARTS // 4)
+        .groupby("gpart")
+        .map_groups(_semi, batch_format="pandas")
+    )
+
+    def _mark(g: pd.DataFrame) -> pa.Table:
+        hit_ids = set(g.loc[g["is_hit"] == 1, "doc_id"])
+        docs = g.loc[g["is_hit"] == 0, ["doc_id"]]
+        return _fpc(
+            pd.DataFrame(
+                {
+                    "doc_id": docs["doc_id"],
+                    "contaminated": docs["doc_id"].isin(hit_ids),
+                }
+            )
+        )
+
+    return (
+        docs_ds.map_batches(_all_docs, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=65536)
+        .union(hits)
+        .repartition(_GRAM_PARTS // 4)
+        .groupby("dpart")
+        .map_groups(_mark, batch_format="pandas")
     )
 
 
 def boilerplate_gate(
     docs_ds_factory, n: int = 3, min_docs: int = 3, max_frac_num: int = 1,
-    max_frac_den: int = 20,
+    max_frac_den: int = 20, broadcast_max: int = GRAM_BROADCAST_MAX,
 ):
     """CCNet-style boilerplate gate: docs whose shingle stream is dominated
     by corpus-wide duplicated phrases get flagged for removal.
 
     Pass 1: ``_gram_doc_counts`` (one keyed shuffle) -> grams appearing in
-    >= ``min_docs`` docs, collected and broadcast via ``ray.put`` (the
-    ``min_docs`` cutoff keeps the set small; a corpus whose boilerplate set
-    outgrows a broadcast would hash-join grams instead).
-    Pass 2: ONE streamed pass re-shingling each doc (occurrence counts, not
-    deduped — a doc that repeats boilerplate counts it every time) against
-    the worker-cached set.
+    >= ``min_docs`` docs, as a DATASET, counted. Then either:
+    - fast path (≤ ``broadcast_max`` boiler grams — the ``min_docs`` cutoff
+      keeps the set small on normal corpora): ``ray.put`` broadcast + ONE
+      streamed pass re-shingling each doc (occurrence counts, not deduped —
+      a doc that repeats boilerplate counts it every time) against the
+      worker-cached set.
+    - scale path (a boilerplate-saturated corpus whose gram set outgrows a
+      broadcast): no driver collection. Docs explode to (gram, doc_id,
+      cnt) rows (within-doc occurrence counts) that semi-join the boiler
+      gram dataset on crc(gram) % parts cogroups, emitting per-partition
+      (doc_id, nb_partial) sums; a per-doc totals pass (token counts only)
+      then cogroups with those partials on doc_id % parts to produce the
+      identical (doc_id, n_grams, n_boiler, keep) rows.
 
     ``keep`` is the integer-exact gate ``n_boiler * max_frac_den <=
     n_grams * max_frac_num`` (i.e. boiler fraction <= num/den) — no float
@@ -564,45 +700,169 @@ def boilerplate_gate(
         keep = pc.greater_equal(b.column("sum(partial)"), min_docs)
         return pa.table({"gram": b.column("gram").filter(keep)})
 
-    boiler: set = set()
-    for bt in counts.map_batches(
+    boiler_ds = counts.map_batches(
         _boiler_only, batch_format="pyarrow", zero_copy_batch=True
-    ).iter_batches(batch_format="pyarrow"):
-        boiler.update(bt.column("gram").to_pylist())
-    ref = ray.put(frozenset(boiler))
+    ).materialize()
+    n_boiler_grams = boiler_ds.count()
 
-    def _gate(b: pa.Table) -> pa.Table:
-        bg = cached_broadcast(ref)
-        keep_rows, n_grams, n_boiler, keep = [], [], [], []
-        for t in b.column("text").to_pylist():
+    if n_boiler_grams <= broadcast_max:
+        boiler: set = set()
+        for bt in boiler_ds.iter_batches(batch_format="pyarrow"):
+            boiler.update(bt.column("gram").to_pylist())
+        ref = ray.put(frozenset(boiler))
+
+        def _gate(b: pa.Table) -> pa.Table:
+            bg = cached_broadcast(ref)
+            keep_rows, n_grams, n_boiler, keep = [], [], [], []
+            for t in b.column("text").to_pylist():
+                toks = (t or "").split(" ")
+                total = len(toks) - n + 1
+                keep_rows.append(total > 0)
+                if total <= 0:
+                    n_grams.append(0)
+                    n_boiler.append(0)
+                    keep.append(True)
+                    continue
+                nb = sum(
+                    1
+                    for i in range(total)
+                    if " ".join(toks[i : i + n]) in bg
+                )
+                n_grams.append(total)
+                n_boiler.append(nb)
+                keep.append(nb * max_frac_den <= total * max_frac_num)
+            out = pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "n_grams": pa.array(n_grams, type=pa.int64()),
+                    "n_boiler": pa.array(n_boiler, type=pa.int64()),
+                    "keep": pa.array(keep, type=pa.bool_()),
+                }
+            )
+            return out.filter(pa.array(keep_rows, type=pa.bool_()))
+
+        return docs_ds_factory().map_batches(
+            _gate, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536,
+        )
+
+    # ---- semi-join scale path --------------------------------------------
+    def _doc_gram_counts(b: pa.Table) -> pa.Table:
+        grams, ids, cnts = [], [], []
+        for d, t in zip(b.column("doc_id").to_pylist(),
+                        b.column("text").to_pylist()):
             toks = (t or "").split(" ")
             total = len(toks) - n + 1
-            keep_rows.append(total > 0)
             if total <= 0:
-                n_grams.append(0)
-                n_boiler.append(0)
-                keep.append(True)
                 continue
-            nb = sum(
-                1
-                for i in range(total)
-                if " ".join(toks[i : i + n]) in bg
-            )
-            n_grams.append(total)
-            n_boiler.append(nb)
-            keep.append(nb * max_frac_den <= total * max_frac_num)
-        out = pa.table(
+            local: dict = {}
+            for i in range(total):
+                g = " ".join(toks[i : i + n])
+                local[g] = local.get(g, 0) + 1
+            grams.extend(local)
+            cnts.extend(local.values())
+            ids.extend([d] * len(local))
+        gs = pd.Series(grams, dtype="object")
+        return pa.table(
             {
-                "doc_id": b.column("doc_id"),
-                "n_grams": pa.array(n_grams, type=pa.int64()),
-                "n_boiler": pa.array(n_boiler, type=pa.int64()),
-                "keep": pa.array(keep, type=pa.bool_()),
+                "gram": pa.array(grams, type=pa.string()),
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "cnt": pa.array(cnts, type=pa.int64()),
+                "is_boiler": pa.array(np.zeros(len(ids), dtype=np.int8)),
+                "gpart": pa.array(_gpart(gs)),
             }
         )
-        return out.filter(pa.array(keep_rows, type=pa.bool_()))
 
-    return docs_ds_factory().map_batches(
-        _gate, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+    def _boiler_side(t: pa.Table) -> pa.Table:
+        gs = t.column("gram").to_pandas()
+        nrows = len(gs)
+        return pa.table(
+            {
+                "gram": t.column("gram"),
+                "doc_id": pa.array(np.full(nrows, -1, dtype=np.int64)),
+                "cnt": pa.array(np.zeros(nrows, dtype=np.int64)),
+                "is_boiler": pa.array(np.ones(nrows, dtype=np.int8)),
+                "gpart": pa.array(_gpart(gs)),
+            }
+        )
+
+    def _semi_sum(g: pd.DataFrame) -> pa.Table:
+        bg = g.loc[g["is_boiler"] == 1, "gram"].unique()
+        rows = g.loc[g["is_boiler"] == 0, ["gram", "doc_id", "cnt"]]
+        if len(bg) and not rows.empty:
+            hit = rows.loc[rows["gram"].isin(bg)]
+            part = hit.groupby("doc_id", sort=False)["cnt"].sum()
+            ids = part.index.to_numpy(np.int64)
+            nb = part.to_numpy(np.int64)
+        else:
+            ids = np.empty(0, dtype=np.int64)
+            nb = np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "val": pa.array(nb),
+                "is_total": pa.array(np.zeros(ids.size, dtype=np.int8)),
+                "dpart": pa.array((ids % _GRAM_PARTS).astype(np.int32)),
+            }
+        )
+
+    def _totals(b: pa.Table) -> pa.Table:
+        # token counts only — Arrow kernel, no Python shingle loop
+        total = pc.subtract(
+            pc.list_value_length(
+                pc.split_pattern(pc.fill_null(b.column("text"), ""), " ")
+            ),
+            n - 1,
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        keep = total > 0
+        ids, total = ids[keep], total[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "val": pa.array(total),
+                "is_total": pa.array(np.ones(ids.size, dtype=np.int8)),
+                "dpart": pa.array((ids % _GRAM_PARTS).astype(np.int32)),
+            }
+        )
+
+    partials = (
+        docs_ds_factory()
+        .map_batches(_doc_gram_counts, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=65536)
+        .union(boiler_ds.map_batches(_boiler_side, batch_format="pyarrow",
+                                     zero_copy_batch=True))
+        .repartition(_GRAM_PARTS // 4)
+        .groupby("gpart")
+        .map_groups(_semi_sum, batch_format="pandas")
+    )
+
+    def _finish(g: pd.DataFrame) -> pa.Table:
+        tot = g.loc[g["is_total"] == 1, ["doc_id", "val"]].rename(
+            columns={"val": "n_grams"}
+        )
+        nb = (
+            g.loc[g["is_total"] == 0]
+            .groupby("doc_id", sort=False)["val"].sum()
+            .rename("n_boiler")
+        )
+        out = tot.merge(nb, left_on="doc_id", right_index=True, how="left")
+        out["n_boiler"] = out["n_boiler"].fillna(0).astype(np.int64)
+        out["keep"] = (
+            out["n_boiler"] * max_frac_den <= out["n_grams"] * max_frac_num
+        )
+        return _fpc(out[["doc_id", "n_grams", "n_boiler", "keep"]])
+
+    return (
+        docs_ds_factory()
+        .map_batches(_totals, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=65536)
+        .union(partials)
+        .repartition(_GRAM_PARTS // 4)
+        .groupby("dpart")
+        .map_groups(_finish, batch_format="pandas")
     )
 
 

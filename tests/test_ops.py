@@ -798,6 +798,69 @@ def test_boilerplate_gate_occurrence_counts(ray_session):
     assert out.loc[3, "n_boiler"] > 1
 
 
+def test_gram_broadcast_guards_trip_to_semi_join(ray_session):
+    """Adversarially oversized gram sets (broadcast_max=0 forces the scale
+    path): decontaminate and boilerplate_gate must produce row-identical
+    results through the hash-keyed semi join, with no driver gram object."""
+    import random
+
+    import ray.data as rd
+    from resume_ocr_ray.ops import text as T
+
+    rng = random.Random(5)
+    words = [f"w{i}" for i in range(40)]
+    planted = "alpha beta gamma delta epsilon zeta"
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(0, 30)))
+        for _ in range(80)
+    ]
+    for i in range(0, 80, 9):  # guarantee bench overlap in some docs
+        texts[i] = texts[i] + " " + planted
+    train = pa.table(
+        {
+            "doc_id": pa.array(range(80), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    bench = pa.table(
+        {
+            "doc_id": pa.array(range(10), type=pa.int64()),
+            "text": pa.array(
+                [
+                    " ".join(rng.choice(words) for _ in range(20))
+                    + " " + planted
+                    for _ in range(10)
+                ],
+                type=pa.string(),
+            ),
+        }
+    )
+
+    fast = (
+        T.decontaminate(rd.from_arrow(train), rd.from_arrow(bench), n=5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    semi = (
+        T.decontaminate(rd.from_arrow(train), rd.from_arrow(bench), n=5,
+                        broadcast_max=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, semi, check_dtype=False)
+    assert fast["contaminated"].any()  # the fixture does overlap
+
+    fast_b = (
+        T.boilerplate_gate(lambda: rd.from_arrow(train), n=3, min_docs=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    semi_b = (
+        T.boilerplate_gate(lambda: rd.from_arrow(train), n=3, min_docs=3,
+                           broadcast_max=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast_b, semi_b, check_dtype=False)
+    assert (fast_b["n_boiler"] > 0).any()  # repeated grams exist
+
+
 def test_derive_pair_lanes_scales_with_candidate_volume():
     assert D._derive_pair_lanes(0) == 8          # floor
     assert D._derive_pair_lanes(7_182) == 8      # sf0.1's measured volume
