@@ -33,6 +33,10 @@ import pyarrow.compute as pc
 from ..common import per_worker_stage
 from ..common import from_pandas_clean as _fpc
 
+import logging
+
+_LOG = logging.getLogger(__name__)
+
 
 # ---------------------------------------------------------------------------
 # exact / prefix dedup
@@ -980,6 +984,14 @@ def ngram_jaccard_pairs(docs_ds, prefix_n: int = 32, gram: int = 3,
         ]
         rows = []
         if len(ids) > max_block:  # skew cap: star vs the min-doc anchor
+            # no silent caps: this diverges from the exact all-pairs oracle
+            # on a hot-prefix corpus — say so in the worker log
+            _LOG.warning(
+                "ngram_jaccard_pairs: prefix block of %d docs exceeds "
+                "max_block=%d — star fallback (output is a subset of the "
+                "exact all-pairs oracle for this block)",
+                len(ids), max_block,
+            )
             s0 = sets[0]
             for j in range(1, len(ids)):
                 inter = len(s0 & sets[j])
@@ -1169,6 +1181,13 @@ def fuzzy_pairs(docs_ds, pfx_n: int = 8, trunc: int = 40,
         # candidate (i, j) index pairs for one prefix block of k rows
         # starting at partition offset lo
         if k > max_block:  # skew cap: star vs the min-doc anchor
+            # no silent caps: diverges from the exact all-pairs oracle on a
+            # hot-prefix corpus — say so in the worker log
+            _LOG.warning(
+                "fuzzy_pairs: prefix block of %d docs exceeds max_block=%d "
+                "— star fallback (output is a subset of the exact "
+                "all-pairs oracle for this block)", k, max_block,
+            )
             return (
                 np.full(k - 1, lo, dtype=np.int64),
                 np.arange(lo + 1, lo + k, dtype=np.int64),

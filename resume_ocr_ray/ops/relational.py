@@ -333,14 +333,18 @@ def point_lookup(docs_ds_factory, sf_dir: str, doc_id: int):
     import pyarrow.compute as _pc
     import ray.data as rd
 
-    from ..common import strip_schema_metadata
+    import pyarrow.parquet as _pq
 
+    path = f"{sf_dir}/documents.parquet"
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    full = _pq.read_schema(path)
+    # metadata-free schema override: the file's b'pandas' blob makes block
+    # schemas unhashable (shuffle-reduce warning spam); zero-cost vs a
+    # strip map_batches
+    clean = pa.schema([full.field(c) for c in cols])
     return rd.read_parquet(
-        f"{sf_dir}/documents.parquet",
-        columns=["doc_id", "lang", "source", "n_chars"],
+        path, columns=cols, schema=clean,
         filter=_pc.field("doc_id") == doc_id,
-    ).map_batches(  # fused: drop the file's unhashable b'pandas' metadata
-        strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True
     )
 
 

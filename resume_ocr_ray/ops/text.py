@@ -502,12 +502,13 @@ def decontaminate(docs_ds, bench_ds, n: int = 5,
     """Flag training documents that share any word ``n``-gram with a
     benchmark/test set — the GPT-3/Pile-style decontamination primitive.
 
-    Shape: the benchmark side is reduced to a distinct-gram DATASET (one
-    coarse cogroup over the small side), counted, then:
-    - fast path (≤ ``broadcast_max`` grams — test sets are small by
-      nature): one ``ray.put`` broadcast of the frozen set; each training
-      batch does worker-local set-membership probes — no shuffle of the
-      big side at all.
+    Shape: the benchmark side's per-batch-distinct grams stream to the
+    driver UP TO ``broadcast_max`` accumulated distinct grams (bounded
+    driver memory by construction), then:
+    - fast path (the cap never trips — test sets are small by nature):
+      one ``ray.put`` broadcast of the frozen set; each training batch
+      does worker-local set-membership probes — no shuffle of either side
+      beyond the bench partials. Identical cost to the pre-guard op.
     - scale path (an oversized 'benchmark' — e.g. decontaminating against
       another corpus): NOTHING is collected on the driver. Training docs
       explode to within-doc-distinct (gram, doc_id) rows that semi-join
@@ -520,7 +521,7 @@ def decontaminate(docs_ds, bench_ds, n: int = 5,
     both sides (the oracle restates the same ``len >= n`` guard)."""
     import ray
 
-    from ..common import cached_broadcast, cogroup_agg
+    from ..common import cached_broadcast
 
     def _grams(text: str) -> set:
         toks = (text or "").split(" ")
@@ -534,20 +535,23 @@ def decontaminate(docs_ds, bench_ds, n: int = 5,
             s |= _grams(t)
         return pa.table({"gram": pa.array(sorted(s), type=pa.string())})
 
-    bench_grams_ds = cogroup_agg(
-        bench_ds.map_batches(_bench_partial, batch_format="pyarrow",
-                             zero_copy_batch=True),
-        "gram", {"c": ("gram", "size")},
-    ).map_batches(
-        lambda t: t.select(["gram"]), batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).materialize()
-    n_bench = bench_grams_ds.count()
+    def _bench_partial_ds():
+        return bench_ds.map_batches(
+            _bench_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
 
-    if n_bench <= broadcast_max:
-        bench_grams: set = set()
-        for bt in bench_grams_ds.iter_batches(batch_format="pyarrow"):
-            bench_grams.update(bt.column("gram").to_pylist())
+    # capped driver collection: abort the moment the accumulated distinct
+    # set passes broadcast_max — driver memory is bounded by the cap even
+    # on an adversarially large 'benchmark'
+    bench_grams: set = set()
+    too_big = False
+    for bt in _bench_partial_ds().iter_batches(batch_format="pyarrow"):
+        bench_grams.update(bt.column("gram").to_pylist())
+        if len(bench_grams) > broadcast_max:
+            too_big = True
+            break
+
+    if not too_big:
         ref = ray.put(frozenset(bench_grams))
 
         def _flag(b: pa.Table) -> pa.Table:
@@ -634,9 +638,9 @@ def decontaminate(docs_ds, bench_ds, n: int = 5,
     hits = (
         docs_ds.map_batches(_doc_gram_rows, batch_format="pyarrow",
                             zero_copy_batch=True, batch_size=65536)
-        .union(bench_grams_ds.map_batches(_bench_side,
-                                          batch_format="pyarrow",
-                                          zero_copy_batch=True))
+        .union(_bench_partial_ds().map_batches(_bench_side,
+                                               batch_format="pyarrow",
+                                               zero_copy_batch=True))
         .repartition(_GRAM_PARTS // 4)
         .groupby("gpart")
         .map_groups(_semi, batch_format="pandas")
