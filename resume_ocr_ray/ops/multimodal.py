@@ -40,7 +40,11 @@ class MediaProbeStage:
         payloads = batch.column("payload").to_pylist()
         kinds, n_pages, sizes = [], [], []
         for p in payloads:
-            sizes.append(len(p))
+            sizes.append(len(p) if p is not None else 0)
+            if p is None:  # upstream error row (null payload) — probe as such
+                kinds.append("missing")
+                n_pages.append(0)
+                continue
             try:
                 hdr = M.decode_media_header(p)
                 kinds.append(hdr["media_kind"])
@@ -150,23 +154,29 @@ def decode_features(media_ds, concurrency: int = 2):
 
 
 def frame_sample(media_ds, every_k: int = 2, concurrency: int = 2):
-    """Every k-th page of each payload, re-encoded as a smaller payload."""
+    """Every k-th page of each payload, re-encoded as a smaller payload.
+    Undecodable rows come out with ``error`` set and a null payload
+    (explicit error-row convention — no silent drops)."""
 
     def sample(batch: pa.Table) -> pa.Table:
-        refs, payloads = [], []
+        refs, payloads, errors = [], [], []
         for ref, payload in zip(
             batch.column("media_ref").to_pylist(), batch.column("payload").to_pylist()
         ):
+            refs.append(ref)
             try:
                 doc = M.decode_media(payload)
-            except Exception:
+            except Exception as e:
+                payloads.append(None)
+                errors.append(f"{type(e).__name__}: {e}"[:200])
                 continue
             kept = doc.pages[::every_k]
-            refs.append(ref)
             payloads.append(M.encode_media(doc.media_kind, kept, doc.direct_text))
+            errors.append(None)
         return pa.table(
             {"media_ref": pa.array(refs, type=pa.string()),
-             "payload": pa.array(payloads, type=pa.binary())}
+             "payload": pa.array(payloads, type=pa.binary()),
+             "error": pa.array(errors, type=pa.string())}
         )
 
     return media_ds.map_batches(
