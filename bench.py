@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "extract_rank",
     "lineitem_agg",
     "dedup_exact",
+    "postings",
+    "bigram_counts",
+    "cooccur",
     "minhash_pairs",
     "ann_cosine",
     "ann_multi",

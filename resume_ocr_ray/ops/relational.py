@@ -2149,3 +2149,59 @@ def region_rollup(customer_ds, nation_path: str, region_path: str):
         .aggregate(Count(alias_name="n_cust"),
                    Sum("bal_cents", alias_name="bal_cents"))
     )
+
+
+def event_type_cooccurrence(events_ds):
+    """(type_a, type_b, n_users) for every unordered pair of event types
+    performed by the same user (type_a < type_b) — the co-occurrence /
+    market-basket primitive (feature co-activation, audience overlap).
+
+    Shape: per-batch combiner dedups (user, type) pairs (at most one row
+    per pair per batch crosses the wire), ONE coarse user-hash cogroup
+    builds each user's type-pair explosion with a single vectorized
+    self-merge per partition (type cardinality is tiny, so the per-user
+    explosion is bounded at C(n_types, 2)), then a final engine aggregate
+    sums the per-partition partial counts over the handful of pair keys.
+    The shuffle carries distinct (user, type) pairs — never events."""
+    from ray.data.aggregate import Sum
+
+    PARTS = 64
+
+    def _partial(b: pa.Table) -> pa.Table:
+        dd = pd.DataFrame(
+            {
+                "user_id": b.column("user_id").to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64),
+                "event_type": b.column("event_type").to_pylist(),
+            }
+        ).drop_duplicates()
+        dd["part"] = (dd["user_id"] % PARTS).astype(np.int32)
+        return _fpc(dd)
+
+    def _pairs(g: pd.DataFrame) -> pa.Table:
+        d = g[["user_id", "event_type"]].drop_duplicates()
+        m = d.merge(d, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        part = (
+            m.groupby(["event_type_x", "event_type_y"], sort=False)
+            .size().reset_index(name="partial")
+        )
+        return _fpc(
+            part.rename(
+                columns={"event_type_x": "type_a", "event_type_y": "type_b"}
+            )
+        )
+
+    partials = (
+        events_ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=65536)
+        .repartition(PARTS // 4)
+        .groupby("part")
+        .map_groups(_pairs, batch_format="pandas")
+    )
+    # pair keys number C(n_types, 2) — low cardinality, engine Aggregate's
+    # per-block combine is the right form (see common.cogroup_agg rule)
+    return partials.groupby(["type_a", "type_b"]).aggregate(
+        Sum("partial", alias_name="n_users")
+    )

@@ -978,3 +978,111 @@ def tfidf_topk(docs_ds_factory, k: int = 3):
     return docs_ds_factory().map_batches(
         _topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
     )
+
+
+# ---------------------------------------------------------------------------
+# inverted-index build + n-gram LM counts
+# ---------------------------------------------------------------------------
+
+
+def build_postings(docs_ds, min_df: int = 10, max_df: int | None = None):
+    """Inverted-index construction — (term, df, postings) rows where
+    ``postings`` is the ascending comma-joined doc_id list. The index-build
+    primitive behind retrieval-augmented data curation (and the write side
+    of every search stack).
+
+    Shape: ONE vectorized pass (arrow split + list_parent_indices — no
+    Python token loop) emits within-doc-distinct (term, doc_id) pairs, then
+    one coarse crc(term) % parts cogroup builds each term's posting list
+    with a single vectorized pandas groupby per partition. Only (term,
+    int64) pairs cross the shuffle; posting strings are assembled on the
+    reduce side. ``min_df`` prunes the singleton long tail; ``max_df``
+    (when set) drops stopword-class terms — at web scale BOTH bounds are
+    load-bearing: min_df bounds output cardinality, max_df bounds the
+    longest posting string any single reduce row assembles. NULL text
+    contributes nothing (SQL ``string_split(NULL)`` unnests to no rows)."""
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        split = pc.split_pattern(b.column("text"), " ")
+        parent = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        dd = pd.DataFrame(
+            {"term": pc.list_flatten(split).to_pandas(),
+             "doc_id": ids[parent]}
+        ).drop_duplicates()
+        dd["part"] = _gpart(dd["term"])
+        return _fpc(dd)
+
+    def _build(g: pd.DataFrame) -> pa.Table:
+        # cross-batch duplicates of a (term, doc) pair collapse here
+        g = g.drop_duplicates(["term", "doc_id"]).sort_values(
+            ["term", "doc_id"]
+        )
+        gr = g.groupby("term", sort=False)
+        out = pd.DataFrame(
+            {
+                "df": gr.size(),
+                "postings": gr["doc_id"].agg(
+                    lambda s: ",".join(map(str, s))
+                ),
+            }
+        ).reset_index()
+        out = out[out["df"] >= min_df]
+        if max_df is not None:
+            out = out[out["df"] <= max_df]
+        out["df"] = out["df"].astype(np.int64)
+        return _fpc(out[["term", "df", "postings"]])
+
+    return (
+        docs_ds.map_batches(_pairs, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=65536)
+        .repartition(_GRAM_PARTS // 4)
+        .groupby("part")
+        .map_groups(_build, batch_format="pandas")
+    )
+
+
+def bigram_counts(docs_ds, top: int = 50):
+    """Corpus-wide bigram occurrence counts, exact top-``top`` (count desc,
+    bigram asc — bigram is unique so the cut is deterministic): the n-gram
+    LM count-table primitive (quality heuristics, domain fingerprinting,
+    classic LM smoothing inputs).
+
+    Shape: one vectorized pass builds bigrams with pandas string concat on
+    the flattened token array (adjacent tokens sharing a parent doc — no
+    Python token loop) and combines per batch, then a coarse cogroup sum
+    and a per-block partial top-k (no corpus-cardinality global sort)."""
+    from ..common import cogroup_agg, topk_exact
+
+    def _partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        split = pc.split_pattern(b.column("text"), " ")
+        parent = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(split).to_pandas()
+        if len(flat) < 2:
+            return pa.table(
+                {"bigram": pa.array([], type=pa.string()),
+                 "partial": pa.array([], type=pa.int64())}
+            )
+        same = parent[1:] == parent[:-1]
+        big = (flat.iloc[:-1].reset_index(drop=True) + " "
+               + flat.iloc[1:].reset_index(drop=True))[same]
+        counts = big.value_counts()
+        return pa.table(
+            {
+                "bigram": pa.array(counts.index, type=pa.string()),
+                "partial": pa.array(counts.to_numpy(np.int64)),
+            }
+        )
+
+    agg = cogroup_agg(
+        docs_ds.map_batches(_partial, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=65536),
+        "bigram", {"n": ("partial", "sum")},
+    )
+    return topk_exact(
+        agg, [("n", "descending"), ("bigram", "ascending")], top
+    )

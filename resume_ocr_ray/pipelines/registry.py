@@ -916,6 +916,28 @@ def q_winsorize(sf_dir: str):
     )
 
 
+def q_postings(sf_dir: str):
+    """Inverted-index build. min_df prunes the singleton tail; the max_df
+    stopword cutoff stays unset HERE because the synthetic corpus draws
+    from a ~31-term vocabulary where every term is stopword-class (a df
+    cap empties the index — measured 1 row at any sf). On a real corpus
+    set max_df ~ n_docs/5; both bounds are load-bearing at scale (see
+    ops/text.py::build_postings)."""
+    return T.build_postings(
+        _read(sf_dir, "documents", ["doc_id", "text"]), min_df=10
+    )
+
+
+def q_bigram_counts(sf_dir: str):
+    return T.bigram_counts(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_cooccur(sf_dir: str):
+    return R.event_type_cooccurrence(
+        _read(sf_dir, "events", ["user_id", "event_type"])
+    )
+
+
 def register(name: str, fn, sql: str | None = None) -> None:
     """Register a user-defined pipeline: ``fn(sf_dir) -> Dataset|DataFrame|
     Table`` appears in ``queries()``; when ``sql`` is given it becomes the
@@ -1080,6 +1102,10 @@ def _all_queries() -> dict:
         "region_rollup": q_region_rollup,
         "running_sum": q_running_sum,
         "fuzzy_pairs": q_fuzzy_pairs,
+        # round 4: index build + LM counts + co-occurrence
+        "postings": q_postings,
+        "bigram_counts": q_bigram_counts,
+        "cooccur": q_cooccur,
         # approximate by construction (int8 quantization) — rows-only;
         # recall@k pinned by tests/test_ops.py::test_ann_int8_recall
         "ann_int8": q_ann_int8,
@@ -1702,6 +1728,33 @@ def oracle_sql() -> dict:
             "sum(CAST(round(c_acctbal*100) AS BIGINT)) AS bal_cents "
             "FROM customer JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey GROUP BY 1"
+        ),
+        "postings": (
+            "WITH toks AS (SELECT DISTINCT doc_id, "
+            "unnest(string_split(text, ' ')) AS term "
+            "FROM documents WHERE text IS NOT NULL) "
+            "SELECT term, count(*) AS df, "
+            "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) "
+            "AS postings "
+            "FROM toks GROUP BY term "
+            "HAVING count(*) >= 10"
+        ),
+        "bigram_counts": (
+            "WITH toks AS (SELECT string_split(text, ' ') AS t "
+            "FROM documents WHERE text IS NOT NULL), "
+            "bg AS (SELECT unnest(list_transform(range(1, len(t)), "
+            "i -> t[i] || ' ' || t[i+1])) AS bigram "
+            "FROM toks WHERE len(t) >= 2) "
+            "SELECT bigram, count(*) AS n FROM bg "
+            "GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50"
+        ),
+        "cooccur": (
+            "WITH ut AS (SELECT DISTINCT user_id, event_type FROM events) "
+            "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+            "count(*) AS n_users "
+            "FROM ut a JOIN ut b ON a.user_id = b.user_id "
+            "AND a.event_type < b.event_type "
+            "GROUP BY 1, 2"
         ),
         "retention": (
             "WITH f AS (SELECT user_id, min(ts) AS t0 FROM events "

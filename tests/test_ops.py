@@ -1597,3 +1597,55 @@ def test_resize_images_bounds_page_bytes(ray_session):
         .reset_index(drop=True)
     )
     assert (out2["payload"] == out["payload"]).all()
+
+
+def test_build_postings_sorted_lists_and_df_bounds(ray_session):
+    """Posting lists are ascending, df is the distinct-doc count (repeats
+    within a doc count once), and both df bounds prune."""
+    import ray.data as rd
+    from resume_ocr_ray.ops import text as T
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([3, 1, 2, 4], type=pa.int64()),
+            "text": [
+                "alpha beta alpha",   # alpha repeats within doc 3
+                "alpha gamma",
+                "alpha beta",
+                None,                 # NULL contributes nothing
+            ],
+        }
+    )
+    out = (
+        T.build_postings(rd.from_arrow(docs), min_df=2)
+        .to_pandas().set_index("term").sort_index()
+    )
+    assert list(out.index) == ["alpha", "beta"]  # gamma df=1 pruned
+    assert out.loc["alpha", "df"] == 3
+    assert out.loc["alpha", "postings"] == "1,2,3"  # ascending, distinct
+    assert out.loc["beta", "postings"] == "2,3"
+    capped = (
+        T.build_postings(rd.from_arrow(docs), min_df=2, max_df=2)
+        .to_pandas()
+    )
+    assert list(capped["term"]) == ["beta"]  # alpha df=3 > max_df
+
+
+def test_event_cooccurrence_counts_users_once(ray_session):
+    import ray.data as rd
+    from resume_ocr_ray.ops import relational as R
+
+    ev = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2, 2, 3], type=pa.int64()),
+            "event_type": ["view", "click", "view", "view", "click", "view"],
+        }
+    )
+    out = (
+        R.event_type_cooccurrence(rd.from_arrow(ev))
+        .to_pandas().sort_values(["type_a", "type_b"]).reset_index(drop=True)
+    )
+    # users 1 and 2 did both view+click; user 3 only view
+    assert len(out) == 1
+    assert tuple(out.loc[0, ["type_a", "type_b"]]) == ("click", "view")
+    assert out.loc[0, "n_users"] == 2
