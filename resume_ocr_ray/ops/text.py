@@ -909,7 +909,94 @@ def repetition_gate(docs_ds, num: int = 2, den: int = 5):
     )
 
 
-def tfidf_topk(docs_ds_factory, k: int = 3):
+def _tfidf_topk_joined(docs_ds_factory, df_ds, k: int):
+    """tfidf_topk's scale path (see its docstring): term-keyed cogroup
+    attaches df to tf rows, doc-keyed cogroup takes the per-doc top-k. No
+    driver vocabulary map at any size."""
+
+    def _tf_rows(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(b.column("text"), ""), " ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        doc_ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        dd = pd.DataFrame({"p": parent, "term": flat.to_pandas()})
+        dd = dd[dd["term"] != ""]
+        tf = dd.groupby(["p", "term"], sort=False).size().reset_index(
+            name="tf"
+        )
+        out = pd.DataFrame(
+            {
+                "term": tf["term"],
+                "doc_id": doc_ids[tf["p"].to_numpy()],
+                "tf": tf["tf"].astype(np.int64),
+                "is_df": np.int8(0),
+            }
+        )
+        out["gpart"] = _gpart(out["term"])
+        return _fpc(out)
+
+    def _df_side(t: pa.Table) -> pa.Table:
+        gs = t.column("term").to_pandas()
+        n = len(gs)
+        return pa.table(
+            {
+                "term": t.column("term"),
+                "doc_id": pa.array(np.full(n, -1, dtype=np.int64)),
+                # df rides in the tf column so the union schema matches
+                "tf": t.column("df").cast(pa.int64()),
+                "is_df": pa.array(np.ones(n, dtype=np.int8)),
+                "gpart": pa.array(_gpart(gs)),
+            }
+        )
+
+    def _attach(g: pd.DataFrame) -> pa.Table:
+        dfs = g.loc[g["is_df"] == 1, ["term", "tf"]].rename(
+            columns={"tf": "df"}
+        ).drop_duplicates("term")
+        rows = g.loc[g["is_df"] == 0, ["term", "doc_id", "tf"]]
+        if rows.empty or dfs.empty:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.int64()),
+                 "term": pa.array([], type=pa.string()),
+                 "tf": pa.array([], type=pa.int64()),
+                 "df": pa.array([], type=pa.int64()),
+                 "score": pa.array([], type=pa.int64()),
+                 "dpart": pa.array([], type=pa.int32())}
+            )
+        m = rows.merge(dfs, on="term")  # every term has its df row
+        m["score"] = (m["tf"].astype(np.int64) * 1_000_000) // m["df"]
+        m["dpart"] = (
+            m["doc_id"].to_numpy(np.int64) % _GRAM_PARTS
+        ).astype(np.int32)
+        return _fpc(m[["doc_id", "term", "tf", "df", "score", "dpart"]])
+
+    def _doc_topk(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["doc_id", "score", "term"],
+                          ascending=[True, False, True])
+        top = g.groupby("doc_id", sort=False).head(k)
+        return _fpc(top[["doc_id", "term", "tf", "df", "score"]])
+
+    scored = (
+        docs_ds_factory()
+        .map_batches(_tf_rows, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=65536)
+        .union(df_ds.map_batches(_df_side, batch_format="pyarrow",
+                                 zero_copy_batch=True))
+        .repartition(_GRAM_PARTS // 4)
+        .groupby("gpart")
+        .map_groups(_attach, batch_format="pandas")
+    )
+    return (
+        scored.repartition(_GRAM_PARTS // 4)
+        .groupby("dpart")
+        .map_groups(_doc_topk, batch_format="pandas")
+    )
+
+
+def tfidf_topk(docs_ds_factory, k: int = 3,
+               broadcast_max: int = GRAM_BROADCAST_MAX):
     """Per-document keyword extraction: top-``k`` terms by an INTEGER-EXACT
     tf-idf-style weight ``score = tf·10⁶ // df`` (df = docs containing the
     term; the corpus-size factor N is constant per corpus, so it cannot
@@ -919,12 +1006,17 @@ def tfidf_topk(docs_ds_factory, k: int = 3):
 
     Pass 1 computes df with a vocabulary-bounded combiner: per-batch
     DISTINCT (doc, term) collapse → one (term, df_partial) row per term per
-    batch → groupby(term) Sum. The df map is broadcast (closure capture —
-    the same vocabulary-scale bound stopword_filter documents; at a 100-TB
-    vocabulary swap for a term-keyed cogroup join + doc_id re-shuffle).
-    Pass 2 is ONE streamed pass: per-batch tf via C-speed pandas
-    (parent, term) groupby, score + per-doc top-k vectorized. Tokenization
-    is single-space split with empties dropped == DuckDB
+    batch → one coarse cogroup sum. The df DATASET is counted, then:
+    - fast path (≤ ``broadcast_max`` distinct terms): the df map ships by
+      closure capture; pass 2 is ONE streamed pass — per-batch tf via
+      C-speed pandas (parent, term) groupby, score + per-doc top-k
+      vectorized.
+    - scale path (a 100-TB-class vocabulary): no driver df map. tf rows
+      (doc_id, term, tf) cogroup-join the df dataset on crc(term) % parts
+      to attach df and score, then re-cogroup on doc_id % parts for the
+      per-doc top-k — two linear all-to-alls, bounded memory everywhere,
+      identical output columns.
+    Tokenization is single-space split with empties dropped == DuckDB
     ``string_split(text, ' ')``."""
 
     def _df_partial(b: pa.Table) -> pa.Table:
@@ -943,13 +1035,32 @@ def tfidf_topk(docs_ds_factory, k: int = 3):
 
     from ..common import cogroup_agg
 
-    df_map = cogroup_agg(
-        docs_ds_factory().map_batches(
-            _df_partial, batch_format="pyarrow",
-            zero_copy_batch=True, batch_size=65536,
-        ),
-        "term", {"df": ("df", "sum")},
-    ).to_pandas()  # vocabulary-cardinality keys: cogroup, not per-key agg
+    def _df_ds():
+        # vocabulary-cardinality keys: cogroup, not per-key agg
+        return cogroup_agg(
+            docs_ds_factory().map_batches(
+                _df_partial, batch_format="pyarrow",
+                zero_copy_batch=True, batch_size=65536,
+            ),
+            "term", {"df": ("df", "sum")},
+        )
+
+    # capped streaming collection (decontaminate's pattern): driver memory
+    # is bounded by the cap by construction; the scale path recomputes df
+    # in-cluster (it never touches the driver there)
+    chunks, n_terms, too_big = [], 0, False
+    for bt in _df_ds().iter_batches(batch_format="pyarrow"):
+        chunks.append(bt)
+        n_terms += bt.num_rows
+        if n_terms > broadcast_max:
+            too_big = True
+            break
+    if too_big:
+        return _tfidf_topk_joined(docs_ds_factory, _df_ds(), k)
+
+    df_map = pa.concat_tables(chunks).to_pandas() if chunks else pd.DataFrame(
+        {"term": [], "df": []}
+    )
     df_lookup = dict(zip(df_map["term"], df_map["df"].astype(np.int64)))
 
     def _topk(b: pa.Table) -> pa.Table:

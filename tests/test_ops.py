@@ -1649,3 +1649,26 @@ def test_event_cooccurrence_counts_users_once(ray_session):
     assert len(out) == 1
     assert tuple(out.loc[0, ["type_a", "type_b"]]) == ("click", "view")
     assert out.loc[0, "n_users"] == 2
+
+
+def test_tfidf_topk_joined_path_matches_broadcast(ray_session):
+    """broadcast_max=0 forces the term-keyed cogroup scale path: identical
+    rows to the broadcast fast path (and hence to the DuckDB oracle)."""
+    import ray.data as rd
+    from resume_ocr_ray.ops import text as T
+
+    import pyarrow.parquet as pq
+    t = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                      columns=["doc_id", "text"])
+    factory = lambda: rd.from_arrow(t)
+    fast = (
+        T.tfidf_topk(factory, k=3).to_pandas()
+        .sort_values(["doc_id", "term"]).reset_index(drop=True)
+    )
+    joined = (
+        T.tfidf_topk(factory, k=3, broadcast_max=0).to_pandas()
+        .sort_values(["doc_id", "term"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        fast, joined[fast.columns], check_dtype=False
+    )
