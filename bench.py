@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "postings",
     "bigram_counts",
     "cooccur",
+    "interval_overlap",
     "minhash_pairs",
     "ann_cosine",
     "ann_multi",

@@ -2205,3 +2205,114 @@ def event_type_cooccurrence(events_ds):
     return partials.groupby(["type_a", "type_b"]).aggregate(
         Sum("partial", alias_name="n_users")
     )
+
+
+def interval_overlap_counts(events_ds, bucket_us: int = 21_600_000_000):
+    """For each (user, day) ACTIVITY INTERVAL (min..max event ts that day),
+    the number of OTHER users' same-day intervals it overlaps — the
+    interval-interval overlap join (concurrency analysis, time-range dedup,
+    license-window joins), an op Ray Data has no native form for.
+
+    Shape — bucket-replicated join with FIRST-BUCKET pair dedup:
+      1. intervals: per-batch (user, day, min, max) partials → one coarse
+         cogroup min/max merge (interval-cardinality keys).
+      2. each interval replicates to every ``bucket_us`` time bucket it
+         touches (day-bounded intervals ⇒ ≤ day/bucket copies — bounded
+         replication, the standard spatial-join trade).
+      3. per bucket, ONE vectorized n×n numpy overlap mask counts pairs —
+         a pair is counted ONLY in the bucket containing max(t0_a, t0_b)
+         (both intervals provably replicate there, and only one bucket
+         satisfies it), so cross-bucket double-counting is impossible
+         WITHOUT any global pair-dedup shuffle.
+      4. per-interval partial counts cogroup-sum on (user, day).
+    Only (ints) cross every shuffle; nothing touches the driver."""
+    from ..common import cogroup_agg
+
+    DAY_US = 86_400_000_000
+    PARTS = 64
+
+    def _iv_partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = b.column("user_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        df = pd.DataFrame({"user_id": uid, "day": ts // DAY_US, "ts": ts})
+        g = df.groupby(["user_id", "day"], sort=False)["ts"].agg(
+            ["min", "max"]
+        ).reset_index()
+        return _fpc(g.rename(columns={"min": "t0", "max": "t1"}))
+
+    intervals = cogroup_agg(
+        events_ds.map_batches(_iv_partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=65536),
+        ["user_id", "day"], {"t0": ("t0", "min"), "t1": ("t1", "max")},
+    )
+
+    def _replicate(t: pa.Table) -> pa.Table:
+        t0 = t.column("t0").to_numpy(zero_copy_only=False)
+        t1 = t.column("t1").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        day = t.column("day").to_numpy(zero_copy_only=False)
+        b0, b1 = t0 // bucket_us, t1 // bucket_us
+        reps = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(t0)), reps)
+        # bucket id per replica: b0[i] + offset within the interval's span
+        off = np.arange(reps.sum()) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        bucket = b0[idx] + off
+        return pa.table(
+            {
+                "user_id": pa.array(uid[idx]),
+                "day": pa.array(day[idx]),
+                "t0": pa.array(t0[idx]),
+                "t1": pa.array(t1[idx]),
+                "bucket": pa.array(bucket),
+                "part": pa.array((bucket % PARTS).astype(np.int32)),
+            }
+        )
+
+    def _bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        out_u, out_d, out_n = [], [], []
+        for bkt, blk in g.groupby("bucket", sort=False):
+            n = len(blk)
+            if n < 2:
+                continue
+            t0 = blk["t0"].to_numpy(np.int64)
+            t1 = blk["t1"].to_numpy(np.int64)
+            uid = blk["user_id"].to_numpy(np.int64)
+            # n×n masks: overlap, distinct users, first-bucket ownership
+            lo = np.maximum.outer(t0, t0)
+            overlap = (lo <= np.minimum.outer(t1, t1))
+            overlap &= np.not_equal.outer(uid, uid)
+            overlap &= (lo // bucket_us) == bkt
+            cnt = overlap.sum(axis=1)
+            keep = cnt > 0
+            out_u.append(uid[keep])
+            out_d.append(blk["day"].to_numpy(np.int64)[keep])
+            out_n.append(cnt[keep].astype(np.int64))
+        if not out_u:
+            return pa.table(
+                {"user_id": pa.array([], type=pa.int64()),
+                 "day": pa.array([], type=pa.int64()),
+                 "partial": pa.array([], type=pa.int64())}
+            )
+        return pa.table(
+            {
+                "user_id": pa.array(np.concatenate(out_u)),
+                "day": pa.array(np.concatenate(out_d)),
+                "partial": pa.array(np.concatenate(out_n)),
+            }
+        )
+
+    partials = (
+        intervals.map_batches(_replicate, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .repartition(PARTS // 4)
+        .groupby("part")
+        .map_groups(_bucket_pairs, batch_format="pandas")
+    )
+    return cogroup_agg(
+        partials, ["user_id", "day"], {"n_overlap": ("partial", "sum")},
+        coalesce=8,
+    )

@@ -938,6 +938,12 @@ def q_cooccur(sf_dir: str):
     )
 
 
+def q_interval_overlap(sf_dir: str):
+    return R.interval_overlap_counts(
+        _read(sf_dir, "events", ["user_id", "ts"])
+    )
+
+
 def register(name: str, fn, sql: str | None = None) -> None:
     """Register a user-defined pipeline: ``fn(sf_dir) -> Dataset|DataFrame|
     Table`` appears in ``queries()``; when ``sql`` is given it becomes the
@@ -1102,10 +1108,11 @@ def _all_queries() -> dict:
         "region_rollup": q_region_rollup,
         "running_sum": q_running_sum,
         "fuzzy_pairs": q_fuzzy_pairs,
-        # round 4: index build + LM counts + co-occurrence
+        # round 4: index build + LM counts + co-occurrence + interval join
         "postings": q_postings,
         "bigram_counts": q_bigram_counts,
         "cooccur": q_cooccur,
+        "interval_overlap": q_interval_overlap,
         # approximate by construction (int8 quantization) — rows-only;
         # recall@k pinned by tests/test_ops.py::test_ann_int8_recall
         "ann_int8": q_ann_int8,
@@ -1754,6 +1761,21 @@ def oracle_sql() -> dict:
             "count(*) AS n_users "
             "FROM ut a JOIN ut b ON a.user_id = b.user_id "
             "AND a.event_type < b.event_type "
+            "GROUP BY 1, 2"
+        ),
+        "interval_overlap": (
+            # per-(user, day) activity interval vs every OTHER user's
+            # overlapping interval; same-day is implied (day-bounded
+            # intervals can't overlap across days) but stated for the
+            # planner. epoch_us == the int64 microseconds the Ray side uses.
+            "WITH iv AS (SELECT user_id, "
+            "epoch_us(ts) // 86400000000 AS day, "
+            "min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 "
+            "FROM events GROUP BY 1, 2) "
+            "SELECT a.user_id, a.day, count(*) AS n_overlap "
+            "FROM iv a JOIN iv b ON a.day = b.day "
+            "AND a.user_id <> b.user_id "
+            "AND a.t0 <= b.t1 AND b.t0 <= a.t1 "
             "GROUP BY 1, 2"
         ),
         "retention": (

@@ -1672,3 +1672,37 @@ def test_tfidf_topk_joined_path_matches_broadcast(ray_session):
     pd.testing.assert_frame_equal(
         fast, joined[fast.columns], check_dtype=False
     )
+
+
+def test_interval_overlap_first_bucket_dedup(ray_session):
+    """Intervals spanning SEVERAL time buckets must count each overlapping
+    pair exactly once (first-bucket ownership), including pairs whose
+    overlap region spans bucket boundaries."""
+    import ray.data as rd
+    from resume_ocr_ray.ops import relational as R
+
+    H = 3_600_000_000  # 1h in us
+    # user 1: 00:00–23:00 (spans all four 6h buckets)
+    # user 2: 05:00–07:00 (buckets 0-1; overlaps 1)
+    # user 3: 22:00–23:30 (bucket 3; overlaps 1)
+    # user 4: next day 01:00–02:00 (no same-day overlap)
+    rows = [
+        (1, 0), (1, 23 * H),
+        (2, 5 * H), (2, 7 * H),
+        (3, 22 * H), (3, 23 * H + H // 2),
+        (4, 25 * H), (4, 26 * H),
+    ]
+    ev = pa.table(
+        {
+            "user_id": pa.array([u for u, _ in rows], type=pa.int64()),
+            "ts": pa.array([t for _, t in rows], type=pa.timestamp("us")),
+        }
+    )
+    out = (
+        R.interval_overlap_counts(rd.from_arrow(ev))
+        .to_pandas().set_index("user_id").sort_index()
+    )
+    assert out.loc[1, "n_overlap"] == 2  # users 2 and 3, each ONCE
+    assert out.loc[2, "n_overlap"] == 1
+    assert out.loc[3, "n_overlap"] == 1
+    assert 4 not in out.index  # zero-overlap intervals are not emitted

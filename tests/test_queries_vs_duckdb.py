@@ -73,7 +73,7 @@ def test_all_queries_run(ray_session, registry):
         "trailing_count", "dedup_keep_best", "percent_rank",
         "ntile", "running_sum", "fuzzy_pairs", "cume_dist", "cube_agg",
         "substring_dups", "dedup_normalized", "json_props", "funnel", "retention", "region_rollup",
-        "postings", "bigram_counts", "cooccur",
+        "postings", "bigram_counts", "cooccur", "interval_overlap",
     ],
 )
 def test_query_matches_oracle(ray_session, registry, duck, name):
