@@ -192,6 +192,20 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         .count()
         .materialize()
     )
+    # ...and the Sort/map_groups executor: groupby().map_groups() lowers to a
+    # sort-based exchange with its own worker set, distinct from the hash
+    # Aggregate path above — without this, the first map_groups query
+    # (minhash_pairs in the default order) absorbs that cold start
+    (
+        rd.range(256)
+        .map_batches(
+            lambda t: t.rename_columns(["part"]), batch_format="pyarrow"
+        )
+        .groupby("part")
+        .map_groups(lambda df: df.head(1), batch_format="pandas")
+        .materialize()
+    )
+    rd.range(256).sort("id").materialize()
 
     s0 = _cpu_stat()
     t0 = time.monotonic()

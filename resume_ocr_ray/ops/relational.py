@@ -2316,3 +2316,239 @@ def interval_overlap_counts(events_ds, bucket_us: int = 21_600_000_000):
         partials, ["user_id", "day"], {"n_overlap": ("partial", "sum")},
         coalesce=8,
     )
+
+
+def full_outer_join_customers_orders(customer_ds, orders_ds,
+                                     min_acctbal: float = 5000.0,
+                                     status: str = "F", parts: int = 64):
+    """Large-large FULL OUTER join — the one outer flavor the engine lacked
+    (inner = shuffle_join, left = left_join, anti/semi = hash forms). Sides
+    are FILTERED so both exclusive regions are non-empty on TPC-H-shaped
+    data (customer ⋈ orders is otherwise total): left = customers with
+    ``c_acctbal > min_acctbal``, right = per-customer counts of
+    ``o_orderstatus = status`` orders.
+
+    Physical form matches left_outer_join_customer_orders: the fact side
+    collapses to per-batch partials (one (custkey, n) row per customer per
+    batch), both sides union into one tagged schema, ONE shuffle on the
+    coarse key hash, then a vectorized pandas OUTER merge per cogroup.
+    NULL semantics are explicit: unmatched acctbal/n_orders surface as
+    Arrow nulls (pandas nullable Float64/Int64, never NaN — DuckDB's FULL
+    JOIN emits SQL NULL and the driver hash-compares them)."""
+
+    def _cust_side(b: pa.Table) -> pa.Table:
+        keep = pc.greater(b.column("c_acctbal"), pa.scalar(min_acctbal))
+        t = b.filter(keep)
+        return pa.table(
+            {
+                "part": _floored_mod(t.column("c_custkey"), parts),
+                "custkey": t.column("c_custkey"),
+                "acctbal": t.column("c_acctbal"),
+                "n_orders": pa.nulls(t.num_rows, pa.int64()),
+                "is_cust": pa.array(np.ones(t.num_rows, dtype=bool)),
+            }
+        )
+
+    def _ord_side(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("o_orderstatus"), pa.scalar(status)))
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        keys, cnt = np.unique(ck, return_counts=True)
+        return pa.table(
+            {
+                "part": pa.array((keys % parts).astype(np.int32)),
+                "custkey": pa.array(keys),
+                "acctbal": pa.nulls(len(keys), pa.float64()),
+                "n_orders": pa.array(cnt.astype(np.int64)),
+                "is_cust": pa.array(np.zeros(len(keys), dtype=bool)),
+            }
+        )
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        cust = g.loc[g["is_cust"], ["custkey", "acctbal"]]
+        od = (
+            g.loc[~g["is_cust"], ["custkey", "n_orders"]]
+            .groupby("custkey", as_index=False)["n_orders"].sum()
+        )
+        j = cust.merge(od, on="custkey", how="outer")
+        j["acctbal"] = j["acctbal"].astype("Float64")
+        j["n_orders"] = j["n_orders"].astype("Int64")
+        return j[["custkey", "acctbal", "n_orders"]]
+
+    cust = customer_ds.map_batches(
+        _cust_side, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )
+    od = orders_ds.map_batches(
+        _ord_side, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )
+    return cust.union(od).groupby("part").map_groups(
+        _merge, batch_format="pandas"
+    )
+
+
+#: group_corr batch cap: per-batch Σy² with y = price-in-cents (< 2^24) must
+#: stay under int64 — 1.2e14 × 16384 ≈ 2e18 < 2^63. Larger batches would
+#: overflow SILENTLY in numpy (wraparound, no error), so the cap is load-
+#: bearing, not a tuning knob.
+CORR_BATCH = 16384
+#: hi/lo split base for shipping >int64-range sums through the shuffle as two
+#: int64 columns: s = (Σhi << 31) + Σlo, reassembled in arbitrary-precision
+#: Python int on the ≤n_groups-row final table.
+_CORR_SHIFT = 31
+
+
+def group_corr(lineitem_ds, parts: int = 4):
+    """EXACT per-group Pearson correlation of (l_quantity,
+    l_extendedprice-in-cents) by l_returnflag — bit-for-bit equal to a
+    DuckDB oracle that mirrors the same integer-sum expression.
+
+    Floating summation is order-dependent, so a naive float partial-sum
+    can never hash-match SQL. Instead every moment (n, Σx, Σy, Σxy, Σx²,
+    Σy²) is an EXACT integer: x = quantity (integral by construction),
+    y = round(price·100) (2-decimal money). Per-batch numpy partials stay
+    under int64 via CORR_BATCH; sums that outgrow int64 at scale (Σy² at
+    ≥sf0.1) cross the shuffle as (hi, lo) int64 pairs and are reassembled
+    with Python bigints on the tiny final table. The closing float
+    expression — float(nΣxy−ΣxΣy) / (√float(nΣx²−Σx²)·√float(nΣy²−Σy²)) —
+    is evaluated in the SAME shape the oracle SQL casts, so IEEE gives
+    identical doubles. Only n_groups × n_batches partial rows ever move."""
+    from ray.data.aggregate import Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        x = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        x = np.rint(x).astype(np.int64)
+        y = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        y = np.rint(y * 100.0).astype(np.int64)
+        flag = b.column("l_returnflag").to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(flag)
+        n = np.bincount(codes)
+        out = {"l_returnflag": uniq, "n": n.astype(np.int64)}
+        for name, v in (("sx", x), ("sy", y), ("sxy", x * y),
+                        ("sx2", x * x), ("sy2", y * y)):
+            s = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(s, codes, v)
+            out[name + "_hi"] = s >> _CORR_SHIFT
+            out[name + "_lo"] = s & ((1 << _CORR_SHIFT) - 1)
+        return _fpc(pd.DataFrame(out), preserve_index=False)
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        rows = []
+        for _, r in df.iterrows():
+            n = int(r["n"])
+            m = {}
+            for name in ("sx", "sy", "sxy", "sx2", "sy2"):
+                m[name] = (int(r[name + "_hi"]) << _CORR_SHIFT) + int(
+                    r[name + "_lo"]
+                )
+            num = float(n * m["sxy"] - m["sx"] * m["sy"])
+            vx = float(n * m["sx2"] - m["sx"] * m["sx"])
+            vy = float(n * m["sy2"] - m["sy"] * m["sy"])
+            corr = num / (math.sqrt(vx) * math.sqrt(vy))
+            rows.append(
+                {"l_returnflag": r["l_returnflag"], "n_rows": n,
+                 "corr_qty_price": corr}
+            )
+        return pd.DataFrame(rows)
+
+    partials = lineitem_ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=CORR_BATCH,
+    )
+    aggs = [Sum("n", alias_name="n")]
+    for name in ("sx", "sy", "sxy", "sx2", "sy2"):
+        aggs.append(Sum(name + "_hi", alias_name=name + "_hi"))
+        aggs.append(Sum(name + "_lo", alias_name=name + "_lo"))
+    return (
+        partials.repartition(parts)
+        .groupby("l_returnflag")
+        .aggregate(*aggs)
+        .map_batches(_finish, batch_format="pandas")
+    )
+
+
+def event_gini(events_ds, parts: int = 64):
+    """Per-user Gini impurity (Simpson diversity) of event types:
+    1 − Σ(c_t/n)² — the oracle-exact cousin of Shannon entropy (whose
+    ln() is not IEEE-correctly-rounded and differs across libm builds, so
+    it can never hash-match SQL; Gini needs only integer counts and ONE
+    double division, which IEEE pins bit-for-bit on both engines).
+
+    Physical form: per-batch (user, type) partial counts collapse each
+    batch to its distinct pairs, ONE shuffle on the coarse user hash, then
+    a vectorized per-partition pandas pass: re-sum partials to true
+    per-(user,type) counts, fold to per-user n and Σc², and emit
+    gini = float(n²−Σc²)/float(n²). Integer-exact through the shuffle at
+    any scale a single user's count fits int64."""
+
+    def _partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": b.column("user_id").to_numpy(zero_copy_only=False),
+                "event_type": b.column("event_type").to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+        g = df.groupby(["user_id", "event_type"], as_index=False).size()
+        g = g.rename(columns={"size": "cnt"})
+        g["part"] = (g["user_id"] % parts).astype("int32")
+        return _fpc(g[["part", "user_id", "event_type", "cnt"]],
+                    preserve_index=False)
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        full = g.groupby(["user_id", "event_type"], as_index=False)[
+            "cnt"
+        ].sum()
+        full["cnt2"] = full["cnt"] * full["cnt"]
+        per = full.groupby("user_id", as_index=False).agg(
+            n_events=("cnt", "sum"), s2=("cnt2", "sum")
+        )
+        n2 = per["n_events"].to_numpy(dtype=np.int64) ** 2
+        s2 = per["s2"].to_numpy(dtype=np.int64)
+        per["gini"] = (n2 - s2).astype(np.float64) / n2.astype(np.float64)
+        return per[["user_id", "n_events", "gini"]]
+
+    partials = events_ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )
+    return partials.groupby("part").map_groups(_fold, batch_format="pandas")
+
+
+def event_paths(events_ds, sep: str = ">", parts: int = 64):
+    """Per-user ordered event-type path — SQL
+    ``string_agg(event_type, sep ORDER BY ts)``. (user_id, ts) is unique in
+    the events table, so the order (and the hash compare) is deterministic.
+
+    ONE shuffle on the coarse user hash carrying only (user, ts, type);
+    per partition: one vectorized sort by (user, ts), then a per-user join
+    of the type strings. Output size is Θ(input) chars, so the concat pass
+    is inherently linear; the scale assumption (same as sessionize /
+    funnel) is that ONE USER's events fit a worker's heap — the partition
+    never needs to."""
+
+    def _tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": _floored_mod(b.column("user_id"), parts),
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "event_type": b.column("event_type"),
+            }
+        )
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        out = g.groupby("user_id", as_index=False).agg(
+            n_events=("event_type", "size"),
+            path=("event_type", sep.join),
+        )
+        return out[["user_id", "n_events", "path"]]
+
+    tagged = events_ds.map_batches(
+        _tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536,
+    )
+    return tagged.groupby("part").map_groups(_fold, batch_format="pandas")

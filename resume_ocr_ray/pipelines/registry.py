@@ -944,6 +944,30 @@ def q_interval_overlap(sf_dir: str):
     )
 
 
+def q_full_outer_join(sf_dir: str):
+    return R.full_outer_join_customers_orders(
+        _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]),
+        _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]),
+    )
+
+
+def q_group_corr(sf_dir: str):
+    return R.group_corr(
+        _read(sf_dir, "lineitem",
+              ["l_returnflag", "l_quantity", "l_extendedprice"])
+    )
+
+
+def q_event_gini(sf_dir: str):
+    return R.event_gini(_read(sf_dir, "events", ["user_id", "event_type"]))
+
+
+def q_event_paths(sf_dir: str):
+    return R.event_paths(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    )
+
+
 def register(name: str, fn, sql: str | None = None) -> None:
     """Register a user-defined pipeline: ``fn(sf_dir) -> Dataset|DataFrame|
     Table`` appears in ``queries()``; when ``sql`` is given it becomes the
@@ -1113,6 +1137,10 @@ def _all_queries() -> dict:
         "bigram_counts": q_bigram_counts,
         "cooccur": q_cooccur,
         "interval_overlap": q_interval_overlap,
+        "full_outer_join": q_full_outer_join,
+        "group_corr": q_group_corr,
+        "event_gini": q_event_gini,
+        "event_paths": q_event_paths,
         # approximate by construction (int8 quantization) — rows-only;
         # recall@k pinned by tests/test_ops.py::test_ann_int8_recall
         "ann_int8": q_ann_int8,
@@ -1777,6 +1805,57 @@ def oracle_sql() -> dict:
             "AND a.user_id <> b.user_id "
             "AND a.t0 <= b.t1 AND b.t0 <= a.t1 "
             "GROUP BY 1, 2"
+        ),
+        "full_outer_join": (
+            # sides filtered so BOTH exclusive regions are non-empty on
+            # TPC-H-shaped data (customer ⋈ orders is otherwise total);
+            # thresholds match full_outer_join_customers_orders defaults
+            "SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey, "
+            "c.c_acctbal AS acctbal, o.n_orders AS n_orders "
+            "FROM (SELECT c_custkey, c_acctbal FROM customer "
+            "WHERE c_acctbal > 5000) c "
+            "FULL OUTER JOIN ("
+            "SELECT o_custkey, count(*) AS n_orders FROM orders "
+            "WHERE o_orderstatus = 'F' GROUP BY o_custkey) o "
+            "ON c.c_custkey = o.o_custkey"
+        ),
+        "group_corr": (
+            # bit-exact float parity: all six moments are EXACT integers
+            # (x = quantity, integral; y = round(price*100), 2-dec money),
+            # summed in HUGEINT; the closing expression is cast/evaluated
+            # in the SAME shape the Ray finisher uses, so IEEE arithmetic
+            # pins identical doubles (ops/relational.py::group_corr)
+            "WITH b AS (SELECT l_returnflag, "
+            "CAST(l_quantity AS HUGEINT) AS x, "
+            "CAST(round(l_extendedprice * 100) AS HUGEINT) AS y "
+            "FROM lineitem), s AS ("
+            "SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n, "
+            "sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, "
+            "sum(x*x) AS sx2, sum(y*y) AS sy2 FROM b GROUP BY l_returnflag) "
+            "SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows, "
+            "CAST(n*sxy - sx*sy AS DOUBLE) / "
+            "(sqrt(CAST(n*sx2 - sx*sx AS DOUBLE)) * "
+            "sqrt(CAST(n*sy2 - sy*sy AS DOUBLE))) AS corr_qty_price "
+            "FROM s"
+        ),
+        "event_gini": (
+            # Gini impurity, not Shannon entropy: ln() is not correctly
+            # rounded and differs across libm builds, so entropy can never
+            # hash-match; Gini needs only integer counts + one division
+            "WITH c AS (SELECT user_id, event_type, "
+            "CAST(count(*) AS BIGINT) AS cnt "
+            "FROM events GROUP BY 1, 2), "
+            "p AS (SELECT user_id, sum(cnt) AS n_events, "
+            "sum(cnt*cnt) AS s2 FROM c GROUP BY 1) "
+            "SELECT user_id, CAST(n_events AS BIGINT) AS n_events, "
+            "CAST(n_events*n_events - s2 AS DOUBLE) / "
+            "CAST(n_events*n_events AS DOUBLE) AS gini FROM p"
+        ),
+        "event_paths": (
+            # (user_id, ts) is unique in events → deterministic agg order
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+            "string_agg(event_type, '>' ORDER BY ts) AS path "
+            "FROM events GROUP BY user_id"
         ),
         "retention": (
             "WITH f AS (SELECT user_id, min(ts) AS t0 FROM events "

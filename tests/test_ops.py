@@ -1706,3 +1706,88 @@ def test_interval_overlap_first_bucket_dedup(ray_session):
     assert out.loc[2, "n_overlap"] == 1
     assert out.loc[3, "n_overlap"] == 1
     assert 4 not in out.index  # zero-overlap intervals are not emitted
+
+
+def test_group_corr_bigint_split_survives_int64_overflow(ray_session):
+    """group_corr ships Σy² as (hi, lo) int64 pairs because the plain sum
+    outgrows int64 at scale. Feed a corpus whose TOTAL Σy² ≈ 2.6e19 > 2^63
+    (per-batch partials stay legal via CORR_BATCH) and check the
+    reassembled correlation against numpy-on-bigints computed directly."""
+    import math
+
+    import ray.data as rd
+
+    from resume_ocr_ray.ops.relational import group_corr
+
+    rng = np.random.default_rng(11)
+    n = 220_000
+    x = rng.integers(1, 51, n)
+    # y in cents near the real price ceiling (~1.1e7): y² ≈ 1.2e14 each,
+    # 2.2e5 rows → Σy² ≈ 2.6e19, past int64
+    y_cents = rng.integers(10_800_000, 11_000_000, n)
+    df = pd.DataFrame(
+        {
+            "l_returnflag": np.where(x % 2 == 0, "A", "R"),
+            "l_quantity": x.astype(np.float64),
+            "l_extendedprice": y_cents.astype(np.float64) / 100.0,
+        }
+    )
+    got = (
+        group_corr(rd.from_pandas(df).repartition(9))
+        .to_pandas()
+        .set_index("l_returnflag")
+        .sort_index()
+    )
+
+    for flag in ("A", "R"):
+        m = df["l_returnflag"] == flag
+        xs = [int(v) for v in x[m.to_numpy()]]
+        ys = [int(v) for v in y_cents[m.to_numpy()]]
+        nn = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sx2 = sum(a * a for a in xs)
+        sy2 = sum(b * b for b in ys)
+        assert nn * sy2 - sy * sy > 2**63  # the overflow regime is real
+        want = float(nn * sxy - sx * sy) / (
+            math.sqrt(float(nn * sx2 - sx * sx))
+            * math.sqrt(float(nn * sy2 - sy * sy))
+        )
+        assert got.loc[flag, "corr_qty_price"] == want  # bit-for-bit
+        assert got.loc[flag, "n_rows"] == nn
+
+
+def test_full_outer_join_null_sides_are_arrow_nulls(ray_session):
+    """Both exclusive regions must surface as Arrow NULLs (SQL semantics),
+    never NaN — the driver hash-compares against DuckDB's FULL JOIN."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from resume_ocr_ray.ops.relational import full_outer_join_customers_orders
+
+    cust = pd.DataFrame(
+        {"c_custkey": [1, 2, 3], "c_acctbal": [9000.0, 100.0, 7000.0]}
+    )
+    orders = pd.DataFrame(
+        {
+            "o_custkey": [2, 2, 4],
+            "o_orderstatus": ["F", "F", "F"],
+        }
+    )
+    out = full_outer_join_customers_orders(
+        rd.from_pandas(cust), rd.from_pandas(orders)
+    )
+    tbl = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")],
+        promote_options="default",
+    )
+    d = {r["custkey"]: r for r in tbl.to_pylist()}
+    # cust 2 filtered out by acctbal (100 < 5000) but has F orders →
+    # right-only; cust 1/3 pass the filter but have no F orders → left-only
+    assert d[1]["n_orders"] is None and d[1]["acctbal"] == 9000.0
+    assert d[3]["n_orders"] is None
+    assert d[2]["acctbal"] is None and d[2]["n_orders"] == 2
+    assert d[4]["acctbal"] is None and d[4]["n_orders"] == 1
+    # arrow-level: the null count is real (not NaN smuggled as a double)
+    assert tbl.column("acctbal").null_count == 2
+    assert tbl.column("n_orders").null_count == 2

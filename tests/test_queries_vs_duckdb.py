@@ -74,6 +74,7 @@ def test_all_queries_run(ray_session, registry):
         "ntile", "running_sum", "fuzzy_pairs", "cume_dist", "cube_agg",
         "substring_dups", "dedup_normalized", "json_props", "funnel", "retention", "region_rollup",
         "postings", "bigram_counts", "cooccur", "interval_overlap",
+        "full_outer_join", "group_corr", "event_gini", "event_paths",
     ],
 )
 def test_query_matches_oracle(ray_session, registry, duck, name):
