@@ -96,6 +96,10 @@ BENCH_QUERIES = [
     "cume_dist",
     "cube_agg",
     "substring_dups",
+    "full_outer_join",
+    "group_corr",
+    "event_gini",
+    "event_paths",
 ]
 
 
