@@ -2552,3 +2552,43 @@ def event_paths(events_ds, sep: str = ">", parts: int = 64):
         _tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536,
     )
     return tagged.groupby("part").map_groups(_fold, batch_format="pandas")
+
+
+def argmax_event(events_ds, parts: int = 64):
+    """Per-user ARGMAX row: the event with the greatest (value, event_id) —
+    SQL ``row_number() OVER (PARTITION BY user_id ORDER BY value DESC,
+    event_id DESC) = 1``. The event_id tiebreak makes the winner (and the
+    driver hash) deterministic; value passes through untouched, so floats
+    compare exactly (no arithmetic to diverge).
+
+    Selection is distributive: each batch keeps ONE candidate row per user
+    (vectorized sort + drop_duplicates), so only n_users × n_batches rows
+    cross the ONE coarse-hash shuffle; the per-partition fold repeats the
+    same selection over candidates."""
+
+    def _best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "value", "event_id"],
+            ascending=[True, False, False],
+            kind="mergesort",
+        )
+        return df.drop_duplicates("user_id", keep="first")
+
+    def _partial(b: pa.Table) -> pa.Table:
+        df = b.select(["user_id", "event_id", "value"]).to_pandas()
+        w = _best(df)
+        w["part"] = (w["user_id"] % parts).astype("int32")
+        return _fpc(w[["part", "user_id", "event_id", "value"]],
+                    preserve_index=False)
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        w = _best(g)
+        w = w.rename(columns={"event_id": "best_event",
+                              "value": "best_value"})
+        return w[["user_id", "best_event", "best_value"]]
+
+    partials = events_ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )
+    return partials.groupby("part").map_groups(_fold, batch_format="pandas")

@@ -944,6 +944,12 @@ def q_interval_overlap(sf_dir: str):
     )
 
 
+def q_argmax_event(sf_dir: str):
+    return R.argmax_event(
+        _read(sf_dir, "events", ["user_id", "event_id", "value"])
+    )
+
+
 def q_full_outer_join(sf_dir: str):
     return R.full_outer_join_customers_orders(
         _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]),
@@ -1141,6 +1147,7 @@ def _all_queries() -> dict:
         "group_corr": q_group_corr,
         "event_gini": q_event_gini,
         "event_paths": q_event_paths,
+        "argmax_event": q_argmax_event,
         # approximate by construction (int8 quantization) — rows-only;
         # recall@k pinned by tests/test_ops.py::test_ann_int8_recall
         "ann_int8": q_ann_int8,
@@ -1856,6 +1863,14 @@ def oracle_sql() -> dict:
             "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
             "string_agg(event_type, '>' ORDER BY ts) AS path "
             "FROM events GROUP BY user_id"
+        ),
+        "argmax_event": (
+            # event_id tiebreak → deterministic winner; value is a
+            # passthrough (no arithmetic), so doubles compare exactly
+            "SELECT user_id, event_id AS best_event, value AS best_value "
+            "FROM (SELECT user_id, event_id, value, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY value DESC, event_id DESC"
+            ") AS rn FROM events) WHERE rn = 1"
         ),
         "retention": (
             "WITH f AS (SELECT user_id, min(ts) AS t0 FROM events "
