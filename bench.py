@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "group_corr",
     "event_gini",
     "event_paths",
+    "argmax_event",
 ]
 
 
