@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "event_gini",
     "event_paths",
     "argmax_event",
+    "event_transitions",
 ]
 
 

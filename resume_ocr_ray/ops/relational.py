@@ -2592,3 +2592,50 @@ def argmax_event(events_ds, parts: int = 64):
         batch_size=65536,
     )
     return partials.groupby("part").map_groups(_fold, batch_format="pandas")
+
+
+def event_transitions(events_ds, parts: int = 64):
+    """Corpus-wide event-type TRANSITION counts: (src, dst, cnt) where dst
+    is the user's next event by ts — SQL ``lead(event_type) OVER
+    (PARTITION BY user_id ORDER BY ts)``, nulls (each user's last event)
+    dropped. (user_id, ts) is unique in the events table, so successor
+    choice is deterministic. The Markov-chain / session-flow primitive.
+
+    Shape: ONE coarse user-hash shuffle carrying (user, ts, type); per
+    partition a vectorized mergesort + shift-compare builds within-user
+    adjacent pairs and pre-counts them (partials are C(n_types, 2)-bounded
+    per partition), then the engine Aggregate sums the tiny pair-key table
+    — transitions for one user never straddle partitions, so no boundary
+    exchange is needed (unlike the range-sorted rank ops)."""
+    from ray.data.aggregate import Sum
+
+    def _tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": _floored_mod(b.column("user_id"), parts),
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "event_type": b.column("event_type"),
+            }
+        )
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["event_type"].to_numpy()
+        same = u[1:] == u[:-1]
+        pairs = pd.DataFrame({"src": t[:-1][same], "dst": t[1:][same]})
+        return (
+            pairs.groupby(["src", "dst"], sort=False)
+            .size().reset_index(name="partial")
+        )
+
+    tagged = events_ds.map_batches(
+        _tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536,
+    )
+    partials = tagged.groupby("part").map_groups(
+        _fold, batch_format="pandas"
+    )
+    return partials.groupby(["src", "dst"]).aggregate(
+        Sum("partial", alias_name="cnt")
+    )

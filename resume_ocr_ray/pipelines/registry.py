@@ -950,6 +950,12 @@ def q_argmax_event(sf_dir: str):
     )
 
 
+def q_event_transitions(sf_dir: str):
+    return R.event_transitions(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    )
+
+
 def q_full_outer_join(sf_dir: str):
     return R.full_outer_join_customers_orders(
         _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]),
@@ -1148,6 +1154,7 @@ def _all_queries() -> dict:
         "event_gini": q_event_gini,
         "event_paths": q_event_paths,
         "argmax_event": q_argmax_event,
+        "event_transitions": q_event_transitions,
         # approximate by construction (int8 quantization) — rows-only;
         # recall@k pinned by tests/test_ops.py::test_ann_int8_recall
         "ann_int8": q_ann_int8,
@@ -1871,6 +1878,13 @@ def oracle_sql() -> dict:
             "FROM (SELECT user_id, event_id, value, row_number() OVER ("
             "PARTITION BY user_id ORDER BY value DESC, event_id DESC"
             ") AS rn FROM events) WHERE rn = 1"
+        ),
+        "event_transitions": (
+            # (user_id, ts) unique → lead() successor is deterministic
+            "SELECT src, dst, count(*) AS cnt FROM ("
+            "SELECT event_type AS src, lead(event_type) OVER ("
+            "PARTITION BY user_id ORDER BY ts) AS dst FROM events"
+            ") WHERE dst IS NOT NULL GROUP BY src, dst"
         ),
         "retention": (
             "WITH f AS (SELECT user_id, min(ts) AS t0 FROM events "
