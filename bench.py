@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "event_paths",
     "argmax_event",
     "event_transitions",
+    "above_avg_orders",
 ]
 
 

@@ -2639,3 +2639,46 @@ def event_transitions(events_ds, parts: int = 64):
     return partials.groupby(["src", "dst"]).aggregate(
         Sum("partial", alias_name="cnt")
     )
+
+
+def above_avg_orders(orders_ds, parts: int = 64):
+    """Orders priced STRICTLY above their customer's average order price —
+    the classic correlated-scalar-subquery shape (``WHERE o_totalprice >
+    (SELECT avg(...) FROM orders WHERE same customer)``).
+
+    Float averages are order-dependent, so the comparison is done in EXACT
+    integers instead: cents = round(price·100) (2-decimal money), and
+    ``price > avg`` ⇔ ``cents · n > Σcents`` (cross-multiplied, no
+    division, no float). The oracle SQL mirrors the same expression, so
+    the match is bit-exact. Output columns are passthrough.
+
+    Shape: every row must see its customer's GLOBAL sum before the filter
+    can fire, so all rows cross ONE coarse custkey-hash shuffle (carrying
+    only key/id/price); the per-partition fold is two vectorized
+    groupby-transforms + a boolean mask — no second aggregate pass and no
+    join, because co-locating a customer's orders makes the correlated
+    aggregate a partition-local computation."""
+
+    def _tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": _floored_mod(b.column("o_custkey"), parts),
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+                "o_totalprice": b.column("o_totalprice"),
+            }
+        )
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(g["o_totalprice"].to_numpy() * 100.0).astype(
+            np.int64
+        )
+        g = g.assign(cents=cents)
+        grp = g.groupby("o_custkey")["cents"]
+        keep = g["cents"] * grp.transform("size") > grp.transform("sum")
+        return g.loc[keep, ["o_orderkey", "o_custkey", "o_totalprice"]]
+
+    tagged = orders_ds.map_batches(
+        _tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536,
+    )
+    return tagged.groupby("part").map_groups(_fold, batch_format="pandas")

@@ -956,6 +956,12 @@ def q_event_transitions(sf_dir: str):
     )
 
 
+def q_above_avg_orders(sf_dir: str):
+    return R.above_avg_orders(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    )
+
+
 def q_full_outer_join(sf_dir: str):
     return R.full_outer_join_customers_orders(
         _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]),
@@ -1155,6 +1161,7 @@ def _all_queries() -> dict:
         "event_paths": q_event_paths,
         "argmax_event": q_argmax_event,
         "event_transitions": q_event_transitions,
+        "above_avg_orders": q_above_avg_orders,
         # approximate by construction (int8 quantization) — rows-only;
         # recall@k pinned by tests/test_ops.py::test_ann_int8_recall
         "ann_int8": q_ann_int8,
@@ -1885,6 +1892,18 @@ def oracle_sql() -> dict:
             "SELECT event_type AS src, lead(event_type) OVER ("
             "PARTITION BY user_id ORDER BY ts) AS dst FROM events"
             ") WHERE dst IS NOT NULL GROUP BY src, dst"
+        ),
+        "above_avg_orders": (
+            # price > avg ⇔ cents·n > Σcents in EXACT integers (2-decimal
+            # money) — no float division, so the Ray side hash-matches
+            # bit-for-bit (ops/relational.py::above_avg_orders)
+            "WITH b AS (SELECT o_orderkey, o_custkey, o_totalprice, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents "
+            "FROM orders), s AS (SELECT o_custkey, "
+            "CAST(count(*) AS BIGINT) AS n, sum(cents) AS sx "
+            "FROM b GROUP BY o_custkey) "
+            "SELECT b.o_orderkey, b.o_custkey, b.o_totalprice "
+            "FROM b JOIN s USING (o_custkey) WHERE b.cents * s.n > s.sx"
         ),
         "retention": (
             "WITH f AS (SELECT user_id, min(ts) AS t0 FROM events "
