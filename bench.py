@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "argmax_event",
     "event_transitions",
     "above_avg_orders",
+    "pareto_skyline",
 ]
 
 

@@ -2682,3 +2682,51 @@ def above_avg_orders(orders_ds, parts: int = 64):
         _tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536,
     )
     return tagged.groupby("part").map_groups(_fold, batch_format="pandas")
+
+
+def pareto_lineitems(lineitem_ds):
+    """SKYLINE (Pareto frontier) of lineitems maximizing (quantity, price):
+    a row survives iff no other row is ≥ in both dimensions and > in one —
+    the classic skyline operator (Börzsönyi et al.), used for
+    non-dominated doc selection (longest × highest-quality) in data
+    curation. Dimensions compare as EXACT integers (quantity integral,
+    price in cents), so the oracle window-SQL matches bit-for-bit;
+    output columns are passthrough.
+
+    Shape: domination is transitive, so frontier(A ∪ B) =
+    frontier(frontier(A) ∪ frontier(B)) — per-batch frontiers are
+    LOSSLESS partials and NO shuffle is needed: map_batches prune →
+    coalesce → final fold. Each frontier pass is one vectorized
+    unique/suffix-cummax over distinct x (no row loop). Scale assumption
+    (documented skyline caveat): the FRONTIER fits one worker — ~H(n)
+    points for independent dims; adversarial all-diagonal inputs degrade
+    to the full set, which no skyline algorithm partitions away."""
+    _MIN = np.iinfo(np.int64).min
+
+    def _frontier(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        x = np.rint(df["l_quantity"].to_numpy()).astype(np.int64)
+        y = np.rint(df["l_extendedprice"].to_numpy() * 100.0).astype(
+            np.int64
+        )
+        gx, inv = np.unique(x, return_inverse=True)
+        gy = np.full(len(gx), _MIN, dtype=np.int64)
+        np.maximum.at(gy, inv, y)
+        cm = np.maximum.accumulate(gy[::-1])[::-1]
+        suf = np.empty_like(gy)
+        suf[:-1] = cm[1:]
+        suf[-1] = _MIN
+        keep = (y == gy[inv]) & (suf[inv] < y)
+        return df.loc[keep]
+
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+    pruned = lineitem_ds.select_columns(cols).map_batches(
+        _frontier, batch_format="pandas", batch_size=65536,
+    )
+    return (
+        pruned.repartition(8)
+        .map_batches(_frontier, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(_frontier, batch_format="pandas", batch_size=None)
+    )

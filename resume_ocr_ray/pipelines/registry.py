@@ -962,6 +962,14 @@ def q_above_avg_orders(sf_dir: str):
     )
 
 
+def q_pareto_skyline(sf_dir: str):
+    return R.pareto_lineitems(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_linenumber", "l_quantity",
+               "l_extendedprice"])
+    )
+
+
 def q_full_outer_join(sf_dir: str):
     return R.full_outer_join_customers_orders(
         _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]),
@@ -1162,6 +1170,7 @@ def _all_queries() -> dict:
         "argmax_event": q_argmax_event,
         "event_transitions": q_event_transitions,
         "above_avg_orders": q_above_avg_orders,
+        "pareto_skyline": q_pareto_skyline,
         # approximate by construction (int8 quantization) — rows-only;
         # recall@k pinned by tests/test_ops.py::test_ann_int8_recall
         "ann_int8": q_ann_int8,
@@ -1904,6 +1913,20 @@ def oracle_sql() -> dict:
             "FROM b GROUP BY o_custkey) "
             "SELECT b.o_orderkey, b.o_custkey, b.o_totalprice "
             "FROM b JOIN s USING (o_custkey) WHERE b.cents * s.n > s.sx"
+        ),
+        "pareto_skyline": (
+            # skyline via window SQL (no O(n²) NOT EXISTS): keep a row iff
+            # it holds its x-group's max y AND no strictly-greater x has
+            # y ≥ it; dims are exact ints so the Ray mask is bit-identical
+            "WITH b AS (SELECT l_orderkey, l_linenumber, l_quantity, "
+            "l_extendedprice, CAST(round(l_quantity) AS BIGINT) AS x, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS y "
+            "FROM lineitem), g AS (SELECT x, max(y) AS gy FROM b "
+            "GROUP BY x), s AS (SELECT x, gy, max(gy) OVER (ORDER BY x "
+            "DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sm "
+            "FROM g) SELECT b.l_orderkey, b.l_linenumber, b.l_quantity, "
+            "b.l_extendedprice FROM b JOIN s USING (x) "
+            "WHERE b.y = s.gy AND (s.sm IS NULL OR s.sm < b.y)"
         ),
         "retention": (
             "WITH f AS (SELECT user_id, min(ts) AS t0 FROM events "

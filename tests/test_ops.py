@@ -1791,3 +1791,55 @@ def test_full_outer_join_null_sides_are_arrow_nulls(ray_session):
     # arrow-level: the null count is real (not NaN smuggled as a double)
     assert tbl.column("acctbal").null_count == 2
     assert tbl.column("n_orders").null_count == 2
+
+
+def test_pareto_skyline_matches_bruteforce_and_diagonal(ray_session):
+    """Frontier-of-frontiers must be lossless under ANY partitioning:
+    compare against O(n²) brute-force domination on a seeded corpus split
+    into many tiny blocks, plus the adversarial all-diagonal input where
+    EVERY point is on the frontier (nothing may be pruned)."""
+    import ray.data as rd
+
+    from resume_ocr_ray.ops.relational import pareto_lineitems
+
+    rng = np.random.default_rng(7)
+    n = 500
+    q = rng.integers(1, 40, n).astype(float)
+    cents = rng.integers(100, 5_000_00, n)
+    # inject identical duplicate points: neither dominates the other
+    q[10], cents[10] = q[11], cents[11]
+    df = pd.DataFrame(
+        {
+            "l_orderkey": np.arange(n, dtype=np.int64),
+            "l_linenumber": np.ones(n, dtype=np.int32),
+            "l_quantity": q,
+            "l_extendedprice": cents / 100.0,
+        }
+    )
+    x = np.rint(q).astype(np.int64)
+    y = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+    dominated = np.zeros(n, dtype=bool)
+    for i in range(n):
+        dominated[i] = bool(
+            np.any(
+                (x >= x[i]) & (y >= y[i]) & ((x > x[i]) | (y > y[i]))
+            )
+        )
+    expect = set(df.loc[~dominated, "l_orderkey"])
+
+    out = pareto_lineitems(rd.from_pandas(df).repartition(37)).to_pandas()
+    assert set(out["l_orderkey"]) == expect
+    assert len(out) == len(expect)  # duplicate frontier points both kept
+
+    # all-diagonal adversarial input: x + y constant → empty domination
+    m = 64
+    diag = pd.DataFrame(
+        {
+            "l_orderkey": np.arange(m, dtype=np.int64),
+            "l_linenumber": np.ones(m, dtype=np.int32),
+            "l_quantity": np.arange(1, m + 1, dtype=float),
+            "l_extendedprice": np.arange(m, 0, -1, dtype=float),
+        }
+    )
+    out2 = pareto_lineitems(rd.from_pandas(diag).repartition(9)).to_pandas()
+    assert len(out2) == m
