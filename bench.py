@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "event_transitions",
     "above_avg_orders",
     "pareto_skyline",
+    "length_outliers",
 ]
 
 

@@ -2730,3 +2730,96 @@ def pareto_lineitems(lineitem_ds):
         .repartition(1)
         .map_batches(_frontier, batch_format="pandas", batch_size=None)
     )
+
+
+def length_outliers(docs_ds_factory, sigmas: int = 3, parts: int = 4):
+    """Docs whose n_chars deviates MORE than ``sigmas``·σ from their
+    language's mean — the population-stat outlier filter (corpus QA,
+    truncation/concat artifact detection), decided EXACTLY in integers:
+    (x − μ)² > k²σ² ⇔ (n·x − sx)² > k²·(n·sx2 − sx²) (both sides scaled
+    by n², no float mean/variance anywhere, so the oracle hash-matches on
+    any corpus). Output columns are passthrough.
+
+    Row-side overflow safety at ANY scale: the quadratic test is folded
+    into per-lang integer THRESHOLDS on x itself — x > ⌊(sx+B)/n⌋ or
+    x < ⌈(sx−B)/n⌉−adjust, with B = isqrt(k²·(n·sx2 − sx²)) computed in
+    Python bigints on the tiny stats table (for non-negative integers,
+    a > isqrt(D) ⇔ a² > D, so the threshold form is EXACTLY the
+    quadratic). The streaming pass then compares int64 x against two
+    per-lang int64 bounds — no n·x product ever materializes per row.
+
+    Shape: per-batch integer-moment partials (lang, n, Σx, Σx²) → one
+    tiny cogroup sum (n_langs rows — the group-cardinality bound
+    justifying the driver fetch, same as winsorize) → ray.put broadcast →
+    ONE streaming filter scan. Σx² per batch: n_chars < 2²⁰ ⇒ x² < 2⁴⁰,
+    ×65536 rows < 2⁵⁶ — inside int64; the GLOBAL sums are reassembled as
+    Python bigints, so corpus size never overflows them."""
+    import ray
+
+    from ..common import cached_broadcast
+
+    def _partial(b: pa.Table) -> pa.Table:
+        x = b.column("n_chars").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        codes, uniq = pd.factorize(
+            b.column("lang").to_numpy(zero_copy_only=False)
+        )
+        n = np.bincount(codes)
+        sx = np.zeros(len(uniq), dtype=np.int64)
+        sx2 = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sx, codes, x)
+        np.add.at(sx2, codes, x * x)
+        return _fpc(
+            pd.DataFrame(
+                {"lang": uniq, "n": n.astype(np.int64), "sx": sx,
+                 "sx2": sx2}
+            ),
+            preserve_index=False,
+        )
+
+    from ray.data.aggregate import Sum
+
+    stats = (
+        docs_ds_factory()
+        .map_batches(_partial, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=65536)
+        .repartition(parts)
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                   Sum("sx2", alias_name="sx2"))
+        .to_pandas()  # n_langs rows (tiny by the group-cardinality bound)
+    )
+
+    import math
+
+    bounds = {}
+    for _, r in stats.iterrows():
+        n, sx, sx2 = int(r["n"]), int(r["sx"]), int(r["sx2"])
+        disc = sigmas * sigmas * (n * sx2 - sx * sx)  # ≥ 0 always
+        B = math.isqrt(disc)
+        # keep x iff (n·x − sx)² > disc ⇔ n·x − sx > B or sx − n·x > B
+        #   hi: n·x > sx + B ⇔ x > ⌊(sx+B)/n⌋   (ints: a > isqrt ⇔ a² >)
+        #   lo: n·x < sx − B ⇔ x < ⌈(sx−B)/n⌉ ⇔ x < ⌊(sx−B−1)/n⌋ + 1
+        bounds[str(r["lang"])] = (
+            (sx + B) // n,            # keep iff x >  hi
+            (sx - B - 1) // n + 1,    # keep iff x <  lo
+        )
+    bounds_ref = ray.put(bounds)
+
+    def _filter(b: pa.Table) -> pa.Table:
+        bmap = cached_broadcast(bounds_ref)
+        langs = pd.Series(b.column("lang").to_numpy(zero_copy_only=False))
+        x = b.column("n_chars").to_numpy(zero_copy_only=False)
+        hi = langs.map({k: v[0] for k, v in bmap.items()}).to_numpy()
+        lo = langs.map({k: v[1] for k, v in bmap.items()}).to_numpy()
+        if pd.isna(hi).any():
+            raise ValueError(
+                "length_outliers: lang missing from stats broadcast"
+            )
+        keep = (x > hi.astype(np.int64)) | (x < lo.astype(np.int64))
+        return b.filter(pa.array(keep))
+
+    return docs_ds_factory().map_batches(
+        _filter, batch_format="pyarrow", zero_copy_batch=True,
+    )

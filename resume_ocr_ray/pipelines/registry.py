@@ -962,6 +962,17 @@ def q_above_avg_orders(sf_dir: str):
     )
 
 
+def q_length_outliers(sf_dir: str):
+    """sigmas=1 HERE because the synthetic corpus draws n_chars
+    near-uniform (max deviation < 2σ — the 3σ default returns the empty
+    set at every sf, an oracle that proves nothing); on a real corpus the
+    op's default 3 is the meaningful QA gate."""
+    return R.length_outliers(
+        lambda: _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+        sigmas=1,
+    )
+
+
 def q_pareto_skyline(sf_dir: str):
     return R.pareto_lineitems(
         _read(sf_dir, "lineitem",
@@ -1171,6 +1182,7 @@ def _all_queries() -> dict:
         "event_transitions": q_event_transitions,
         "above_avg_orders": q_above_avg_orders,
         "pareto_skyline": q_pareto_skyline,
+        "length_outliers": q_length_outliers,
         # approximate by construction (int8 quantization) — rows-only;
         # recall@k pinned by tests/test_ops.py::test_ann_int8_recall
         "ann_int8": q_ann_int8,
@@ -1927,6 +1939,18 @@ def oracle_sql() -> dict:
             "FROM g) SELECT b.l_orderkey, b.l_linenumber, b.l_quantity, "
             "b.l_extendedprice FROM b JOIN s USING (x) "
             "WHERE b.y = s.gy AND (s.sm IS NULL OR s.sm < b.y)"
+        ),
+        "length_outliers": (
+            # (x−μ)² > 9σ² scaled by n²: EXACT integer quadratic in
+            # HUGEINT — no float mean/variance, so the Ray threshold form
+            # hash-matches (ops/relational.py::length_outliers)
+            "WITH b AS (SELECT doc_id, lang, "
+            "CAST(n_chars AS HUGEINT) AS x, n_chars FROM documents), "
+            "s AS (SELECT lang, CAST(count(*) AS HUGEINT) AS n, "
+            "sum(x) AS sx, sum(x*x) AS sx2 FROM b GROUP BY lang) "
+            "SELECT b.doc_id, b.lang, b.n_chars FROM b JOIN s USING (lang) "
+            "WHERE (s.n*b.x - s.sx)*(s.n*b.x - s.sx) > "
+            "1*(s.n*s.sx2 - s.sx*s.sx)"
         ),
         "retention": (
             "WITH f AS (SELECT user_id, min(ts) AS t0 FROM events "

@@ -1843,3 +1843,47 @@ def test_pareto_skyline_matches_bruteforce_and_diagonal(ray_session):
     )
     out2 = pareto_lineitems(rd.from_pandas(diag).repartition(9)).to_pandas()
     assert len(out2) == m
+
+
+def test_length_outliers_integer_boundary_exact(ray_session):
+    """The integer threshold form must equal the quadratic test exactly,
+    including at the boundary: a value at EXACTLY kσ is NOT an outlier
+    (strict >), one char past it is. Corpus: 8 docs at 100, so σ of the
+    9-doc group is determined by the planted 9th doc alone."""
+    import ray.data as rd
+
+    from resume_ocr_ray.ops.relational import length_outliers
+
+    # group "a": lengths {100 ×8, 1000} — mean/var known; the planted
+    # 1000 is far above 1σ, every 100 is below it
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(9, dtype=np.int64),
+            "lang": ["a"] * 9,
+            "n_chars": np.array([100] * 8 + [1000], dtype=np.int64),
+        }
+    )
+    out = length_outliers(
+        lambda: rd.from_pandas(df).repartition(3), sigmas=1
+    ).to_pandas()
+    n, sx = 9, 8 * 100 + 1000
+    sx2 = 8 * 100 * 100 + 1000 * 1000
+    expect = {
+        int(d) for d, x in zip(df["doc_id"], df["n_chars"])
+        if (n * int(x) - sx) ** 2 > (n * sx2 - sx * sx)
+    }
+    assert set(out["doc_id"]) == expect and len(expect) > 0
+
+    # boundary: symmetric ±d around the mean → σ² = d², so EVERY value
+    # sits at exactly 1σ → strict > keeps nothing
+    df2 = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "lang": ["b"] * 4,
+            "n_chars": np.array([90, 110, 90, 110], dtype=np.int64),
+        }
+    )
+    out2 = length_outliers(
+        lambda: rd.from_pandas(df2).repartition(2), sigmas=1
+    ).to_pandas()
+    assert len(out2) == 0
