@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "above_avg_orders",
     "pareto_skyline",
     "length_outliers",
+    "nation_revenue",
 ]
 
 

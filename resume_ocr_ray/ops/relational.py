@@ -2823,3 +2823,173 @@ def length_outliers(docs_ds_factory, sigmas: int = 3, parts: int = 4):
     return docs_ds_factory().map_batches(
         _filter, batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+def nation_revenue(lineitem_ds, orders_ds, customer_ds, nation_ds,
+                   parts: int = 64):
+    """TPC-H Q5-style THREE-table join pipeline: lineitem ⋈ orders ⋈
+    customer ⋈ nation → revenue per nation. Revenue is an EXACT integer —
+    rev_e4 = round(price·100) · round((1−discount)·100), price×percent
+    scaled 10⁴ — so float-sum order-dependence never enters and the
+    oracle hash-matches bit-for-bit.
+
+    Shape (the deep-composition pattern the single-join ops each prove in
+    isolation): per-batch partials collapse lineitem to one (orderkey,
+    rev, cnt) row per order per batch, then TWO tagged-union coarse-hash
+    cogroup joins chain key domains — orderkey (join orders, re-key to
+    custkey with a per-partition partial) then custkey (join customer,
+    re-key to nationkey) — and the 25-row nation dim maps names via ONE
+    driver fetch + broadcast (dim-cardinality bound, same as winsorize).
+    Facts shuffle at most twice, pre-aggregated both times; per-nation
+    sums cross the final engine aggregate as (hi, lo) int64 pairs and are
+    reassembled in Python bigints (the group_corr overflow discipline —
+    Σrev_e4 outgrows int64 past ~10⁹ lineitems)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..common import cached_broadcast
+
+    def _li(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        pct = np.rint(
+            (1.0 - b.column("l_discount").to_numpy(zero_copy_only=False))
+            * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "o_orderkey": b.column("l_orderkey").to_numpy(
+                    zero_copy_only=False
+                ),
+                "rev": cents * pct,
+            }
+        )
+        g = df.groupby("o_orderkey", as_index=False).agg(
+            rev=("rev", "sum"), cnt=("rev", "size")
+        )
+        g["part"] = (g["o_orderkey"] % parts).astype("int32")
+        g["o_custkey"] = np.int64(-1)  # sentinel: lineitem side
+        return _fpc(
+            g[["part", "o_orderkey", "o_custkey", "rev", "cnt"]],
+            preserve_index=False,
+        )
+
+    def _ord(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": _floored_mod(b.column("o_orderkey"), parts),
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+                "rev": pa.array(
+                    np.zeros(b.num_rows, dtype=np.int64)
+                ),
+                "cnt": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            }
+        )
+
+    def _join_a(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["o_custkey"] == -1]
+        od = g[g["o_custkey"] != -1]
+        m = li.merge(
+            od[["o_orderkey", "o_custkey"]], on="o_orderkey", how="inner",
+            suffixes=("", "_o"),
+        )
+        out = m.groupby("o_custkey_o", as_index=False).agg(
+            rev=("rev", "sum"), cnt=("cnt", "sum")
+        ).rename(columns={"o_custkey_o": "c_custkey"})
+        out["part"] = (out["c_custkey"] % parts).astype("int32")
+        out["c_nationkey"] = np.int64(-1)  # sentinel: fact side
+        return _fpc(
+            out[["part", "c_custkey", "c_nationkey", "rev", "cnt"]],
+            preserve_index=False,
+        )
+
+    def _cust(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": _floored_mod(b.column("c_custkey"), parts),
+                "c_custkey": b.column("c_custkey"),
+                # int64 cast: the fact side tags with int64 −1, and a
+                # dtype-mismatched union splits the schema dedup
+                "c_nationkey": pc.cast(
+                    b.column("c_nationkey"), pa.int64()
+                ),
+                "rev": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                "cnt": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            }
+        )
+
+    _SHIFT = 31
+
+    def _join_b(g: pd.DataFrame) -> pd.DataFrame:
+        fact = g[g["c_nationkey"] == -1]
+        cust = g[g["c_nationkey"] != -1]
+        m = fact.merge(
+            cust[["c_custkey", "c_nationkey"]], on="c_custkey",
+            how="inner", suffixes=("", "_c"),
+        )
+        out = m.groupby("c_nationkey_c", as_index=False).agg(
+            rev=("rev", "sum"), cnt=("cnt", "sum")
+        ).rename(columns={"c_nationkey_c": "c_nationkey"})
+        out["rev_hi"] = out["rev"].to_numpy() >> _SHIFT
+        out["rev_lo"] = out["rev"].to_numpy() & ((1 << _SHIFT) - 1)
+        return _fpc(
+            out[["c_nationkey", "rev_hi", "rev_lo", "cnt"]],
+            preserve_index=False,
+        )
+
+    # 25 rows — the dim-cardinality bound justifying the driver fetch.
+    # ONE materialization: separate to_pandas() calls per column would be
+    # two executions whose block orders need not agree.
+    ndf = nation_ds.select_columns(["n_nationkey", "n_name"]).to_pandas()
+    names = {
+        int(k): str(v) for k, v in zip(ndf["n_nationkey"], ndf["n_name"])
+    }
+    names_ref = ray.put(names)
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        nm = cached_broadcast(names_ref)
+        rev = [
+            (int(h) << _SHIFT) + int(lo)
+            for h, lo in zip(df["rev_hi"], df["rev_lo"])
+        ]
+        return pd.DataFrame(
+            {
+                "nation": [nm[int(k)] for k in df["c_nationkey"]],
+                "revenue_e4": np.array(rev, dtype=np.int64),
+                "n_items": df["cnt"].to_numpy(np.int64),
+            }
+        )
+
+    li_part = lineitem_ds.map_batches(
+        _li, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536,
+    )
+    ord_side = orders_ds.map_batches(
+        _ord, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )
+    stage_a = (
+        li_part.union(ord_side)
+        .groupby("part")
+        .map_groups(_join_a, batch_format="pandas")
+    )
+    cust_side = customer_ds.map_batches(
+        _cust, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )
+    stage_b = (
+        stage_a.union(cust_side)
+        .groupby("part")
+        .map_groups(_join_b, batch_format="pandas")
+    )
+    return (
+        stage_b.groupby("c_nationkey")
+        .aggregate(
+            Sum("rev_hi", alias_name="rev_hi"),
+            Sum("rev_lo", alias_name="rev_lo"),
+            Sum("cnt", alias_name="cnt"),
+        )
+        .map_batches(_finish, batch_format="pandas")
+    )

@@ -962,6 +962,16 @@ def q_above_avg_orders(sf_dir: str):
     )
 
 
+def q_nation_revenue(sf_dir: str):
+    return R.nation_revenue(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_extendedprice", "l_discount"]),
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        _read(sf_dir, "nation", ["n_nationkey", "n_name"]),
+    )
+
+
 def q_length_outliers(sf_dir: str):
     """sigmas=1 HERE because the synthetic corpus draws n_chars
     near-uniform (max deviation < 2σ — the 3σ default returns the empty
@@ -1183,6 +1193,7 @@ def _all_queries() -> dict:
         "above_avg_orders": q_above_avg_orders,
         "pareto_skyline": q_pareto_skyline,
         "length_outliers": q_length_outliers,
+        "nation_revenue": q_nation_revenue,
         # approximate by construction (int8 quantization) — rows-only;
         # recall@k pinned by tests/test_ops.py::test_ann_int8_recall
         "ann_int8": q_ann_int8,
@@ -1951,6 +1962,21 @@ def oracle_sql() -> dict:
             "SELECT b.doc_id, b.lang, b.n_chars FROM b JOIN s USING (lang) "
             "WHERE (s.n*b.x - s.sx)*(s.n*b.x - s.sx) > "
             "1*(s.n*s.sx2 - s.sx*s.sx)"
+        ),
+        "nation_revenue": (
+            # rev_e4 = cents × percent: EXACT integer revenue (no float
+            # sum order-dependence) — ops/relational.py::nation_revenue
+            "WITH li AS (SELECT l_orderkey, "
+            "CAST(round(l_extendedprice * 100) AS HUGEINT) * "
+            "CAST(round((1 - l_discount) * 100) AS HUGEINT) AS rev "
+            "FROM lineitem) "
+            "SELECT n.n_name AS nation, "
+            "CAST(sum(li.rev) AS BIGINT) AS revenue_e4, "
+            "CAST(count(*) AS BIGINT) AS n_items "
+            "FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "GROUP BY n.n_name"
         ),
         "retention": (
             "WITH f AS (SELECT user_id, min(ts) AS t0 FROM events "

@@ -76,7 +76,7 @@ def test_all_queries_run(ray_session, registry):
         "postings", "bigram_counts", "cooccur", "interval_overlap",
         "full_outer_join", "group_corr", "event_gini", "event_paths",
         "argmax_event", "event_transitions", "above_avg_orders",
-        "pareto_skyline", "length_outliers",
+        "pareto_skyline", "length_outliers", "nation_revenue",
     ],
 )
 def test_query_matches_oracle(ray_session, registry, duck, name):
