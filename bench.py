@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "pareto_skyline",
     "length_outliers",
     "nation_revenue",
+    "emb_argmax",
 ]
 
 

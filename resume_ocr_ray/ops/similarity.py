@@ -498,3 +498,33 @@ def brute_force_topk_int8(emb_ds, qvec: np.ndarray, k: int = 10):
     return partials.sort(
         ["cosine_q8", "vec_id"], descending=[True, False]
     ).limit(k)  # bounded k×n_batches input — see brute_force_topk
+
+
+def emb_argmax(emb_ds):
+    """Per-vector ARGMAX dimension: (vec_id, dim_argmax 1-based, max_val) —
+    the max-activation probe (dead-dimension detection, feature attribution
+    sanity checks). PURE comparisons — no float summation anywhere — so
+    numpy argmax equals DuckDB ``list_indexof(emb, list_max(emb))``
+    bit-for-bit (first occurrence on ties, both sides); max_val widens
+    float32→float64, which is exact. Embarrassingly parallel: one
+    zero-copy map_batches, no shuffle."""
+
+    def _probe(b: pa.Table) -> pa.Table:
+        m = _as_matrix(b)
+        idx = m.argmax(axis=1)
+        return pa.table(
+            {
+                "vec_id": b.column("vec_id"),
+                "dim_argmax": pa.array(
+                    (idx + 1).astype(np.int64)  # 1-based like list_indexof
+                ),
+                "max_val": pa.array(
+                    m[np.arange(len(m)), idx].astype(np.float64)
+                ),
+            }
+        )
+
+    return emb_ds.map_batches(
+        _probe, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=8192,
+    )

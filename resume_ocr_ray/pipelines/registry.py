@@ -962,6 +962,12 @@ def q_above_avg_orders(sf_dir: str):
     )
 
 
+def q_emb_argmax(sf_dir: str):
+    return SIM.emb_argmax(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    )
+
+
 def q_nation_revenue(sf_dir: str):
     return R.nation_revenue(
         _read(sf_dir, "lineitem",
@@ -1194,6 +1200,7 @@ def _all_queries() -> dict:
         "pareto_skyline": q_pareto_skyline,
         "length_outliers": q_length_outliers,
         "nation_revenue": q_nation_revenue,
+        "emb_argmax": q_emb_argmax,
         # approximate by construction (int8 quantization) — rows-only;
         # recall@k pinned by tests/test_ops.py::test_ann_int8_recall
         "ann_int8": q_ann_int8,
@@ -1977,6 +1984,15 @@ def oracle_sql() -> dict:
             "JOIN customer c ON o.o_custkey = c.c_custkey "
             "JOIN nation n ON c.c_nationkey = n.n_nationkey "
             "GROUP BY n.n_name"
+        ),
+        "emb_argmax": (
+            # pure comparisons, no float sums: numpy argmax ==
+            # list_indexof(emb, list_max(emb)) exactly, ties → first
+            # occurrence on both sides; float32→float64 widening is exact
+            "SELECT vec_id, CAST(list_indexof(embedding, "
+            "list_max(embedding)) AS BIGINT) AS dim_argmax, "
+            "CAST(list_max(embedding) AS DOUBLE) AS max_val "
+            "FROM embeddings"
         ),
         "retention": (
             "WITH f AS (SELECT user_id, min(ts) AS t0 FROM events "
