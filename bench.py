@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "length_outliers",
     "nation_revenue",
     "emb_argmax",
+    "grouped_sample",
 ]
 
 

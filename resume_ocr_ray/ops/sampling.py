@@ -223,3 +223,49 @@ def group_split(docs_ds):
         _assign, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=65536,
     )
+
+
+def grouped_sample(docs_ds, k: int = 10):
+    """Per-GROUP consistent bottom-k sample: for each lang, the k docs
+    with the smallest salted md5 prefix — the stratified-eval-set
+    primitive (a stable per-language holdout that never resamples when
+    the corpus grows, because membership is a pure function of doc_id).
+
+    Same distributive selection as hash_sample, grouped: each batch keeps
+    ≤ k rows PER LANG (vectorized groupby head on the hash sort), one
+    tree-reduce level re-applies the same partial, and the final fold is
+    one tiny per-lang head — ≤ k·n_langs·n_blocks rows ever move, the
+    corpus never sorts. The partial is idempotent (hash recomputable from
+    doc_id), so re-execution and shard merges are safe."""
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        langs = b.column("lang").to_numpy(zero_copy_only=False)
+        h = _hash_prefix(ids, "gsample:")
+        df = pd.DataFrame({"lang": langs, "doc_id": ids, "h": h})
+        df = df.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        df = df.groupby("lang", sort=False).head(k)
+        return pa.table(
+            {
+                "lang": pa.array(df["lang"].to_numpy(), type=pa.string()),
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+                "h": pa.array(df["h"].to_numpy(), type=pa.string()),
+            }
+        )
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        out = df.groupby("lang", sort=False).head(k)
+        return out[["lang", "doc_id"]]
+
+    return (
+        docs_ds.map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536,
+        )
+        .repartition(8)
+        .map_batches(_partial, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .repartition(1)
+        .map_batches(_final, batch_format="pandas", batch_size=None)
+    )

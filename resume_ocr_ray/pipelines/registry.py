@@ -962,6 +962,12 @@ def q_above_avg_orders(sf_dir: str):
     )
 
 
+def q_grouped_sample(sf_dir: str):
+    return S.grouped_sample(
+        _read(sf_dir, "documents", ["doc_id", "lang"]), k=10
+    )
+
+
 def q_emb_argmax(sf_dir: str):
     return SIM.emb_argmax(
         _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -1201,6 +1207,7 @@ def _all_queries() -> dict:
         "length_outliers": q_length_outliers,
         "nation_revenue": q_nation_revenue,
         "emb_argmax": q_emb_argmax,
+        "grouped_sample": q_grouped_sample,
         # approximate by construction (int8 quantization) — rows-only;
         # recall@k pinned by tests/test_ops.py::test_ann_int8_recall
         "ann_int8": q_ann_int8,
@@ -1993,6 +2000,14 @@ def oracle_sql() -> dict:
             "list_max(embedding)) AS BIGINT) AS dim_argmax, "
             "CAST(list_max(embedding) AS DOUBLE) AS max_val "
             "FROM embeddings"
+        ),
+        "grouped_sample": (
+            # same md5-prefix ordering as hash_sample, per lang; doc_id
+            # tiebreak pins ties (ops/sampling.py::grouped_sample)
+            "SELECT lang, doc_id FROM (SELECT lang, doc_id, row_number() "
+            "OVER (PARTITION BY lang ORDER BY substr(md5('gsample:' || "
+            "CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn "
+            "FROM documents) WHERE rn <= 10"
         ),
         "retention": (
             "WITH f AS (SELECT user_id, min(ts) AS t0 FROM events "

@@ -1887,3 +1887,44 @@ def test_length_outliers_integer_boundary_exact(ray_session):
         lambda: rd.from_pandas(df2).repartition(2), sigmas=1
     ).to_pandas()
     assert len(out2) == 0
+
+
+def test_nation_revenue_inner_join_drops_dangling(ray_session):
+    """Dangling keys at EVERY hop must drop (inner semantics): a lineitem
+    with no order, an order with no customer, a customer with an unknown
+    nation would KeyError loudly rather than mislabel. Exact integer
+    revenue: rev_e4 = cents × percent."""
+    import ray.data as rd
+
+    from resume_ocr_ray.ops.relational import nation_revenue
+
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 2, 99],  # 99 dangles (no order)
+            "l_extendedprice": [100.00, 200.00, 50.00, 7.00],
+            "l_discount": [0.10, 0.00, 0.04, 0.00],
+        }
+    )
+    orders = pd.DataFrame(
+        {"o_orderkey": [1, 2, 3], "o_custkey": [10, 20, 77]}
+    )  # order 3 has no lineitems; cust 77 doesn't exist
+    cust = pd.DataFrame(
+        {"c_custkey": [10, 20, 30], "c_nationkey": [0, 1, 1]}
+    )  # cust 30 has no orders
+    nation = pd.DataFrame(
+        {"n_nationkey": [0, 1], "n_name": ["ALPHA", "BETA"]}
+    )
+    out = nation_revenue(
+        rd.from_pandas(li).repartition(2),
+        rd.from_pandas(orders),
+        rd.from_pandas(cust),
+        rd.from_pandas(nation),
+        parts=4,
+    ).to_pandas().set_index("nation")
+    # order 1 → cust 10 → ALPHA: 10000*90 + 20000*100 = 2_900_000
+    # order 2 → cust 20 → BETA:  5000*96 = 480_000
+    assert out.loc["ALPHA", "revenue_e4"] == 2_900_000
+    assert out.loc["ALPHA", "n_items"] == 2
+    assert out.loc["BETA", "revenue_e4"] == 480_000
+    assert out.loc["BETA", "n_items"] == 1
+    assert len(out) == 2
