@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "nation_revenue",
     "emb_argmax",
     "grouped_sample",
+    "cust_union",
 ]
 
 

@@ -1310,15 +1310,17 @@ def user_set_op(events_ds, type_a: str, type_b: str, op: str = "intersect"):
 
 
 def set_op_two(ds_a, ds_b, key: str, op: str = "except"):
-    """Distinct-key INTERSECT / EXCEPT across TWO datasets sharing ``key``
-    (e.g. customers without orders). Each side is tagged and reduced to
-    distinct keys per batch (combiner), then one union + groupby(key)
-    Max-merge + membership filter — the same single-shuffle shape as
-    ``user_set_op`` but for two sources instead of two cohorts of one."""
+    """Distinct-key INTERSECT / EXCEPT / UNION across TWO datasets sharing
+    ``key`` (e.g. customers without orders). Each side is tagged and
+    reduced to distinct keys per batch (combiner), then one union +
+    groupby(key) Max-merge + membership filter — the same single-shuffle
+    shape as ``user_set_op`` but for two sources instead of two cohorts
+    of one. UNION is the unfiltered merge (every key either side holds,
+    already distinct by the groupby)."""
     from ray.data.aggregate import Max
 
-    if op not in ("intersect", "except"):
-        raise ValueError(f"op must be intersect|except, got {op!r}")
+    if op not in ("intersect", "except", "union"):
+        raise ValueError(f"op must be intersect|except|union, got {op!r}")
 
     def _tag(side_a: bool):
         def _p(b: pa.Table) -> pa.Table:
@@ -1346,6 +1348,8 @@ def set_op_two(ds_a, ds_b, key: str, op: str = "except"):
         .groupby(key)
         .aggregate(Max("in_a", alias_name="in_a"), Max("in_b", alias_name="in_b"))
     )
+    if op == "union":
+        return merged.select_columns([key])
     want_b = 1 if op == "intersect" else 0
     return (
         merged.filter(expr=f"in_a == 1 and in_b == {want_b}")

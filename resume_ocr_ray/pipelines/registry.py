@@ -755,6 +755,29 @@ def q_cust_except(sf_dir: str):
     )
 
 
+def q_cust_union(sf_dir: str):
+    """Set op (SQL UNION), two-source form: distinct customers who are
+    high-balance OR placed an URGENT order — partially-overlapping
+    cohorts, so the union is strictly bigger than either side and the
+    distinct step does real work."""
+
+    def _rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["c_custkey"])
+
+    rich = (
+        _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+        .filter(expr="c_acctbal > 5000")
+        .select_columns(["c_custkey"])
+    )
+    urgent = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .filter(expr="o_orderpriority == '1-URGENT'")
+        .select_columns(["o_custkey"])
+        .map_batches(_rename, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return R.set_op_two(rich, urgent, key="c_custkey", op="union")
+
+
 def q_mode_lang(sf_dir: str):
     """Grouped MODE: each source's most common language (ties → smallest)."""
     return R.grouped_mode(
@@ -1208,6 +1231,7 @@ def _all_queries() -> dict:
         "nation_revenue": q_nation_revenue,
         "emb_argmax": q_emb_argmax,
         "grouped_sample": q_grouped_sample,
+        "cust_union": q_cust_union,
         # approximate by construction (int8 quantization) — rows-only;
         # recall@k pinned by tests/test_ops.py::test_ann_int8_recall
         "ann_int8": q_ann_int8,
@@ -2008,6 +2032,11 @@ def oracle_sql() -> dict:
             "OVER (PARTITION BY lang ORDER BY substr(md5('gsample:' || "
             "CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn "
             "FROM documents) WHERE rn <= 10"
+        ),
+        "cust_union": (
+            "SELECT c_custkey FROM customer WHERE c_acctbal > 5000 "
+            "UNION SELECT o_custkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT'"
         ),
         "retention": (
             "WITH f AS (SELECT user_id, min(ts) AS t0 FROM events "
