@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "emb_argmax",
     "grouped_sample",
     "cust_union",
+    "first_last",
+    "value_histogram",
 ]
 
 

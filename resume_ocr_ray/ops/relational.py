@@ -2997,3 +2997,86 @@ def nation_revenue(lineitem_ds, orders_ds, customer_ds, nation_ds,
         )
         .map_batches(_finish, batch_format="pandas")
     )
+
+
+def first_last_value(events_ds, parts: int = 64):
+    """Per-user FIRST and LAST event value by ts — SQL first_value /
+    last_value over the full partition frame (session entry/exit state,
+    attribution endpoints). (user_id, ts) is unique, so both endpoints
+    are deterministic; values pass through untouched (no arithmetic to
+    diverge).
+
+    Selection is distributive like argmax_event: each batch keeps only
+    its per-user ts-extreme rows (vectorized idxmin/idxmax), so ≤ 2 rows
+    per user per batch cross the ONE coarse-hash shuffle; the fold
+    repeats the same endpoint selection over candidates."""
+
+    def _ends(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id")["ts"]
+        lo = df.loc[g.idxmin()]
+        hi = df.loc[g.idxmax()]
+        m = lo.merge(hi, on="user_id", suffixes=("_first", "_last"))
+        return m
+
+    def _partial(b: pa.Table) -> pa.Table:
+        df = b.select(["user_id", "ts", "value"]).to_pandas()
+        m = _ends(df)
+        m["part"] = (m["user_id"] % parts).astype("int32")
+        return _fpc(m, preserve_index=False)
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        # re-linearize candidates into (user, ts, value) rows, reselect
+        a = g[["user_id", "ts_first", "value_first"]].rename(
+            columns={"ts_first": "ts", "value_first": "value"}
+        )
+        b = g[["user_id", "ts_last", "value_last"]].rename(
+            columns={"ts_last": "ts", "value_last": "value"}
+        )
+        m = _ends(pd.concat([a, b], ignore_index=True))
+        m = m.rename(columns={"value_first": "first_value",
+                              "value_last": "last_value"})
+        return m[["user_id", "first_value", "last_value"]]
+
+    partials = events_ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )
+    return partials.groupby("part").map_groups(_fold, batch_format="pandas")
+
+
+def value_histogram(events_ds, width: float = 25.0, parts: int = 4):
+    """Fixed-width histogram of event values: (bin, lo_edge, n) with
+    bin = floor(value / width) — the distribution-diagnostic primitive
+    (drift monitoring, sanity-checking mixture weights). EXACT: IEEE
+    double division and floor are correctly rounded and identical in
+    numpy and SQL, and counts are integers; lo_edge = bin·width re-derives
+    from the int bin, so both sides compute the identical double.
+
+    Shape: per-batch np.bincount-style partials (bin-cardinality rows per
+    batch — the perfect combiner), one tiny engine Sum over ≤ range/width
+    keys. The corpus never shuffles; adding data only touches partials."""
+    from ray.data.aggregate import Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        bins = np.floor(v / width).astype(np.int64)
+        uniq, cnt = np.unique(bins, return_counts=True)
+        return pa.table(
+            {"bin": pa.array(uniq), "partial": pa.array(cnt.astype(np.int64))}
+        )
+
+    def _edges(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["lo_edge"] = df["bin"].to_numpy(np.float64) * width
+        return df[["bin", "lo_edge", "n"]]
+
+    return (
+        events_ds.map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536,
+        )
+        .repartition(parts)
+        .groupby("bin")
+        .aggregate(Sum("partial", alias_name="n"))
+        .map_batches(_edges, batch_format="pandas")
+    )

@@ -755,6 +755,16 @@ def q_cust_except(sf_dir: str):
     )
 
 
+def q_value_histogram(sf_dir: str):
+    return R.value_histogram(_read(sf_dir, "events", ["value"]))
+
+
+def q_first_last(sf_dir: str):
+    return R.first_last_value(
+        _read(sf_dir, "events", ["user_id", "ts", "value"])
+    )
+
+
 def q_cust_union(sf_dir: str):
     """Set op (SQL UNION), two-source form: distinct customers who are
     high-balance OR placed an URGENT order — partially-overlapping
@@ -1232,6 +1242,8 @@ def _all_queries() -> dict:
         "emb_argmax": q_emb_argmax,
         "grouped_sample": q_grouped_sample,
         "cust_union": q_cust_union,
+        "first_last": q_first_last,
+        "value_histogram": q_value_histogram,
         # approximate by construction (int8 quantization) — rows-only;
         # recall@k pinned by tests/test_ops.py::test_ann_int8_recall
         "ann_int8": q_ann_int8,
@@ -2037,6 +2049,25 @@ def oracle_sql() -> dict:
             "SELECT c_custkey FROM customer WHERE c_acctbal > 5000 "
             "UNION SELECT o_custkey FROM orders "
             "WHERE o_orderpriority = '1-URGENT'"
+        ),
+        "first_last": (
+            # (user_id, ts) unique → endpoints deterministic; values are
+            # passthrough doubles (no arithmetic to diverge)
+            "SELECT DISTINCT user_id, "
+            "first_value(value) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+            "AS first_value, "
+            "last_value(value) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+            "AS last_value FROM events"
+        ),
+        "value_histogram": (
+            # IEEE double divide + floor are identical in numpy and SQL;
+            # lo_edge re-derives from the int bin on both sides
+            "SELECT bin, bin * 25.0 AS lo_edge, "
+            "CAST(count(*) AS BIGINT) AS n FROM (SELECT "
+            "CAST(floor(value / 25.0) AS BIGINT) AS bin FROM events) "
+            "GROUP BY bin"
         ),
         "retention": (
             "WITH f AS (SELECT user_id, min(ts) AS t0 FROM events "

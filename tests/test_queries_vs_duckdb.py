@@ -77,7 +77,8 @@ def test_all_queries_run(ray_session, registry):
         "full_outer_join", "group_corr", "event_gini", "event_paths",
         "argmax_event", "event_transitions", "above_avg_orders",
         "pareto_skyline", "length_outliers", "nation_revenue",
-        "emb_argmax", "grouped_sample", "cust_union",
+        "emb_argmax", "grouped_sample", "cust_union", "first_last",
+        "value_histogram",
     ],
 )
 def test_query_matches_oracle(ray_session, registry, duck, name):
