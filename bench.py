@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "cust_union",
     "first_last",
     "value_histogram",
+    "cross_source",
 ]
 
 

@@ -1707,3 +1707,81 @@ def substring_dup_docs(docs_ds_factory, w: int = 64,
         lambda t: t.select(["doc_id"]),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+def cross_source_pairs(docs_ds, prefix_n: int = 32, gram: int = 3,
+                       threshold: float = 0.8, max_block: int = 1000):
+    """CROSS-SOURCE record linkage: near-dup pairs whose SOURCES differ —
+    the contamination/syndication detector (the same document syndicated
+    under two crawls, benchmark text leaking into a second source).
+    Same exact trigram-Jaccard + prefix blocking as ngram_jaccard_pairs,
+    but same-source pairs are excluded at emission, so the output is the
+    fuzzy JOIN between source cohorts rather than a self-dedup.
+
+    Shape is identical to ngram_jaccard_pairs (hash(prefix) cogroups, one
+    vectorized multi-member prefilter, ``max_block`` star cap with the
+    same no-silent-caps warning); the source column rides the shuffle
+    only to gate emission — pair generation cost is unchanged."""
+
+    def _add_pfx(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        pfx = [(t or "")[:prefix_n] for t in texts]
+        part = np.fromiter(
+            (zlib.crc32(p.encode("utf-8")) % PAIR_SALT for p in pfx),
+            dtype=np.int32, count=len(pfx),
+        )
+        return b.append_column(
+            "pfx", pa.array(pfx, type=pa.string())
+        ).append_column("part", pa.array(part))
+
+    def _block_rows(ids, texts, sources):
+        sets = [
+            {t[i:i + gram] for i in range(len(t) - gram + 1)}
+            for t in ((s or "") for s in texts)
+        ]
+
+        def _emit(rows, i, j):
+            if sources[i] == sources[j]:
+                return
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i]) + len(sets[j]) - inter
+            if union and inter / union >= threshold:
+                rows.append((int(ids[i]), int(ids[j]), inter / union))
+
+        rows = []
+        if len(ids) > max_block:  # skew cap: star vs the min-doc anchor
+            _LOG.warning(
+                "cross_source_pairs: prefix block of %d docs exceeds "
+                "max_block=%d — star fallback (output is a subset of the "
+                "exact all-pairs oracle for this block)",
+                len(ids), max_block,
+            )
+            for j in range(1, len(ids)):
+                _emit(rows, 0, j)
+            return rows
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                _emit(rows, i, j)
+        return rows
+
+    def _part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        multi = g[g.duplicated("pfx", keep=False)]
+        if multi.empty:
+            return _empty_jaccard_frame()
+        multi = multi.sort_values(["pfx", "doc_id"], kind="mergesort")
+        rows = []
+        for _, blk in multi.groupby("pfx", sort=False):
+            rows.extend(
+                _block_rows(blk["doc_id"].to_numpy(),
+                            blk["text"].tolist(),
+                            blk["source"].tolist())
+            )
+        if not rows:
+            return _empty_jaccard_frame()
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard3"])
+
+    keyed = docs_ds.map_batches(
+        _add_pfx, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )
+    return keyed.groupby("part").map_groups(_part_pairs, batch_format="pandas")

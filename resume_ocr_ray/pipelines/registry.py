@@ -755,6 +755,12 @@ def q_cust_except(sf_dir: str):
     )
 
 
+def q_cross_source(sf_dir: str):
+    return D.cross_source_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    )
+
+
 def q_value_histogram(sf_dir: str):
     return R.value_histogram(_read(sf_dir, "events", ["value"]))
 
@@ -1244,6 +1250,7 @@ def _all_queries() -> dict:
         "cust_union": q_cust_union,
         "first_last": q_first_last,
         "value_histogram": q_value_histogram,
+        "cross_source": q_cross_source,
         # approximate by construction (int8 quantization) — rows-only;
         # recall@k pinned by tests/test_ops.py::test_ann_int8_recall
         "ann_int8": q_ann_int8,
@@ -2068,6 +2075,29 @@ def oracle_sql() -> dict:
             "CAST(count(*) AS BIGINT) AS n FROM (SELECT "
             "CAST(floor(value / 25.0) AS BIGINT) AS bin FROM events) "
             "GROUP BY bin"
+        ),
+        "cross_source": (
+            # ngram_jaccard's exact oracle with a source-inequality gate:
+            # the fuzzy JOIN between source cohorts
+            "WITH pos AS ("
+            "SELECT doc_id, source, substr(text, 1, 32) AS pfx, text, "
+            "unnest(generate_series(1, greatest(length(text) - 2, 0))) AS g "
+            "FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, source, pfx, "
+            "substr(text, g::INT, 3) AS gram FROM pos), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1), "
+            "inter AS ("
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+            "FROM grams a JOIN grams b "
+            "ON a.gram = b.gram AND a.pfx = b.pfx AND a.doc_id < b.doc_id "
+            "AND a.source <> b.source "
+            "GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, "
+            "i::DOUBLE / (sa.n + sb.n - i) AS jaccard3 "
+            "FROM inter "
+            "JOIN sizes sa ON sa.doc_id = doc_a "
+            "JOIN sizes sb ON sb.doc_id = doc_b "
+            "WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8"
         ),
         "retention": (
             "WITH f AS (SELECT user_id, min(ts) AS t0 FROM events "
