@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "first_last",
     "value_histogram",
     "cross_source",
+    "dense_rank",
 ]
 
 

@@ -3080,3 +3080,69 @@ def value_histogram(events_ds, width: float = 25.0, parts: int = 4):
         .aggregate(Sum("partial", alias_name="n"))
         .map_batches(_edges, batch_format="pandas")
     )
+
+
+def dense_rank_by_lang(docs_ds_factory):
+    """Per-group DENSE_RANK over doc length: ``dense_rank() OVER
+    (PARTITION BY lang ORDER BY n_chars)`` — gap-free value ranking
+    (ordinal features robust to duplicate lengths). No tiebreak needed:
+    ties share a dense rank by definition, so the op is deterministic as
+    stated.
+
+    Unlike the row-rank family (percent_rank/ntile/cume_dist — range sort
+    + per-block offset exchange), dense rank depends ONLY on the set of
+    DISTINCT (lang, value) pairs: per-batch pair dedup (combiner) → one
+    pair-cardinality groupby → per-lang sorted value arrays broadcast once
+    (bounded by the VALUE DOMAIN × n_langs, not corpus size) → one
+    streaming searchsorted pass. The corpus itself never shuffles."""
+    import ray
+
+    from ..common import cached_broadcast
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": b.column("lang").to_numpy(zero_copy_only=False),
+                "n_chars": b.column("n_chars").to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        ).drop_duplicates()
+        return _fpc(df, preserve_index=False)
+
+    from ray.data.aggregate import Count
+
+    distinct = (
+        docs_ds_factory()
+        .map_batches(_pairs, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=65536)
+        .groupby(["lang", "n_chars"])
+        .aggregate(Count())
+        .to_pandas()  # value-domain × n_langs rows (tiny), not corpus rows
+    )
+    vals = {
+        lang: np.sort(g["n_chars"].to_numpy(np.int64))
+        for lang, g in distinct.groupby("lang")
+    }
+    vals_ref = ray.put(vals)
+
+    def _assign(b: pa.Table) -> pa.Table:
+        vmap = cached_broadcast(vals_ref)
+        langs = b.column("lang").to_numpy(zero_copy_only=False)
+        x = b.column("n_chars").to_numpy(zero_copy_only=False)
+        dr = np.empty(len(x), dtype=np.int64)
+        for lang in pd.unique(langs):
+            m = langs == lang
+            dr[m] = np.searchsorted(vmap[lang], x[m]) + 1
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "lang": b.column("lang"),
+                "n_chars": b.column("n_chars"),
+                "dr": pa.array(dr),
+            }
+        )
+
+    return docs_ds_factory().map_batches(
+        _assign, batch_format="pyarrow", zero_copy_batch=True,
+    )

@@ -755,6 +755,12 @@ def q_cust_except(sf_dir: str):
     )
 
 
+def q_dense_rank(sf_dir: str):
+    return R.dense_rank_by_lang(
+        lambda: _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    )
+
+
 def q_cross_source(sf_dir: str):
     return D.cross_source_pairs(
         _read(sf_dir, "documents", ["doc_id", "text", "source"])
@@ -1251,6 +1257,7 @@ def _all_queries() -> dict:
         "first_last": q_first_last,
         "value_histogram": q_value_histogram,
         "cross_source": q_cross_source,
+        "dense_rank": q_dense_rank,
         # approximate by construction (int8 quantization) — rows-only;
         # recall@k pinned by tests/test_ops.py::test_ann_int8_recall
         "ann_int8": q_ann_int8,
@@ -2098,6 +2105,12 @@ def oracle_sql() -> dict:
             "JOIN sizes sa ON sa.doc_id = doc_a "
             "JOIN sizes sb ON sb.doc_id = doc_b "
             "WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8"
+        ),
+        "dense_rank": (
+            # ties share a dense rank → deterministic without a tiebreak
+            "SELECT doc_id, lang, n_chars, CAST(dense_rank() OVER ("
+            "PARTITION BY lang ORDER BY n_chars) AS BIGINT) AS dr "
+            "FROM documents"
         ),
         "retention": (
             "WITH f AS (SELECT user_id, min(ts) AS t0 FROM events "

@@ -1928,3 +1928,45 @@ def test_nation_revenue_inner_join_drops_dangling(ray_session):
     assert out.loc["BETA", "revenue_e4"] == 480_000
     assert out.loc["BETA", "n_items"] == 1
     assert len(out) == 2
+
+
+def test_event_ops_partitioning_invariant(ray_session):
+    """The distributive event ops must be invariant to block boundaries:
+    random events, three different repartitions, identical results — the
+    property that makes per-batch candidate pruning lossless."""
+    import ray.data as rd
+
+    from resume_ocr_ray.ops.relational import (
+        argmax_event, event_transitions, first_last_value,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 25, n),
+            "event_id": np.arange(n, dtype=np.int64),
+            "event_type": rng.choice(["a", "b", "c"], n),
+            "value": rng.uniform(0, 100, n).round(2),
+        }
+    )
+    # unique (user, ts): permute a range so order is scrambled but unique
+    df["ts"] = rng.permutation(n).astype(np.int64)
+    # duplicate max values inside one user to exercise the id tiebreak
+    df.loc[df.index[:2], ["user_id", "value"]] = [[7, 99.5], [7, 99.5]]
+
+    def run(op, cols, parts):
+        ds = rd.from_pandas(df[cols]).repartition(parts)
+        out = op(ds).to_pandas()
+        return out.sort_values(list(out.columns)).reset_index(drop=True)
+
+    for op, cols in (
+        (argmax_event, ["user_id", "event_id", "value"]),
+        (event_transitions, ["user_id", "ts", "event_type"]),
+        (first_last_value, ["user_id", "ts", "value"]),
+    ):
+        a = run(op, cols, 1)
+        b = run(op, cols, 7)
+        c = run(op, cols, 31)
+        pd.testing.assert_frame_equal(a, b)
+        pd.testing.assert_frame_equal(a, c)
