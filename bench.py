@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "value_histogram",
     "cross_source",
     "dense_rank",
+    "mad_lang",
 ]
 
 

@@ -3146,3 +3146,47 @@ def dense_rank_by_lang(docs_ds_factory):
     return docs_ds_factory().map_batches(
         _assign, batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+def mad_by_lang(docs_ds_factory):
+    """Per-group MEDIAN ABSOLUTE DEVIATION of doc length: the robust
+    spread statistic (variance estimation that one truncated-doc outlier
+    can't poison — the robust companion to length_outliers' kσ test).
+
+    Two composed grouped_quantiles passes, both exact-by-construction
+    (value-counts combiner, percentile_cont-bit-exact interpolation):
+    (1) per-lang median of n_chars → tiny broadcast; (2) the SAME
+    combiner over the derived |n_chars − med| values (dev domain ≤ 2×
+    value domain, so the shuffle stays n_groups × n_distinct). n_chars
+    is int and med is at worst a .5 midpoint, so x − med is EXACT in
+    doubles and the oracle hash-matches."""
+    import ray
+
+    from ..common import cached_broadcast
+
+    meds = grouped_quantiles(
+        docs_ds_factory(), group_col="lang", val_col="n_chars",
+        ps=[(0.5, "med")],
+    ).to_pandas()  # n_langs rows
+    med_ref = ray.put(dict(zip(meds["lang"], meds["med"])))
+
+    def _dev(b: pa.Table) -> pa.Table:
+        mmap = cached_broadcast(med_ref)
+        langs = pd.Series(b.column("lang").to_numpy(zero_copy_only=False))
+        x = b.column("n_chars").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        med = langs.map(mmap).to_numpy(np.float64)
+        if np.isnan(med).any():
+            raise ValueError("mad_by_lang: lang missing from median map")
+        return pa.table(
+            {"lang": pa.array(langs.to_numpy(), type=pa.string()),
+             "dev": pa.array(np.abs(x - med))}
+        )
+
+    devs = docs_ds_factory().map_batches(
+        _dev, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )
+    return grouped_quantiles(devs, group_col="lang", val_col="dev",
+                             ps=[(0.5, "mad")])

@@ -755,6 +755,12 @@ def q_cust_except(sf_dir: str):
     )
 
 
+def q_mad_lang(sf_dir: str):
+    return R.mad_by_lang(
+        lambda: _read(sf_dir, "documents", ["lang", "n_chars"])
+    )
+
+
 def q_dense_rank(sf_dir: str):
     return R.dense_rank_by_lang(
         lambda: _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
@@ -1258,6 +1264,7 @@ def _all_queries() -> dict:
         "value_histogram": q_value_histogram,
         "cross_source": q_cross_source,
         "dense_rank": q_dense_rank,
+        "mad_lang": q_mad_lang,
         # approximate by construction (int8 quantization) — rows-only;
         # recall@k pinned by tests/test_ops.py::test_ann_int8_recall
         "ann_int8": q_ann_int8,
@@ -2111,6 +2118,17 @@ def oracle_sql() -> dict:
             "SELECT doc_id, lang, n_chars, CAST(dense_rank() OVER ("
             "PARTITION BY lang ORDER BY n_chars) AS BIGINT) AS dr "
             "FROM documents"
+        ),
+        "mad_lang": (
+            # int n_chars − (at worst .5-midpoint) median is exact in
+            # doubles; both quantile passes use the same percentile_cont
+            # interpolation (ops/relational.py::mad_by_lang)
+            "WITH m AS (SELECT lang, percentile_cont(0.5) WITHIN GROUP "
+            "(ORDER BY n_chars) AS med FROM documents GROUP BY lang) "
+            "SELECT d.lang, percentile_cont(0.5) WITHIN GROUP "
+            "(ORDER BY abs(d.n_chars - m.med)) AS mad, "
+            "count(*) AS n_rows FROM documents d JOIN m USING (lang) "
+            "GROUP BY d.lang"
         ),
         "retention": (
             "WITH f AS (SELECT user_id, min(ts) AS t0 FROM events "

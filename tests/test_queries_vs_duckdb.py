@@ -78,7 +78,7 @@ def test_all_queries_run(ray_session, registry):
         "argmax_event", "event_transitions", "above_avg_orders",
         "pareto_skyline", "length_outliers", "nation_revenue",
         "emb_argmax", "grouped_sample", "cust_union", "first_last",
-        "value_histogram", "cross_source", "dense_rank",
+        "value_histogram", "cross_source", "dense_rank", "mad_lang",
     ],
 )
 def test_query_matches_oracle(ray_session, registry, duck, name):
