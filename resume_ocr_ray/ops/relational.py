@@ -2206,7 +2206,10 @@ def event_type_cooccurrence(events_ds):
     )
     # pair keys number C(n_types, 2) — low cardinality, engine Aggregate's
     # per-block combine is the right form (see common.cogroup_agg rule)
-    return partials.groupby(["type_a", "type_b"]).aggregate(
+    # coalesce to 4 lanes first: pair keys are C(n_types, 2)-tiny, and
+    # sort ranges beyond the occupied keys come out empty/schema-less
+    # (executor warnings — the heavy_hitters residual-merge fix)
+    return partials.repartition(4).groupby(["type_a", "type_b"]).aggregate(
         Sum("partial", alias_name="n_users")
     )
 
@@ -2640,7 +2643,10 @@ def event_transitions(events_ds, parts: int = 64):
     partials = tagged.groupby("part").map_groups(
         _fold, batch_format="pandas"
     )
-    return partials.groupby(["src", "dst"]).aggregate(
+    # coalesce to 4 lanes first: transition keys are n_types²-tiny, and
+    # sort ranges beyond the occupied keys come out empty/schema-less
+    # (executor warnings — the heavy_hitters residual-merge fix)
+    return partials.repartition(4).groupby(["src", "dst"]).aggregate(
         Sum("partial", alias_name="cnt")
     )
 
@@ -2989,7 +2995,10 @@ def nation_revenue(lineitem_ds, orders_ds, customer_ds, nation_ds,
         .map_groups(_join_b, batch_format="pandas")
     )
     return (
-        stage_b.groupby("c_nationkey")
+        # coalesce to 4 lanes: 25 nation keys — empty sort ranges would
+        # emit schema-less blocks (executor warnings) at high CPU counts
+        stage_b.repartition(4)
+        .groupby("c_nationkey")
         .aggregate(
             Sum("rev_hi", alias_name="rev_hi"),
             Sum("rev_lo", alias_name="rev_lo"),
