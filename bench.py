@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "cross_source",
     "dense_rank",
     "mad_lang",
+    "token_explode",
 ]
 
 

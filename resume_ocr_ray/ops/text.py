@@ -1197,3 +1197,34 @@ def bigram_counts(docs_ds, top: int = 50):
     return topk_exact(
         agg, [("n", "descending"), ("bigram", "ascending")], top
     )
+
+
+def token_explode(docs_ds):
+    """Row EXPLOSION of docs into (doc_id, token) rows — the flat_map /
+    unnest primitive at the query level (the page-explosion shape the
+    extraction engine uses, on text): one doc in, one row per
+    whitespace-split token out, duplicates preserved (it's a multiset,
+    and the oracle's multiset hash must match).
+
+    Pure Arrow, zero Python row loop: split_pattern builds the list
+    column, list_parent_indices + take fan the doc ids out, list_flatten
+    yields the token column — all O(tokens) C kernels, streaming, no
+    shuffle. Empty/NULL text explodes to ONE empty-token row on both
+    sides (Arrow split_pattern('') == ['']; SQL string_split('', ' ')
+    == [''])."""
+
+    def _explode(b: pa.Table) -> pa.Table:
+        texts = pc.coalesce(b.column("text"), pa.scalar(""))
+        split = pc.split_pattern(texts, " ")
+        parent = pc.list_parent_indices(split)
+        return pa.table(
+            {
+                "doc_id": pc.take(b.column("doc_id"), parent),
+                "token": pc.list_flatten(split),
+            }
+        )
+
+    return docs_ds.map_batches(
+        _explode, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )

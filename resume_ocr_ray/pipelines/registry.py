@@ -755,6 +755,10 @@ def q_cust_except(sf_dir: str):
     )
 
 
+def q_token_explode(sf_dir: str):
+    return T.token_explode(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_mad_lang(sf_dir: str):
     return R.mad_by_lang(
         lambda: _read(sf_dir, "documents", ["lang", "n_chars"])
@@ -1265,6 +1269,7 @@ def _all_queries() -> dict:
         "cross_source": q_cross_source,
         "dense_rank": q_dense_rank,
         "mad_lang": q_mad_lang,
+        "token_explode": q_token_explode,
         # approximate by construction (int8 quantization) — rows-only;
         # recall@k pinned by tests/test_ops.py::test_ann_int8_recall
         "ann_int8": q_ann_int8,
@@ -2129,6 +2134,12 @@ def oracle_sql() -> dict:
             "(ORDER BY abs(d.n_chars - m.med)) AS mad, "
             "count(*) AS n_rows FROM documents d JOIN m USING (lang) "
             "GROUP BY d.lang"
+        ),
+        "token_explode": (
+            # multiset equality: duplicates preserved on both sides;
+            # ''/NULL text → one empty-token row on both sides
+            "SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) "
+            "AS token FROM documents"
         ),
         "retention": (
             "WITH f AS (SELECT user_id, min(ts) AS t0 FROM events "

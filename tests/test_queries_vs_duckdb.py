@@ -79,6 +79,7 @@ def test_all_queries_run(ray_session, registry):
         "pareto_skyline", "length_outliers", "nation_revenue",
         "emb_argmax", "grouped_sample", "cust_union", "first_last",
         "value_histogram", "cross_source", "dense_rank", "mad_lang",
+        "token_explode",
     ],
 )
 def test_query_matches_oracle(ray_session, registry, duck, name):
