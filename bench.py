@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "dense_rank",
     "mad_lang",
     "token_explode",
+    "triangles",
+    "cosupply_degree",
 ]
 
 

@@ -1,0 +1,315 @@
+"""Distributed graph analytics over a co-occurrence graph, Ray-Data-first.
+
+Nodes are suppliers; an undirected edge {s1, s2} links two suppliers that
+ship lineitems inside the SAME order within a shipdate window (the
+market-basket / co-authorship graph shape — the same machinery applies to
+doc-similarity edges from the dedup family). Everything is built from
+coarse hash cogroups; no stage materializes the graph on the driver:
+
+- ``cosupply_edges``    — per-order pair generation inside ONE order-hash
+                          cogroup (orders have ≤7 lineitems → bounded
+                          per-key fanout, no skew), then a pair-hash
+                          cogroup dedup so each undirected edge survives
+                          exactly once.
+- ``cosupply_degrees``  — per-batch partial endpoint counts + one tiny
+                          engine aggregate (node cardinality = supplier
+                          dimension).
+- ``triangle_counts``   — node-iterator triangle counting (Schank &
+                          Wagner): each edge is ORIENTED from its
+                          (degree, id)-smaller endpoint to the larger,
+                          bounding oriented out-degree at O(sqrt(m));
+                          wedges are generated per source inside a
+                          source-hash cogroup, and a wedge⋈edge hash
+                          cogroup closes them into triangles. Each
+                          triangle materializes exactly once (its two
+                          lower-ordered nodes generate the wedge; the
+                          oriented closing edge exists under the SAME
+                          global order), so no dedup pass is needed.
+
+Scale notes: the degree map is broadcast via ``ray.put`` — bounded by the
+node-dimension cardinality (suppliers), the same justification as the
+other dimension broadcasts in this repo. On a web-scale node set the
+successor is two node-hash cogroup joins (edges ⋈ degrees on each
+endpoint) — the shapes already exist in ``shuffle_join_revenue``. The
+shipdate window filter runs in the first vectorized pass; at 100 TB it
+belongs in the parquet read predicate (row-group pruning on a
+shipdate-sorted layout).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..common import cached_broadcast, from_pandas_clean as _fpc
+
+#: multiplier for the pair-hash partitioner (Knuth's 2^32 golden ratio);
+#: any odd constant works — partitioning only needs determinism + spread.
+_MIX = 2654435761
+
+
+def _pair_part(a: np.ndarray, b: np.ndarray, parts: int) -> np.ndarray:
+    """Deterministic partition id for an int64 pair (order-sensitive)."""
+    with np.errstate(over="ignore"):
+        h = a.astype(np.uint64) * np.uint64(_MIX) + b.astype(np.uint64)
+    return (h % np.uint64(parts)).astype(np.int32)
+
+
+def cosupply_edges(
+    lineitem_ds,
+    lo: _dt.datetime,
+    hi: _dt.datetime,
+    parts: int = 64,
+    coalesce: int = 8,
+):
+    """Distinct undirected co-supply edges ``(s1, s2)`` with ``s1 < s2``.
+
+    Stage 1 drops everything outside the window and collapses duplicate
+    (order, supplier) rows per batch, so the order-hash shuffle carries at
+    most one row per order-supplier per block. Stage 2 is one coarse
+    cogroup per ``l_orderkey % parts``: a single vectorized self-merge per
+    partition generates each order's supplier pairs (≤ C(7,2) per order),
+    with a per-partition ``drop_duplicates`` partial. Stage 3 dedups
+    globally on a pair-hash cogroup — each edge lands wholly in one
+    partition, so ``drop_duplicates`` there is exact."""
+
+    lo_us = pa.scalar(lo, type=pa.timestamp("us"))
+    hi_us = pa.scalar(hi, type=pa.timestamp("us"))
+
+    def _window(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(b.column("l_shipdate"), lo_us),
+            pc.less(b.column("l_shipdate"), hi_us),
+        )
+        t = b.filter(m)
+        df = pd.DataFrame(
+            {
+                "o": t.column("l_orderkey").to_numpy(zero_copy_only=False),
+                "s": t.column("l_suppkey").to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        df["part"] = (df["o"] % parts).astype(np.int32)
+        return _fpc(df)
+
+    def _pairs(g: pd.DataFrame) -> pa.Table:
+        d = g[["o", "s"]].drop_duplicates()
+        m = d.merge(d, on="o")
+        m = m[m["s_x"] < m["s_y"]]
+        e = m[["s_x", "s_y"]].drop_duplicates()
+        e = e.rename(columns={"s_x": "s1", "s_y": "s2"})
+        e["part"] = _pair_part(
+            e["s1"].to_numpy(), e["s2"].to_numpy(), parts
+        )
+        return _fpc(e[["part", "s1", "s2"]])
+
+    def _dedup(g: pd.DataFrame) -> pa.Table:
+        return _fpc(g[["s1", "s2"]].drop_duplicates())
+
+    return (
+        lineitem_ds.map_batches(
+            _window, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536,
+        )
+        .repartition(coalesce)
+        .groupby("part")
+        .map_groups(_pairs, batch_format="pandas")
+        .repartition(coalesce)
+        .groupby("part")
+        .map_groups(_dedup, batch_format="pandas")
+    )
+
+
+def _endpoint_partials(b: pa.Table) -> pa.Table:
+    """Per-batch partial endpoint counts over an edge block."""
+    nodes = np.concatenate(
+        [
+            b.column("s1").to_numpy(zero_copy_only=False),
+            b.column("s2").to_numpy(zero_copy_only=False),
+        ]
+    )
+    u, c = np.unique(nodes, return_counts=True)
+    return pa.table({"node": u, "partial": c.astype(np.int64)})
+
+
+def cosupply_degrees(lineitem_ds, lo, hi, parts: int = 64):
+    """(node, degree) over the distinct co-supply edge set. Node
+    cardinality is the supplier dimension → the engine Aggregate's
+    per-block combine is the right final form (common.cogroup_agg rule);
+    4-lane coalesce keeps the tiny-key sort ranges non-empty."""
+    from ray.data.aggregate import Sum
+
+    edges = cosupply_edges(lineitem_ds, lo, hi, parts=parts)
+    return (
+        edges.map_batches(
+            _endpoint_partials, batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=65536,
+        )
+        .repartition(4)
+        .groupby("node")
+        .aggregate(Sum("partial", alias_name="degree"))
+        .sort("node")
+    )
+
+
+def triangle_counts(lineitem_ds, lo, hi, parts: int = 64,
+                    coalesce: int = 8):
+    """Per-node triangle participation counts ``(node, n_triangles)`` on
+    the co-supply graph — every node appearing in ≥1 triangle, sorted.
+
+    Orientation order is ``(degree, node_id)`` ascending: each undirected
+    edge is stored once, from its smaller endpoint under that order to the
+    larger. A wedge (v, w) generated at source u (both v, w oriented
+    neighbors of u, v before w under the SAME order) closes into a
+    triangle iff oriented edge (v → w) exists — checked by ONE pair-hash
+    cogroup of wedges against edges. Degree-ordering bounds the per-source
+    neighbor list at O(sqrt(m)) regardless of raw-degree skew (the classic
+    node-iterator guarantee), so wedge partitions stay balanced even with
+    hub nodes."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    # Three consumers read the edge set (degree pass, orientation, tagged
+    # edge side) — materialize it once into the object store (distinct
+    # pairs, spillable) instead of re-running the two cogroup shuffles
+    # per consumer.
+    edges = cosupply_edges(lineitem_ds, lo, hi, parts=parts).materialize()
+
+    # Degree map broadcast: bounded by the supplier-dimension cardinality
+    # (see module docstring for the web-scale cogroup-join successor).
+    deg_tab = (
+        edges.map_batches(
+            _endpoint_partials, batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=65536,
+        )
+        .repartition(4)
+        .groupby("node")
+        .aggregate(Sum("partial", alias_name="degree"))
+    )
+    deg_df = deg_tab.to_pandas().sort_values("node")  # searchsorted order
+    if len(deg_df) and (
+        int(deg_df["node"].iloc[-1]) >= 2**31
+        or int(deg_df["degree"].max()) >= 2**31
+    ):
+        raise ValueError(
+            "triangle_counts packs (degree, id) into one int64 rank; "
+            "node ids / degrees >= 2^31 need a two-column sort key"
+        )
+    deg_ref = ray.put(
+        {
+            "node": deg_df["node"].to_numpy(np.int64),
+            "degree": deg_df["degree"].to_numpy(np.int64),
+        }
+    )
+
+    def _rank_of(nodes: np.ndarray, deg) -> np.ndarray:
+        """Total-order key (degree, id) packed into one int64: degrees and
+        ids are both bounded far below 2^31 here (edge count caps degree),
+        so the pack is collision-free."""
+        idx = np.searchsorted(deg["node"], nodes)
+        return (deg["degree"][idx] << np.int64(32)) | nodes
+
+    def _orient(b: pa.Table) -> pa.Table:
+        deg = cached_broadcast(deg_ref)
+        s1 = b.column("s1").to_numpy(zero_copy_only=False)
+        s2 = b.column("s2").to_numpy(zero_copy_only=False)
+        r1, r2 = _rank_of(s1, deg), _rank_of(s2, deg)
+        swap = r1 > r2
+        u = np.where(swap, s2, s1)
+        v = np.where(swap, s1, s2)
+        ru = np.where(swap, r2, r1)
+        rv = np.where(swap, r1, r2)
+        return pa.table(
+            {
+                "u": u, "v": v, "ru": ru, "rv": rv,
+                "part": pa.array((u % parts).astype(np.int32)),
+            }
+        )
+
+    def _wedges(g: pd.DataFrame) -> pa.Table:
+        d = g[["u", "v", "rv"]]
+        m = d.merge(d, on="u")
+        m = m[m["rv_x"] < m["rv_y"]]
+        if m.empty:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "u": pa.array([], pa.int64()),
+                    "role": pa.array([], pa.int8()),
+                    "part": pa.array([], pa.int32()),
+                }
+            )
+        a = m["v_x"].to_numpy(np.int64)
+        b = m["v_y"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "a": a,
+                "b": b,
+                "u": m["u"].to_numpy(np.int64),
+                "role": pa.array(
+                    np.zeros(len(a), dtype=np.int8), pa.int8()
+                ),
+                "part": pa.array(_pair_part(a, b, parts)),
+            }
+        )
+
+    def _edge_side(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        n = len(u)
+        return pa.table(
+            {
+                "a": u,
+                "b": v,
+                "u": np.full(n, -1, dtype=np.int64),
+                "role": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+                "part": pa.array(_pair_part(u, v, parts)),
+            }
+        )
+
+    oriented = edges.map_batches(
+        _orient, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )
+
+    wedges = (
+        oriented.repartition(coalesce)
+        .groupby("part")
+        .map_groups(_wedges, batch_format="pandas")
+    )
+    edge_tagged = oriented.map_batches(
+        _edge_side, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )
+
+    def _close(g: pd.DataFrame) -> pa.Table:
+        w = g[g["role"] == 0]
+        e = g[g["role"] == 1]
+        if w.empty or e.empty:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "partial": pa.array([], pa.int64())})
+        t = w.merge(e[["a", "b"]], on=["a", "b"], how="inner")
+        nodes = np.concatenate(
+            [
+                t["u"].to_numpy(np.int64),
+                t["a"].to_numpy(np.int64),
+                t["b"].to_numpy(np.int64),
+            ]
+        )
+        u_, c = np.unique(nodes, return_counts=True)
+        return pa.table({"node": u_, "partial": c.astype(np.int64)})
+
+    return (
+        wedges.union(edge_tagged)
+        .repartition(coalesce)
+        .groupby("part")
+        .map_groups(_close, batch_format="pandas")
+        .repartition(4)
+        .groupby("node")
+        .aggregate(Sum("partial", alias_name="n_triangles"))
+        .sort("node")
+    )

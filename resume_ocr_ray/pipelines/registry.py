@@ -21,6 +21,7 @@ from ..core import corpus
 from ..engine import io as EIO
 from ..engine import pipeline as P
 from ..ops import dedup as D
+from ..ops import graph as G
 from ..ops import multimodal as MM
 from ..ops import relational as R
 from ..ops import sampling as S
@@ -759,6 +760,28 @@ def q_token_explode(sf_dir: str):
     return T.token_explode(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+#: co-supply graph window: H1-1995 gives a non-vacuous graph at every test
+#: scale (sf0.01: 610 edges / 341 triangles over all 100 suppliers;
+#: sf0.1: 6,197 / 947) while keeping the DuckDB triple-self-join oracle
+#: cheap enough for the parametrized gate.
+_GRAPH_LO = __import__("datetime").datetime(1995, 1, 1)
+_GRAPH_HI = __import__("datetime").datetime(1995, 7, 1)
+
+
+def _graph_lineitem(sf_dir: str):
+    return _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"]
+    )
+
+
+def q_triangles(sf_dir: str):
+    return G.triangle_counts(_graph_lineitem(sf_dir), _GRAPH_LO, _GRAPH_HI)
+
+
+def q_cosupply_degree(sf_dir: str):
+    return G.cosupply_degrees(_graph_lineitem(sf_dir), _GRAPH_LO, _GRAPH_HI)
+
+
 def q_mad_lang(sf_dir: str):
     return R.mad_by_lang(
         lambda: _read(sf_dir, "documents", ["lang", "n_chars"])
@@ -1270,6 +1293,8 @@ def _all_queries() -> dict:
         "dense_rank": q_dense_rank,
         "mad_lang": q_mad_lang,
         "token_explode": q_token_explode,
+        "triangles": q_triangles,
+        "cosupply_degree": q_cosupply_degree,
         # approximate by construction (int8 quantization) — rows-only;
         # recall@k pinned by tests/test_ops.py::test_ann_int8_recall
         "ann_int8": q_ann_int8,
@@ -2140,6 +2165,34 @@ def oracle_sql() -> dict:
             # ''/NULL text → one empty-token row on both sides
             "SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) "
             "AS token FROM documents"
+        ),
+        "triangles": (
+            # triple self-join enumerates each triangle once (s1<s2 chain);
+            # the Ray side enumerates under DEGREE order — same triangle
+            # set, same per-node counts (ops/graph.py::triangle_counts)
+            "WITH w AS (SELECT l_orderkey, l_suppkey FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1995-01-01' "
+            "AND l_shipdate < TIMESTAMP '1995-07-01'), "
+            "e AS (SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2 "
+            "FROM w a JOIN w b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_suppkey < b.l_suppkey), "
+            "t AS (SELECT e1.s1 AS x, e1.s2 AS y, e2.s2 AS z "
+            "FROM e e1 JOIN e e2 ON e1.s2 = e2.s1 "
+            "JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2) "
+            "SELECT node, CAST(count(*) AS BIGINT) AS n_triangles "
+            "FROM (SELECT x AS node FROM t UNION ALL SELECT y FROM t "
+            "UNION ALL SELECT z FROM t) GROUP BY node ORDER BY node"
+        ),
+        "cosupply_degree": (
+            "WITH w AS (SELECT l_orderkey, l_suppkey FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1995-01-01' "
+            "AND l_shipdate < TIMESTAMP '1995-07-01'), "
+            "e AS (SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2 "
+            "FROM w a JOIN w b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_suppkey < b.l_suppkey) "
+            "SELECT node, CAST(count(*) AS BIGINT) AS degree "
+            "FROM (SELECT s1 AS node FROM e UNION ALL SELECT s2 FROM e) "
+            "GROUP BY node ORDER BY node"
         ),
         "retention": (
             "WITH f AS (SELECT user_id, min(ts) AS t0 FROM events "

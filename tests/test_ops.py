@@ -1970,3 +1970,70 @@ def test_event_ops_partitioning_invariant(ray_session):
         c = run(op, cols, 31)
         pd.testing.assert_frame_equal(a, b)
         pd.testing.assert_frame_equal(a, c)
+
+
+def _li_tbl(rows):
+    """lineitem-shaped table: (orderkey, suppkey) pairs, one shipdate."""
+    import datetime as dt
+
+    ok, sk = zip(*rows)
+    return pa.table(
+        {
+            "l_orderkey": pa.array(ok, pa.int64()),
+            "l_suppkey": pa.array(sk, pa.int64()),
+            "l_shipdate": pa.array(
+                [dt.datetime(1995, 2, 1)] * len(ok), pa.timestamp("us")
+            ),
+        }
+    )
+
+
+def test_triangle_counts_clique_and_hub(ray_session):
+    """A 4-clique (order 1 ships suppliers 1-4) has C(3,2)=3 triangles per
+    node; a star hub (order 2: supplier 10 with 20,21 — no 20-21 edge
+    elsewhere... but one order makes a clique, so use PAIRWISE orders) has
+    none. Edges are built per-order, so the hub is built from 2-supplier
+    orders sharing supplier 10 only."""
+    import datetime as dt
+
+    from resume_ocr_ray.ops import graph as G
+
+    rows = [(1, 1), (1, 2), (1, 3), (1, 4)]          # 4-clique
+    rows += [(2, 10), (2, 20), (3, 10), (3, 21)]      # star: 10-20, 10-21
+    rows += [(1, 2), (2, 10)]                          # duplicate lineitems
+    import ray.data as rd
+
+    ds = rd.from_arrow(_li_tbl(rows))
+    lo, hi = dt.datetime(1995, 1, 1), dt.datetime(1995, 7, 1)
+
+    tri = G.triangle_counts(ds, lo, hi).to_pandas()
+    assert dict(zip(tri["node"], tri["n_triangles"])) == {
+        1: 3, 2: 3, 3: 3, 4: 3
+    }
+
+    deg = G.cosupply_degrees(ds, lo, hi).to_pandas()
+    assert dict(zip(deg["node"], deg["degree"])) == {
+        1: 3, 2: 3, 3: 3, 4: 3, 10: 2, 20: 1, 21: 1
+    }
+
+
+def test_triangle_counts_window_excludes_out_of_range(ray_session):
+    """Lineitems outside [lo, hi) must not create edges: the same clique
+    shipped in 1996 contributes nothing."""
+    import datetime as dt
+
+    from resume_ocr_ray.ops import graph as G
+
+    tbl = _li_tbl([(1, 1), (1, 2), (1, 3)])
+    late = tbl.set_column(
+        2,
+        "l_shipdate",
+        pa.array([dt.datetime(1996, 2, 1)] * 3, pa.timestamp("us")),
+    )
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.concat_tables([tbl, late]))
+    lo, hi = dt.datetime(1995, 1, 1), dt.datetime(1995, 7, 1)
+    tri = G.triangle_counts(ds, lo, hi).to_pandas()
+    # one in-window triangle among 1,2,3 — the 1996 copy adds no edges
+    assert dict(zip(tri["node"], tri["n_triangles"])) == {1: 1, 2: 1, 3: 1}

@@ -50,38 +50,16 @@ def test_all_queries_run(ray_session, registry):
         assert len(res.columns) > 0, name
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
-        "doc_stats", "quality_score", "dedup_exact", "dedup_prefix", "top_docs",
-        "short_docs_by_lang", "lineitem_agg", "orders_by_segment",
-        "events_hourly", "ann_cosine", "stratified_sample", "distinct_langs",
-        "point_lookup", "lang_id", "bpe_tokens", "fingerprint_md5",
-        "sessionize", "grouped_topk", "ann_multi", "dedup_components",
-        "events_sliding", "asof_join", "anti_join", "semi_join",
-        "group_median", "rollup_agg", "top_terms", "ngram_jaccard",
-        "shuffle_join", "range_join", "window_lag", "cosine_pairs",
-        "exact_quantile", "distinct_users", "heavy_hitters",
-        "bloom_semi_join", "pivot_events", "length_gate", "stopword_filter",
-        "train_split", "mixture_sample", "pack_sequences", "label_centroids",
-        "hash_sample", "group_split", "redact_pii", "dup_phrases",
-        "decontaminate", "cust_except", "html_main", "mode_lang",
-        "section_flags", "user_intersect", "boilerplate_gate",
-        "ivf_full_probe", "neardup_pairs", "grouped_p95",
-        "domain_cap", "word_rep", "moving_max", "winsorize",
-        "prefix_contained", "tfidf_topk", "left_join",
-        "trailing_count", "dedup_keep_best", "percent_rank",
-        "ntile", "running_sum", "fuzzy_pairs", "cume_dist", "cube_agg",
-        "substring_dups", "dedup_normalized", "json_props", "funnel", "retention", "region_rollup",
-        "postings", "bigram_counts", "cooccur", "interval_overlap",
-        "full_outer_join", "group_corr", "event_gini", "event_paths",
-        "argmax_event", "event_transitions", "above_avg_orders",
-        "pareto_skyline", "length_outliers", "nation_revenue",
-        "emb_argmax", "grouped_sample", "cust_union", "first_last",
-        "value_histogram", "cross_source", "dense_rank", "mad_lang",
-        "token_explode",
-    ],
-)
+def _oracle_names():
+    """Parametrize over the LIVE oracle set: a static list here silently
+    skips any newly registered oracle-backed query. oracle_sql() is a dict
+    of SQL strings — importable at collection time, no Ray needed."""
+    from resume_ocr_ray.pipelines import registry as reg
+
+    return sorted(reg.oracle_sql())
+
+
+@pytest.mark.parametrize("name", _oracle_names())
 def test_query_matches_oracle(ray_session, registry, duck, name):
     ray_df = _normalize(_to_pandas(registry.queries()[name](SF_DIR)))
     sql_df = _normalize(duck.sql(registry.oracle_sql()[name]).fetchdf())
