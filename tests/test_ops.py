@@ -2037,3 +2037,37 @@ def test_triangle_counts_window_excludes_out_of_range(ray_session):
     tri = G.triangle_counts(ds, lo, hi).to_pandas()
     # one in-window triangle among 1,2,3 — the 1996 copy adds no edges
     assert dict(zip(tri["node"], tri["n_triangles"])) == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_counts_match_adjacency_cube(ray_session):
+    """Property: per-node triangle counts == diag(A^3)/2 on a seeded
+    random graph with a deliberate hub (degree-skew exercises the
+    orientation bound). Each order ships exactly 2 suppliers → the edge
+    set IS the drawn graph."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import graph as G
+
+    rng = np.random.default_rng(7)
+    n = 30
+    a = np.zeros((n, n), dtype=np.int64)
+    edges = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            # hub: node 0 connects to everything; others sparse
+            if i == 0 or rng.random() < 0.18:
+                a[i, j] = a[j, i] = 1
+                edges.append((i + 1, j + 1))  # suppkeys are 1-based
+    rows = []
+    for k, (s1, s2) in enumerate(edges):
+        rows += [(k, s1), (k, s2)]
+    ds = rd.from_arrow(_li_tbl(rows))
+    tri = G.triangle_counts(
+        ds, dt.datetime(1995, 1, 1), dt.datetime(1995, 7, 1)
+    ).to_pandas()
+    got = dict(zip(tri["node"], tri["n_triangles"]))
+    expect = np.diag(np.linalg.matrix_power(a, 3)) // 2
+    want = {i + 1: int(c) for i, c in enumerate(expect) if c}
+    assert got == want
