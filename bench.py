@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "token_explode",
     "triangles",
     "cosupply_degree",
+    "gap_fill",
+    "kendall",
 ]
 
 

@@ -3199,3 +3199,123 @@ def mad_by_lang(docs_ds_factory):
     )
     return grouped_quantiles(devs, group_col="lang", val_col="dev",
                              ps=[(0.5, "mad")])
+
+
+def gap_fill_daily(events_ds, parts: int = 64, coalesce: int = 8):
+    """Time-series DENSIFY: per-(user, day) event counts with every gap
+    day zero-filled over each user's [first_active, last_active] range —
+    the resample/gap-fill op (training-curriculum pacing, activity
+    matrices, SQL generate_series ⨝ counts) that Ray Data has no native
+    form for.
+
+    Shape: per-batch partial counts collapse events to (user, day) rows
+    before anything moves; ONE user-hash cogroup merges the partials and
+    builds each user's dense day grid VECTORIZED (np.repeat over spans +
+    a cumsum-offset arange — no Python per-user loop), then left-joins
+    counts into the grid. The grid never exceeds a partition: rows stream
+    out as (users_in_partition × span) blocks. Span is bounded by the
+    corpus retention window (days, not the row count); a per-user span
+    guard fails loudly if a caller feeds multi-decade keys where an
+    epoch-keyed variant belongs."""
+    DAY_US = 86_400_000_000
+    MAX_SPAN = 100_000  # ~270 years of days per user — loud, not silent
+
+    def _partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": b.column("user_id").to_numpy(
+                    zero_copy_only=False
+                ),
+                "day": b.column("ts").cast(pa.int64()).to_numpy()
+                // DAY_US,
+            }
+        )
+        g = df.groupby(["user_id", "day"], as_index=False).size()
+        g = g.rename(columns={"size": "partial"})
+        g["part"] = (g["user_id"] % parts).astype(np.int32)
+        return _fpc(g)
+
+    def _fill(g: pd.DataFrame) -> pa.Table:
+        c = g.groupby(["user_id", "day"], as_index=False)["partial"].sum()
+        r = c.groupby("user_id", as_index=False).agg(
+            lo=("day", "min"), hi=("day", "max")
+        )
+        spans = (r["hi"] - r["lo"] + 1).to_numpy(np.int64)
+        if spans.max(initial=0) > MAX_SPAN:
+            raise ValueError(
+                f"gap_fill_daily: user span {spans.max()} days exceeds "
+                f"{MAX_SPAN}; key by a coarser bucket"
+            )
+        total = int(spans.sum())
+        users = np.repeat(r["user_id"].to_numpy(np.int64), spans)
+        starts = np.repeat(r["lo"].to_numpy(np.int64), spans)
+        ends = np.cumsum(spans)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            ends - spans, spans
+        )
+        grid = pd.DataFrame({"user_id": users, "day": starts + offs})
+        out = grid.merge(c, on=["user_id", "day"], how="left")
+        out["n_events"] = (
+            out["partial"].fillna(0).astype(np.int64)
+        )
+        return _fpc(out[["user_id", "day", "n_events"]])
+
+    return (
+        events_ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=65536)
+        .repartition(coalesce)
+        .groupby("part")
+        .map_groups(_fill, batch_format="pandas")
+    )
+
+
+def kendall_concordance(events_ds, parts: int = 64, coalesce: int = 8):
+    """Per-user Kendall concordant/discordant pair counts between event
+    TIME ORDER and VALUE — "is this user's value trending?", the
+    rank-correlation building block (tau = (C−D)/pairs), integer-exact
+    where tau's float division can't hash-match an oracle.
+
+    Shape: events shuffle ONCE on a coarse user-hash; each partition runs
+    one vectorized self-merge per its users (pair order fixed by the
+    unique (ts, event_id) key; value ties count as neither — tau-b
+    semantics). Pair volume is Σ n_u² over the partition's users — per-
+    user activity bounded (double-digit here); a heavy-user corpus needs
+    the documented successor (per-user merge-sort inversion counting,
+    O(n log n)), not a bigger partition."""
+
+    def _tag(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": uid,
+                "ts": b.column("ts").cast(pa.int64()),
+                "event_id": b.column("event_id"),
+                "value": b.column("value"),
+                "part": pa.array((uid % parts).astype(np.int32)),
+            }
+        )
+
+    def _pairs(g: pd.DataFrame) -> pa.Table:
+        d = g[["user_id", "ts", "event_id", "value"]]
+        m = d.merge(d, on="user_id")
+        later = (m["ts_y"] > m["ts_x"]) | (
+            (m["ts_y"] == m["ts_x"]) & (m["event_id_y"] > m["event_id_x"])
+        )
+        m = m[later]
+        out = (
+            m.assign(
+                n_conc=(m["value_y"] > m["value_x"]).astype(np.int64),
+                n_disc=(m["value_y"] < m["value_x"]).astype(np.int64),
+            )
+            .groupby("user_id", as_index=False)[["n_conc", "n_disc"]]
+            .sum()
+        )
+        return _fpc(out)
+
+    return (
+        events_ds.map_batches(_tag, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=65536)
+        .repartition(coalesce)
+        .groupby("part")
+        .map_groups(_pairs, batch_format="pandas")
+    )

@@ -782,6 +782,16 @@ def q_cosupply_degree(sf_dir: str):
     return G.cosupply_degrees(_graph_lineitem(sf_dir), _GRAPH_LO, _GRAPH_HI)
 
 
+def q_gap_fill(sf_dir: str):
+    return R.gap_fill_daily(_read(sf_dir, "events", ["user_id", "ts"]))
+
+
+def q_kendall(sf_dir: str):
+    return R.kendall_concordance(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    )
+
+
 def q_mad_lang(sf_dir: str):
     return R.mad_by_lang(
         lambda: _read(sf_dir, "documents", ["lang", "n_chars"])
@@ -1295,6 +1305,8 @@ def _all_queries() -> dict:
         "token_explode": q_token_explode,
         "triangles": q_triangles,
         "cosupply_degree": q_cosupply_degree,
+        "gap_fill": q_gap_fill,
+        "kendall": q_kendall,
         # approximate by construction (int8 quantization) — rows-only;
         # recall@k pinned by tests/test_ops.py::test_ann_int8_recall
         "ann_int8": q_ann_int8,
@@ -2193,6 +2205,35 @@ def oracle_sql() -> dict:
             "SELECT node, CAST(count(*) AS BIGINT) AS degree "
             "FROM (SELECT s1 AS node FROM e UNION ALL SELECT s2 FROM e) "
             "GROUP BY node ORDER BY node"
+        ),
+        "gap_fill": (
+            # generate_series densify — zero-count gap days included;
+            # integer day buckets (floor of epoch_us / 86.4e9)
+            "WITH b AS (SELECT user_id, CAST(floor(epoch_us(ts) / "
+            "86400000000) AS BIGINT) AS day FROM events), "
+            "r AS (SELECT user_id, min(day) AS lo, max(day) AS hi "
+            "FROM b GROUP BY user_id), "
+            "g AS (SELECT user_id, CAST(unnest(range(lo, hi + 1)) "
+            "AS BIGINT) AS day FROM r), "
+            "c AS (SELECT user_id, day, count(*) AS n FROM b "
+            "GROUP BY user_id, day) "
+            "SELECT g.user_id, g.day, "
+            "CAST(coalesce(c.n, 0) AS BIGINT) AS n_events "
+            "FROM g LEFT JOIN c USING (user_id, day)"
+        ),
+        "kendall": (
+            # pair order fixed by the unique (ts, event_id) key; value
+            # ties count as neither concordant nor discordant (tau-b);
+            # double compares are pure comparisons — no arithmetic —
+            # so numpy == SQL bit-exact
+            "SELECT a.user_id, "
+            "CAST(sum(CASE WHEN b.value > a.value THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_conc, "
+            "CAST(sum(CASE WHEN b.value < a.value THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_disc "
+            "FROM events a JOIN events b ON a.user_id = b.user_id "
+            "AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id)) "
+            "GROUP BY a.user_id"
         ),
         "retention": (
             "WITH f AS (SELECT user_id, min(ts) AS t0 FROM events "

@@ -2071,3 +2071,56 @@ def test_triangle_counts_match_adjacency_cube(ray_session):
     expect = np.diag(np.linalg.matrix_power(a, 3)) // 2
     want = {i + 1: int(c) for i, c in enumerate(expect) if c}
     assert got == want
+
+
+def _events_tbl(rows):
+    """events-shaped table from (event_id, user_id, ts_us, value)."""
+    eid, uid, ts, val = zip(*rows)
+    return pa.table(
+        {
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "ts": pa.array(list(ts), pa.timestamp("us")),
+            "value": pa.array(val, pa.float64()),
+        }
+    )
+
+
+def test_gap_fill_daily_zero_fills_interior_gaps(ray_session):
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import relational as R
+
+    DAY = 86_400_000_000
+    # user 1 active day 0 (twice) and day 3 → days 1,2 zero-filled;
+    # user 2 active one day only → a single row, no padding
+    rows = [
+        (1, 1, 0, 0.0), (2, 1, 100, 0.0), (3, 1, 3 * DAY, 0.0),
+        (4, 2, 5 * DAY, 0.0),
+    ]
+    out = (
+        R.gap_fill_daily(rd.from_arrow(_events_tbl(rows)))
+        .to_pandas()
+        .sort_values(["user_id", "day"])
+    )
+    got = list(map(tuple, out.to_numpy()))
+    assert got == [(1, 0, 2), (1, 1, 0), (1, 2, 0), (1, 3, 1), (2, 5, 1)]
+
+
+def test_kendall_concordance_ties_count_neither(ray_session):
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import relational as R
+
+    # user 1 values over time: 1.0, 3.0, 2.0, 2.0
+    # pairs: (1,3)C (1,2)C (1,2)C (3,2)D (3,2)D (2,2)tie → C=3 D=2
+    rows = [
+        (1, 1, 0, 1.0), (2, 1, 10, 3.0), (3, 1, 20, 2.0), (4, 1, 30, 2.0),
+        (5, 9, 0, 7.0),  # single event → no pair row for user 9
+    ]
+    out = R.kendall_concordance(
+        rd.from_arrow(_events_tbl(rows))
+    ).to_pandas()
+    assert dict(
+        zip(out["user_id"], zip(out["n_conc"], out["n_disc"]))
+    ) == {1: (3, 2)}
