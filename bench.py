@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "cosupply_degree",
     "gap_fill",
     "kendall",
+    "link_predict",
 ]
 
 

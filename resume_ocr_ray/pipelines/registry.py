@@ -782,6 +782,12 @@ def q_cosupply_degree(sf_dir: str):
     return G.cosupply_degrees(_graph_lineitem(sf_dir), _GRAPH_LO, _GRAPH_HI)
 
 
+def q_link_predict(sf_dir: str):
+    return G.common_neighbor_pairs(
+        _graph_lineitem(sf_dir), _GRAPH_LO, _GRAPH_HI
+    )
+
+
 def q_gap_fill(sf_dir: str):
     return R.gap_fill_daily(_read(sf_dir, "events", ["user_id", "ts"]))
 
@@ -1307,6 +1313,7 @@ def _all_queries() -> dict:
         "cosupply_degree": q_cosupply_degree,
         "gap_fill": q_gap_fill,
         "kendall": q_kendall,
+        "link_predict": q_link_predict,
         # approximate by construction (int8 quantization) — rows-only;
         # recall@k pinned by tests/test_ops.py::test_ann_int8_recall
         "ann_int8": q_ann_int8,
@@ -2205,6 +2212,25 @@ def oracle_sql() -> dict:
             "SELECT node, CAST(count(*) AS BIGINT) AS degree "
             "FROM (SELECT s1 AS node FROM e UNION ALL SELECT s2 FROM e) "
             "GROUP BY node ORDER BY node"
+        ),
+        "link_predict": (
+            # common-neighbor counts over NON-adjacent pairs (a < b):
+            # full wedge-pair counting + anti-join on the edge set
+            "WITH w AS (SELECT l_orderkey, l_suppkey FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1995-01-01' "
+            "AND l_shipdate < TIMESTAMP '1995-07-01'), "
+            "e AS (SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2 "
+            "FROM w a JOIN w b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_suppkey < b.l_suppkey), "
+            "adj AS (SELECT s1 AS c, s2 AS n FROM e "
+            "UNION ALL SELECT s2, s1 FROM e), "
+            "cn AS (SELECT a1.n AS a, a2.n AS b, "
+            "CAST(count(*) AS BIGINT) AS n_common "
+            "FROM adj a1 JOIN adj a2 ON a1.c = a2.c AND a1.n < a2.n "
+            "GROUP BY 1, 2) "
+            "SELECT cn.a, cn.b, cn.n_common FROM cn "
+            "WHERE NOT EXISTS (SELECT 1 FROM e "
+            "WHERE e.s1 = cn.a AND e.s2 = cn.b)"
         ),
         "gap_fill": (
             # generate_series densify — zero-count gap days included;

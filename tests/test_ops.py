@@ -2124,3 +2124,23 @@ def test_kendall_concordance_ties_count_neither(ray_session):
     assert dict(
         zip(out["user_id"], zip(out["n_conc"], out["n_disc"]))
     ) == {1: (3, 2)}
+
+
+def test_common_neighbor_pairs_anti_joins_existing_edges(ray_session):
+    """On the clique+star fixture: every clique pair is adjacent (→
+    excluded despite 2 common neighbors); the star leaves 20, 21 share
+    hub 10 and are NOT adjacent → the only emitted pair."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import graph as G
+
+    rows = [(1, 1), (1, 2), (1, 3), (1, 4),
+            (2, 10), (2, 20), (3, 10), (3, 21)]
+    out = G.common_neighbor_pairs(
+        rd.from_arrow(_li_tbl(rows)),
+        dt.datetime(1995, 1, 1), dt.datetime(1995, 7, 1),
+    ).to_pandas()
+    got = {(r.a, r.b): r.n_common for r in out.itertuples()}
+    assert got == {(20, 21): 1}
