@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "gap_fill",
     "kendall",
     "link_predict",
+    "profile_docs",
 ]
 
 

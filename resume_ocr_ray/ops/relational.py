@@ -3319,3 +3319,85 @@ def kendall_concordance(events_ds, parts: int = 64, coalesce: int = 8):
         .groupby("part")
         .map_groups(_pairs, batch_format="pandas")
     )
+
+
+def profile_columns(ds, cols, parts: int = 64, coalesce: int = 8):
+    """DATASET PROFILER: one row per column — ``(col, n_nulls,
+    n_distinct)`` with EXACT distinct counts — the schema-audit /
+    data-quality summary every ingest pipeline runs first.
+
+    ONE scan, one shuffle: each batch emits (a) per-batch-deduped
+    (col, val) pairs — values cast to string, an injective encoding for
+    the int/string columns profiled here — and (b) a per-batch null-count
+    partial riding the same table (role flag). The cogroup keys on
+    hash(col, val), so each distinct value lands wholly in one partition:
+    a per-partition drop_duplicates is globally exact, folded immediately
+    to per-column partial counts (col-cardinality rows leave the
+    partition, never values). A final engine aggregate sums both partials
+    over the handful of column names."""
+    from ray.data.aggregate import Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        frames = []
+        for col in cols:
+            arr = b.column(col)
+            n_null = arr.null_count
+            vals = pc.cast(arr.drop_null(), pa.string())
+            u = pc.unique(vals).to_numpy(zero_copy_only=False)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "col": col,
+                        "val": u,
+                        "nulls_partial": np.zeros(len(u), np.int64),
+                        "role": np.zeros(len(u), np.int8),
+                    }
+                )
+            )
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "col": [col],
+                        "val": [""],
+                        "nulls_partial": np.array([n_null], np.int64),
+                        "role": np.array([1], np.int8),
+                    }
+                )
+            )
+        out = pd.concat(frames, ignore_index=True)
+        out["part"] = (
+            pd.util.hash_pandas_object(out["col"] + "\x00" + out["val"],
+                                       index=False)
+            % parts
+        ).astype(np.int32)
+        return _fpc(out)
+
+    def _fold(g: pd.DataFrame) -> pa.Table:
+        d = g[g["role"] == 0][["col", "val"]].drop_duplicates()
+        nd = d.groupby("col", as_index=False).size().rename(
+            columns={"size": "nd_partial"}
+        )
+        nn = (
+            g[g["role"] == 1]
+            .groupby("col", as_index=False)["nulls_partial"].sum()
+            .rename(columns={"nulls_partial": "nn_partial"})
+        )
+        out = nd.merge(nn, on="col", how="outer").fillna(0)
+        out["nd_partial"] = out["nd_partial"].astype(np.int64)
+        out["nn_partial"] = out["nn_partial"].astype(np.int64)
+        return _fpc(out)
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=65536)
+        .repartition(coalesce)
+        .groupby("part")
+        .map_groups(_fold, batch_format="pandas")
+        .repartition(4)
+        .groupby("col")
+        .aggregate(
+            Sum("nn_partial", alias_name="n_nulls"),
+            Sum("nd_partial", alias_name="n_distinct"),
+        )
+        .sort("col")
+    )

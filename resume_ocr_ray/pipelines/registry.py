@@ -782,6 +782,13 @@ def q_cosupply_degree(sf_dir: str):
     return G.cosupply_degrees(_graph_lineitem(sf_dir), _GRAPH_LO, _GRAPH_HI)
 
 
+def q_profile_docs(sf_dir: str):
+    return R.profile_columns(
+        _read(sf_dir, "documents"),
+        cols=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+
 def q_link_predict(sf_dir: str):
     return G.common_neighbor_pairs(
         _graph_lineitem(sf_dir), _GRAPH_LO, _GRAPH_HI
@@ -1314,6 +1321,7 @@ def _all_queries() -> dict:
         "gap_fill": q_gap_fill,
         "kendall": q_kendall,
         "link_predict": q_link_predict,
+        "profile_docs": q_profile_docs,
         # approximate by construction (int8 quantization) — rows-only;
         # recall@k pinned by tests/test_ops.py::test_ann_int8_recall
         "ann_int8": q_ann_int8,
@@ -2212,6 +2220,25 @@ def oracle_sql() -> dict:
             "SELECT node, CAST(count(*) AS BIGINT) AS degree "
             "FROM (SELECT s1 AS node FROM e UNION ALL SELECT s2 FROM e) "
             "GROUP BY node ORDER BY node"
+        ),
+        "profile_docs": (
+            # count(DISTINCT) ignores NULLs on both sides; values are
+            # compared as their injective string casts on the Ray side,
+            # which cannot change the distinct count of int/string cols
+            "SELECT * FROM ("
+            "SELECT 'doc_id' AS col, CAST(count(*) - count(doc_id) AS "
+            "BIGINT) AS n_nulls, CAST(count(DISTINCT doc_id) AS BIGINT) "
+            "AS n_distinct FROM documents "
+            "UNION ALL SELECT 'text', CAST(count(*) - count(text) AS "
+            "BIGINT), CAST(count(DISTINCT text) AS BIGINT) FROM documents "
+            "UNION ALL SELECT 'lang', CAST(count(*) - count(lang) AS "
+            "BIGINT), CAST(count(DISTINCT lang) AS BIGINT) FROM documents "
+            "UNION ALL SELECT 'source', CAST(count(*) - count(source) AS "
+            "BIGINT), CAST(count(DISTINCT source) AS BIGINT) "
+            "FROM documents "
+            "UNION ALL SELECT 'n_chars', CAST(count(*) - count(n_chars) "
+            "AS BIGINT), CAST(count(DISTINCT n_chars) AS BIGINT) "
+            "FROM documents) ORDER BY col"
         ),
         "link_predict": (
             # common-neighbor counts over NON-adjacent pairs (a < b):

@@ -2144,3 +2144,22 @@ def test_common_neighbor_pairs_anti_joins_existing_edges(ray_session):
     ).to_pandas()
     got = {(r.a, r.b): r.n_common for r in out.itertuples()}
     assert got == {(20, 21): 1}
+
+
+def test_profile_columns_nulls_and_distinct_exact(ray_session):
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import relational as R
+
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 2, 2, None, None, 3], pa.int64()),
+            "s": pa.array(["a", "a", "", None, "b", "b"], pa.string()),
+        }
+    )
+    out = R.profile_columns(rd.from_arrow(tbl), cols=["k", "s"]).to_pandas()
+    got = {
+        r.col: (r.n_nulls, r.n_distinct) for r in out.itertuples()
+    }
+    # "" is a VALUE, not a null; distinct ignores nulls (SQL semantics)
+    assert got == {"k": (2, 3), "s": (1, 3)}
