@@ -2163,3 +2163,23 @@ def test_profile_columns_nulls_and_distinct_exact(ray_session):
     }
     # "" is a VALUE, not a null; distinct ignores nulls (SQL semantics)
     assert got == {"k": (2, 3), "s": (1, 3)}
+
+
+def test_triangle_counts_hot_order_clique(ray_session):
+    """Adversarial skew: ONE order shipping 100 suppliers lands a complete
+    100-clique's pair generation in a single order-hash cogroup partition
+    (the documented bounded-fanout assumption inverted). The op must stay
+    correct: every node sits in C(99,2) triangles."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import graph as G
+
+    rows = [(1, s) for s in range(1, 101)]
+    tri = G.triangle_counts(
+        rd.from_arrow(_li_tbl(rows)),
+        dt.datetime(1995, 1, 1), dt.datetime(1995, 7, 1),
+    ).to_pandas()
+    assert len(tri) == 100
+    assert (tri["n_triangles"] == 99 * 98 // 2).all()
