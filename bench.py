@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "kendall",
     "link_predict",
     "profile_docs",
+    "neardup_families",
 ]
 
 

@@ -1785,3 +1785,122 @@ def cross_source_pairs(docs_ds, prefix_n: int = 32, gram: int = 3,
         batch_size=65536,
     )
     return keyed.groupby("part").map_groups(_part_pairs, batch_format="pandas")
+
+
+def neardup_families(docs_ds_factory, prefix_n: int = 32, gram: int = 3,
+                     threshold: float = 0.8, parts: int = 64,
+                     coalesce: int = 8):
+    """END-TO-END near-dup family selection — the full production dedup
+    workflow (SlimPajama / RefinedWeb shape) as ONE composed pipeline:
+
+      exact n-gram-Jaccard pair edges  (``ngram_jaccard_pairs``)
+      → connected components over those edges
+        (``connected_components_labels`` with an EDGE-state builder —
+        each pair is a 2-member key, pointer jumping handles chains)
+      → keep-best representative per family (longest text, min-doc_id
+        tiebreak) + family size.
+
+    Returns ``(family, keep_doc_id, n_docs)``, one row per near-dup
+    family (size ≥ 2 by construction — every labeled doc sits in ≥ 1
+    pair). Everything reuses the scale shapes of its parts: salted pair
+    blocking, coarse CC cogroups, and two tagged-union cogroups here
+    (label ⋈ doc metadata on doc-hash, then family fold on
+    component-hash). Deterministic end to end, so the whole composition
+    carries an exact recursive-CTE + window-function DuckDB oracle."""
+
+    pairs = ngram_jaccard_pairs(
+        docs_ds_factory(), prefix_n=prefix_n, gram=gram,
+        threshold=threshold,
+    )
+
+    def _edge_state(b: pa.Table) -> pa.Table:
+        a = b.column("doc_a").to_numpy(zero_copy_only=False)
+        c = b.column("doc_b").to_numpy(zero_copy_only=False)
+        key = pd.Series(a).astype(str) + ":" + pd.Series(c).astype(str)
+        keys = np.repeat(key.to_numpy(dtype=object), 2)
+        docs = np.empty(2 * len(a), dtype=np.int64)
+        docs[0::2], docs[1::2] = a, c
+        return pa.table(
+            {
+                "key": pa.array(keys, type=pa.string()),
+                "doc_id": pa.array(docs),
+                "label": pa.array(docs),
+            }
+        )
+
+    labels = connected_components_labels(pairs, to_state_fn=_edge_state)
+
+    def _lab_side(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": d,
+                "component": b.column("component"),
+                "n_chars": np.zeros(len(d), np.int64),
+                "role": pa.array(np.zeros(len(d), np.int8), pa.int8()),
+                "part": pa.array((d % parts).astype(np.int32)),
+            }
+        )
+
+    def _doc_side(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        n = pc.utf8_length(
+            pc.coalesce(b.column("text"), pa.scalar(""))
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": d,
+                "component": np.full(len(d), -1, np.int64),
+                "n_chars": n,
+                "role": pa.array(np.ones(len(d), np.int8), pa.int8()),
+                "part": pa.array((d % parts).astype(np.int32)),
+            }
+        )
+
+    def _join(g: pd.DataFrame) -> pa.Table:
+        lab = g[g["role"] == 0][["doc_id", "component"]]
+        doc = g[g["role"] == 1][["doc_id", "n_chars"]]
+        if lab.empty or doc.empty:
+            return pa.table(
+                {"component": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "n_chars": pa.array([], pa.int64()),
+                 "fpart": pa.array([], pa.int32())}
+            )
+        m = lab.merge(doc, on="doc_id", how="inner")
+        return _fpc(
+            m.assign(fpart=(m["component"] % parts).astype(np.int32))
+            [["component", "doc_id", "n_chars", "fpart"]]
+        )
+
+    def _fold(g: pd.DataFrame) -> pa.Table:
+        cnt = g.groupby("component", as_index=False).size().rename(
+            columns={"size": "n_docs"}
+        )
+        best = g.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).drop_duplicates("component")[["component", "doc_id"]]
+        out = best.merge(cnt, on="component").rename(
+            columns={"component": "family", "doc_id": "keep_doc_id"}
+        )
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        return _fpc(out[["family", "keep_doc_id", "n_docs"]])
+
+    tagged = (
+        labels.map_batches(_lab_side, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=65536)
+        .union(
+            docs_ds_factory().map_batches(
+                _doc_side, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=65536,
+            )
+        )
+        .repartition(coalesce)
+        .groupby("part")
+        .map_groups(_join, batch_format="pandas")
+    )
+    return (
+        tagged.repartition(coalesce)
+        .groupby("fpart")
+        .map_groups(_fold, batch_format="pandas")
+    )

@@ -782,6 +782,12 @@ def q_cosupply_degree(sf_dir: str):
     return G.cosupply_degrees(_graph_lineitem(sf_dir), _GRAPH_LO, _GRAPH_HI)
 
 
+def q_neardup_families(sf_dir: str):
+    return D.neardup_families(
+        lambda: _read(sf_dir, "documents", ["doc_id", "text"])
+    )
+
+
 def q_profile_docs(sf_dir: str):
     return R.profile_columns(
         _read(sf_dir, "documents"),
@@ -1322,6 +1328,7 @@ def _all_queries() -> dict:
         "kendall": q_kendall,
         "link_predict": q_link_predict,
         "profile_docs": q_profile_docs,
+        "neardup_families": q_neardup_families,
         # approximate by construction (int8 quantization) — rows-only;
         # recall@k pinned by tests/test_ops.py::test_ann_int8_recall
         "ann_int8": q_ann_int8,
@@ -2220,6 +2227,35 @@ def oracle_sql() -> dict:
             "SELECT node, CAST(count(*) AS BIGINT) AS degree "
             "FROM (SELECT s1 AS node FROM e UNION ALL SELECT s2 FROM e) "
             "GROUP BY node ORDER BY node"
+        ),
+        "neardup_families": (
+            # full dedup workflow restated in SQL: the ngram_jaccard pair
+            # oracle -> recursive-CTE transitive closure (min-label
+            # components, the dedup_components pattern) -> window keep-best
+            "WITH RECURSIVE pos AS (SELECT doc_id, substr(text, 1, 32) AS "
+            "pfx, text, unnest(generate_series(1, greatest(length(text) - "
+            "2, 0))) AS g FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, pfx, substr(text, g::INT, 3)"
+            " AS gram FROM pos), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),"
+            " inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "count(*) AS i FROM grams a JOIN grams b ON a.gram = b.gram "
+            "AND a.pfx = b.pfx AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "p AS (SELECT doc_a, doc_b FROM inter "
+            "JOIN sizes sa ON sa.doc_id = doc_a "
+            "JOIN sizes sb ON sb.doc_id = doc_b "
+            "WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8), "
+            "e AS (SELECT doc_a AS u, doc_b AS v FROM p "
+            "UNION SELECT doc_b, doc_a FROM p), "
+            "reach(u, l) AS (SELECT u, u FROM e "
+            "UNION SELECT e.u, r.l FROM e JOIN reach r ON r.u = e.v), "
+            "lbl AS (SELECT u AS d, min(l) AS family FROM reach GROUP BY u)"
+            " SELECT family, d AS keep_doc_id, "
+            "CAST(cnt AS BIGINT) AS n_docs FROM ("
+            "SELECT l.family, l.d, row_number() OVER (PARTITION BY "
+            "l.family ORDER BY length(coalesce(dd.text, '')) DESC, l.d ASC)"
+            " AS rn, count(*) OVER (PARTITION BY l.family) AS cnt "
+            "FROM lbl l JOIN documents dd ON l.d = dd.doc_id) WHERE rn = 1"
         ),
         "profile_docs": (
             # count(DISTINCT) ignores NULLs on both sides; values are

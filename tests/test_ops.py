@@ -2183,3 +2183,35 @@ def test_triangle_counts_hot_order_clique(ray_session):
     ).to_pandas()
     assert len(tri) == 100
     assert (tri["n_triangles"] == 99 * 98 // 2).all()
+
+
+def test_neardup_families_transitive_chain_keep_longest(ray_session):
+    """A≈B and B≈C but A̸≈C (Jaccard is not transitive): all three must
+    still land in ONE family via the component closure, keeping the
+    longest text. Construction: B is a 100-char base; A and C append
+    distinct tails (single-tail Jaccard ≈ 0.85 ≥ 0.8, tail-vs-tail
+    ≈ 0.74 < 0.8). doc 9 is unrelated → no family row."""
+    import random
+
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import dedup as D
+
+    rng = random.Random(3)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    base = "".join(rng.choice(alpha) for _ in range(100))
+    t1 = "".join(rng.choice(alpha) for _ in range(16))
+    t2 = "".join(rng.choice(alpha) for _ in range(15))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([5, 2, 7, 9], pa.int64()),
+            "text": pa.array(
+                [base + t1, base, base + t2, "zz" + base[2:]],
+                pa.string(),
+            ),
+        }
+    )
+    out = D.neardup_families(lambda: rd.from_arrow(tbl)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["family"], r["keep_doc_id"], r["n_docs"]) == (2, 5, 3)
