@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "link_predict",
     "profile_docs",
     "neardup_families",
+    "pagerank",
 ]
 
 

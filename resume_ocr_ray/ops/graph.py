@@ -414,3 +414,85 @@ def common_neighbor_pairs(lineitem_ds, lo, hi, parts: int = 64,
         .groupby("part")
         .map_groups(_sum_anti, batch_format="pandas")
     )
+
+
+def pagerank(lineitem_ds, lo, hi, damping_ppm: int = 850_000,
+             iters: int = 20, parts: int = 64):
+    """PageRank over the undirected co-supply graph, INTEGER-DETERMINISTIC:
+    ranks are fixed-point int64 (scaled by 1e12) and every cross-partition
+    reduction is an integer Sum, so the result is bit-identical at any
+    parallelism / partitioning — the determinism float PageRank cannot
+    give (float partial-sum order varies run to run).
+
+    Per iteration: each edge batch emits integer contributions
+    ``r[src] // deg[src]`` to both endpoints (floor division — the lost
+    remainder mass stays small and is NOT redistributed, so ranks
+    slightly undershoot 1.0; documented, deterministic), summed per node
+    by a partial-combine + tiny engine aggregate (node cardinality =
+    dimension table). The rank vector itself rides a per-iteration
+    ``ray.put`` broadcast — bounded by node cardinality like the degree
+    map (join-based successor documented in the module docstring).
+    Returns ``(node, rank_e12)`` sorted by node, rank_e12 = int64
+    fixed-point."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    SCALE = 10**12
+    edges = cosupply_edges(lineitem_ds, lo, hi, parts=parts).materialize()
+
+    deg_tab = (
+        edges.map_batches(
+            _endpoint_partials, batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=65536,
+        )
+        .repartition(4)
+        .groupby("node")
+        .aggregate(Sum("partial", alias_name="degree"))
+        .to_pandas()
+        .sort_values("node")
+    )
+    nodes = deg_tab["node"].to_numpy(np.int64)
+    deg = deg_tab["degree"].to_numpy(np.int64)
+    n = len(nodes)
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "rank_e12": pa.array([], pa.int64())})
+        )
+    rank = np.full(n, SCALE // n, dtype=np.int64)
+    base = (SCALE * (10**6 - damping_ppm) // 10**6) // n
+
+    for _ in range(iters):
+        ref = ray.put({"node": nodes, "share": rank // deg})
+
+        def _contrib(b: pa.Table, _ref=ref) -> pa.Table:
+            st = cached_broadcast(_ref)
+            s1 = b.column("s1").to_numpy(zero_copy_only=False)
+            s2 = b.column("s2").to_numpy(zero_copy_only=False)
+            dst = np.concatenate([s2, s1])
+            src = np.concatenate([s1, s2])
+            c = st["share"][np.searchsorted(st["node"], src)]
+            u = np.unique(dst)
+            sums = np.zeros(len(u), dtype=np.int64)
+            np.add.at(sums, np.searchsorted(u, dst), c)
+            return pa.table({"node": u, "partial": sums})
+
+        got = (
+            edges.map_batches(_contrib, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=65536)
+            .repartition(4)
+            .groupby("node")
+            .aggregate(Sum("partial", alias_name="contrib"))
+            .to_pandas()
+            .sort_values("node")
+        )
+        contrib = np.zeros(n, dtype=np.int64)
+        idx = np.searchsorted(nodes, got["node"].to_numpy(np.int64))
+        contrib[idx] = got["contrib"].to_numpy(np.int64)
+        rank = base + (damping_ppm * contrib) // 10**6
+
+    return ray.data.from_arrow(
+        pa.table(
+            {"node": pa.array(nodes), "rank_e12": pa.array(rank)}
+        )
+    ).sort("node")

@@ -801,6 +801,13 @@ def q_link_predict(sf_dir: str):
     )
 
 
+def q_pagerank(sf_dir: str):
+    """Rows-only (iterative, no SQL form): integer-deterministic fixed-
+    point PageRank — pytest pins determinism, mass bound and hub
+    ordering (tests/test_ops.py)."""
+    return G.pagerank(_graph_lineitem(sf_dir), _GRAPH_LO, _GRAPH_HI)
+
+
 def q_gap_fill(sf_dir: str):
     return R.gap_fill_daily(_read(sf_dir, "events", ["user_id", "ts"]))
 
@@ -1332,6 +1339,9 @@ def _all_queries() -> dict:
         # approximate by construction (int8 quantization) — rows-only;
         # recall@k pinned by tests/test_ops.py::test_ann_int8_recall
         "ann_int8": q_ann_int8,
+        # iterative fixed-point — rows-only; determinism/mass/hub-order
+        # pinned by tests/test_ops.py::test_pagerank_*
+        "pagerank": q_pagerank,
     }}
 
 

@@ -2215,3 +2215,27 @@ def test_neardup_families_transitive_chain_keep_longest(ray_session):
     assert len(out) == 1
     r = out.iloc[0]
     assert (r["family"], r["keep_doc_id"], r["n_docs"]) == (2, 5, 3)
+
+
+def test_pagerank_star_deterministic_and_mass_bounded(ray_session):
+    """Star graph (hub 10 pairwise with 8 leaves): the hub must outrank
+    every leaf; two runs are BIT-identical (integer fixed-point — the
+    property float PageRank can't give); total mass stays within floor
+    loss of 1.0."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import graph as G
+
+    rows = []
+    for i, leaf in enumerate(range(20, 28)):
+        rows += [(i, 10), (i, leaf)]
+    lo, hi = dt.datetime(1995, 1, 1), dt.datetime(1995, 7, 1)
+    a = G.pagerank(rd.from_arrow(_li_tbl(rows)), lo, hi).to_pandas()
+    b = G.pagerank(rd.from_arrow(_li_tbl(rows)), lo, hi).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    ranks = dict(zip(a["node"], a["rank_e12"]))
+    assert all(ranks[10] > ranks[leaf] for leaf in range(20, 28))
+    total = int(a["rank_e12"].sum())
+    assert 0.99 * 10**12 < total <= 10**12
