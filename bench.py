@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "profile_docs",
     "neardup_families",
     "pagerank",
+    "kmv_overlap",
 ]
 
 

@@ -531,3 +531,89 @@ def ddsketch_quantiles(ds, value_col: str, ps=(0.5, 0.95, 0.99),
             # mapped into the bin
             out_v.append(round(2.0 * gamma ** b / (gamma + 1.0), 6))
     return pd.DataFrame({"p": out_p, "value": out_v})
+
+
+def kmv_overlap(events_ds, type_a: str, type_b: str, k: int = 1024):
+    """KMV (bottom-k / theta-style) sketch SET-OVERLAP estimates between
+    two event cohorts: ``(est_a, est_b, est_union, est_intersect)`` —
+    distinct-user audience overlap without shuffling user ids (the
+    theta-sketch INTERSECTION workload HLL cannot express).
+
+    Shape mirrors ``hash_sample``'s composable bottom-k: each batch emits
+    its ≤k smallest DISTINCT user hashes per side (idempotent partial —
+    the hash is recomputable), one tree-reduce level merges block
+    partials, and a ≤2k-row driver finalize computes the standard KMV
+    estimators: |S| ≈ (k−1)·2⁶⁴/h₍ₖ₎; for the overlap, the UNION sketch's
+    k smallest hashes form a uniform sample of A∪B, so
+    |A∩B| ≈ (matches-in-sample/k)·|A∪B| and |A∪B| from the union sketch
+    directly. Estimates are int64; error ~1/√k (pytest pins a planted
+    ±15% bound at k=1024). The driver merge is k-bounded, never
+    corpus-bounded."""
+
+    sides = {"a": type_a, "b": type_b}
+
+    def _partial(b: pa.Table) -> pa.Table:
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        uid = b.column("user_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        frames = []
+        for tag, tname in sides.items():
+            h = np.unique(_splitmix64(uid[et == tname]))[:k]
+            frames.append(
+                pd.DataFrame({"side": tag, "h": h.astype(np.uint64)})
+            )
+        out = pd.concat(frames, ignore_index=True)
+        from ..common import from_pandas_clean
+
+        return from_pandas_clean(out)
+
+    def _merge_block(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        keep = []
+        for tag in sides:
+            h = np.unique(df.loc[df["side"] == tag, "h"].to_numpy(
+                np.uint64
+            ))[:k]
+            keep.append(pd.DataFrame({"side": tag, "h": h}))
+        from ..common import from_pandas_clean
+
+        return from_pandas_clean(pd.concat(keep, ignore_index=True))
+
+    parts = (
+        events_ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=65536)
+        .repartition(8)
+        .map_batches(_merge_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .to_pandas()
+    )
+
+    def _bottom(tag: str) -> np.ndarray:
+        return np.unique(
+            parts.loc[parts["side"] == tag, "h"].to_numpy(np.uint64)
+        )[:k]
+
+    ha, hb = _bottom("a"), _bottom("b")
+
+    def _kmv_est(h: np.ndarray) -> int:
+        if len(h) < k:  # sketch never filled: it IS the exact distinct set
+            return len(h)
+        return int(round((k - 1) * (2.0**64) / float(h[-1])))
+
+    union = np.unique(np.concatenate([ha, hb]))[:k]
+    est_u = _kmv_est(union)
+    both = np.intersect1d(union, ha, assume_unique=True)
+    both = np.intersect1d(both, hb, assume_unique=True)
+    est_i = int(round(len(both) / max(1, len(union)) * est_u))
+    out = pa.table(
+        {
+            "est_a": pa.array([_kmv_est(ha)], pa.int64()),
+            "est_b": pa.array([_kmv_est(hb)], pa.int64()),
+            "est_union": pa.array([est_u], pa.int64()),
+            "est_intersect": pa.array([est_i], pa.int64()),
+        }
+    )
+    import ray.data as rd
+
+    return rd.from_arrow(out)

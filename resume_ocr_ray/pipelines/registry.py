@@ -801,6 +801,18 @@ def q_link_predict(sf_dir: str):
     )
 
 
+def q_kmv_overlap(sf_dir: str):
+    """Rows-only (estimates by construction): KMV bottom-k set-overlap —
+    pytest pins a ±15% bound vs the exact cohort overlap at k=1024
+    (tests/test_ops.py::test_kmv_overlap_bounds)."""
+    from ..ops import sketch as SK
+
+    return SK.kmv_overlap(
+        _read(sf_dir, "events", ["user_id", "event_type"]),
+        type_a="purchase", type_b="signup",
+    )
+
+
 def q_pagerank(sf_dir: str):
     """Rows-only (iterative, no SQL form): integer-deterministic fixed-
     point PageRank — pytest pins determinism, mass bound and hub
@@ -1342,6 +1354,9 @@ def _all_queries() -> dict:
         # iterative fixed-point — rows-only; determinism/mass/hub-order
         # pinned by tests/test_ops.py::test_pagerank_*
         "pagerank": q_pagerank,
+        # estimates by construction (KMV bottom-k) — rows-only; ±15%
+        # planted bound pinned by tests/test_ops.py::test_kmv_overlap_*
+        "kmv_overlap": q_kmv_overlap,
     }}
 
 

@@ -2239,3 +2239,51 @@ def test_pagerank_star_deterministic_and_mass_bounded(ray_session):
     assert all(ranks[10] > ranks[leaf] for leaf in range(20, 28))
     total = int(a["rank_e12"].sum())
     assert 0.99 * 10**12 < total <= 10**12
+
+
+def test_kmv_overlap_bounds_vs_exact(ray_session):
+    """Planted cohorts: A = users 0..4999, B = users 3000..8999 →
+    |A∩B|=2000, |A∪B|=9000. KMV estimates at k=1024 must land within
+    ±15% on the set sizes and union, ±25% on the (smaller, doubly-
+    sampled) intersection."""
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import sketch as SK
+
+    uid = np.concatenate([np.arange(5000), np.arange(3000, 9000)])
+    et = np.array(["purchase"] * 5000 + ["signup"] * 6000, dtype=object)
+    tbl = pa.table(
+        {
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(et, pa.string()),
+        }
+    )
+    out = SK.kmv_overlap(
+        rd.from_arrow(tbl), "purchase", "signup", k=1024
+    ).to_pandas().iloc[0]
+    assert abs(out["est_a"] - 5000) <= 750
+    assert abs(out["est_b"] - 6000) <= 900
+    assert abs(out["est_union"] - 9000) <= 1350
+    assert abs(out["est_intersect"] - 2000) <= 500
+
+
+def test_kmv_overlap_exact_below_k(ray_session):
+    """Sketches that never fill ARE the exact distinct sets — estimates
+    must be exact for tiny cohorts."""
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import sketch as SK
+
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1, 2, 3, 2, 3, 4], pa.int64()),
+            "event_type": pa.array(
+                ["purchase"] * 3 + ["signup"] * 3, pa.string()
+            ),
+        }
+    )
+    out = SK.kmv_overlap(
+        rd.from_arrow(tbl), "purchase", "signup", k=1024
+    ).to_pandas().iloc[0]
+    assert (out["est_a"], out["est_b"], out["est_union"],
+            out["est_intersect"]) == (3, 3, 4, 2)
