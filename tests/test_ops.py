@@ -2287,3 +2287,67 @@ def test_kmv_overlap_exact_below_k(ray_session):
     ).to_pandas().iloc[0]
     assert (out["est_a"], out["est_b"], out["est_union"],
             out["est_intersect"]) == (3, 3, 4, 2)
+
+
+def test_gap_fill_and_kendall_match_bruteforce_random(ray_session):
+    """Seeded random corpora: gap_fill == pandas densify brute force;
+    kendall == O(n²) pair loop — over 3 seeds with ties, duplicates and
+    single-event users present."""
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import relational as R
+
+    DAY = 86_400_000_000
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n = 200
+        uid = rng.integers(1, 12, n)
+        ts = rng.integers(0, 20 * DAY, n)
+        ts[rng.random(n) < 0.2] = 5 * DAY  # planted ts ties
+        val = np.round(rng.normal(size=n), 1)  # planted value ties
+        tbl = pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "value": pa.array(val, pa.float64()),
+            }
+        )
+        df = tbl.to_pandas()
+        df["tsus"] = df["ts"].astype("int64")
+
+        got = (
+            R.gap_fill_daily(rd.from_arrow(tbl)).to_pandas()
+            .sort_values(["user_id", "day"]).reset_index(drop=True)
+        )
+        rows = []
+        for u, sub in df.groupby("user_id"):
+            days = sub["tsus"] // DAY
+            cnt = days.value_counts()
+            for d in range(int(days.min()), int(days.max()) + 1):
+                rows.append((u, d, int(cnt.get(d, 0))))
+        want = pd.DataFrame(rows, columns=["user_id", "day", "n_events"])
+        pd.testing.assert_frame_equal(
+            got, want.sort_values(["user_id", "day"]).reset_index(drop=True)
+        )
+
+        got_k = (
+            R.kendall_concordance(rd.from_arrow(tbl)).to_pandas()
+            .sort_values("user_id").reset_index(drop=True)
+        )
+        krows = []
+        for u, sub in df.groupby("user_id"):
+            s = sub.sort_values(["tsus", "event_id"]).reset_index(drop=True)
+            c = d_ = 0
+            for i in range(len(s)):
+                for j in range(i + 1, len(s)):
+                    if s["value"][j] > s["value"][i]:
+                        c += 1
+                    elif s["value"][j] < s["value"][i]:
+                        d_ += 1
+            if len(s) > 1:
+                krows.append((u, c, d_))
+        want_k = pd.DataFrame(
+            krows, columns=["user_id", "n_conc", "n_disc"]
+        )
+        pd.testing.assert_frame_equal(got_k, want_k)
