@@ -3278,10 +3278,34 @@ def kendall_concordance(events_ds, parts: int = 64, coalesce: int = 8):
     Shape: events shuffle ONCE on a coarse user-hash; each partition runs
     one vectorized self-merge per its users (pair order fixed by the
     unique (ts, event_id) key; value ties count as neither — tau-b
-    semantics). Pair volume is Σ n_u² over the partition's users — per-
-    user activity bounded (double-digit here); a heavy-user corpus needs
-    the documented successor (per-user merge-sort inversion counting,
-    O(n log n)), not a bigger partition."""
+    semantics). Pair volume is Σ n_u² over the partition's users — fine
+    for bounded per-user activity; users past ``heavy_n`` take the
+    CHUNKED INCREMENTAL path instead (sorted-prefix searchsorted counts,
+    O(n·n/c) element ops and O(n·c) pair memory instead of O(n²) rows),
+    so one power-user cannot quadratically blow up its partition."""
+    heavy_n = 512
+    chunk = 2048
+
+    def _heavy_counts(v: np.ndarray) -> tuple[int, int]:
+        """(concordant, discordant) for one time-ordered value array:
+        within-chunk pairs via a triangle mask, cross-chunk pairs via
+        searchsorted against the sorted prefix of all earlier values."""
+        c = d = 0
+        prev_sorted = np.empty(0, dtype=v.dtype)
+        for s in range(0, len(v), chunk):
+            q = v[s:s + chunk]
+            later = q[None, :] > q[:, None]  # [i, j]: v_j > v_i
+            tri = np.triu(np.ones((len(q), len(q)), dtype=bool), k=1)
+            c += int(np.count_nonzero(later & tri))
+            d += int(np.count_nonzero(later.T & tri))
+            if len(prev_sorted):
+                c += int(np.searchsorted(prev_sorted, q, "left").sum())
+                d += int(
+                    (len(prev_sorted)
+                     - np.searchsorted(prev_sorted, q, "right")).sum()
+                )
+            prev_sorted = np.sort(np.concatenate([prev_sorted, q]))
+        return c, d
 
     def _tag(b: pa.Table) -> pa.Table:
         uid = b.column("user_id").to_numpy(zero_copy_only=False)
@@ -3296,21 +3320,45 @@ def kendall_concordance(events_ds, parts: int = 64, coalesce: int = 8):
         )
 
     def _pairs(g: pd.DataFrame) -> pa.Table:
-        d = g[["user_id", "ts", "event_id", "value"]]
-        m = d.merge(d, on="user_id")
-        later = (m["ts_y"] > m["ts_x"]) | (
-            (m["ts_y"] == m["ts_x"]) & (m["event_id_y"] > m["event_id_x"])
-        )
-        m = m[later]
-        out = (
-            m.assign(
-                n_conc=(m["value_y"] > m["value_x"]).astype(np.int64),
-                n_disc=(m["value_y"] < m["value_x"]).astype(np.int64),
+        sizes = g.groupby("user_id")["value"].transform("size")
+        light = g[sizes <= heavy_n]
+        outs = []
+        if not light.empty:
+            d = light[["user_id", "ts", "event_id", "value"]]
+            m = d.merge(d, on="user_id")
+            later = (m["ts_y"] > m["ts_x"]) | (
+                (m["ts_y"] == m["ts_x"])
+                & (m["event_id_y"] > m["event_id_x"])
             )
-            .groupby("user_id", as_index=False)[["n_conc", "n_disc"]]
-            .sum()
-        )
-        return _fpc(out)
+            m = m[later]
+            outs.append(
+                m.assign(
+                    n_conc=(m["value_y"] > m["value_x"]).astype(np.int64),
+                    n_disc=(m["value_y"] < m["value_x"]).astype(np.int64),
+                )
+                .groupby("user_id", as_index=False)[["n_conc", "n_disc"]]
+                .sum()
+            )
+        heavy = g[sizes > heavy_n]
+        for u, sub in heavy.groupby("user_id", sort=False):
+            v = (
+                sub.sort_values(["ts", "event_id"])["value"]
+                .to_numpy(np.float64)
+            )
+            c, d_ = _heavy_counts(v)
+            outs.append(
+                pd.DataFrame(
+                    {"user_id": [u], "n_conc": np.int64(c),
+                     "n_disc": np.int64(d_)}
+                )
+            )
+        if not outs:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "n_conc": pa.array([], pa.int64()),
+                 "n_disc": pa.array([], pa.int64())}
+            )
+        return _fpc(pd.concat(outs, ignore_index=True))
 
     return (
         events_ds.map_batches(_tag, batch_format="pyarrow",

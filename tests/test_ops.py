@@ -2351,3 +2351,43 @@ def test_gap_fill_and_kendall_match_bruteforce_random(ray_session):
             krows, columns=["user_id", "n_conc", "n_disc"]
         )
         pd.testing.assert_frame_equal(got_k, want_k)
+
+
+def test_kendall_heavy_user_chunked_path_matches_bruteforce(ray_session):
+    """A 3,000-event power user crosses the heavy_n=512 threshold into
+    the chunked incremental path; a 50-event user stays on the
+    self-merge. Both must match the O(n²) numpy triangle brute force
+    (value ties planted via rounding)."""
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import relational as R
+
+    rng = np.random.default_rng(11)
+    sizes = {1: 3000, 2: 50}
+    eid, uid, ts, val = [], [], [], []
+    base = 0
+    for u, n in sizes.items():
+        eid += list(range(base, base + n))
+        uid += [u] * n
+        ts += list(rng.permutation(n) * 1000)
+        val += list(np.round(rng.normal(size=n), 1))
+        base += n
+    tbl = pa.table(
+        {
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "ts": pa.array(np.array(ts, np.int64), pa.timestamp("us")),
+            "value": pa.array(val, pa.float64()),
+        }
+    )
+    got = R.kendall_concordance(rd.from_arrow(tbl)).to_pandas()
+    got = dict(zip(got["user_id"], zip(got["n_conc"], got["n_disc"])))
+    df = tbl.to_pandas()
+    df["tsus"] = df["ts"].astype("int64")
+    for u, n in sizes.items():
+        s = df[df["user_id"] == u].sort_values(["tsus", "event_id"])
+        v = s["value"].to_numpy()
+        later = np.triu(np.ones((n, n), dtype=bool), k=1)
+        c = int(np.count_nonzero((v[None, :] > v[:, None]) & later))
+        d = int(np.count_nonzero((v[None, :] < v[:, None]) & later))
+        assert got[u] == (c, d), u
