@@ -3375,15 +3375,21 @@ def profile_columns(ds, cols, parts: int = 64, coalesce: int = 8):
     data-quality summary every ingest pipeline runs first.
 
     ONE scan, one shuffle: each batch emits (a) per-batch-deduped
-    (col, val) pairs — values cast to string, an injective encoding for
-    the int/string columns profiled here — and (b) a per-batch null-count
-    partial riding the same table (role flag). The cogroup keys on
-    hash(col, val), so each distinct value lands wholly in one partition:
-    a per-partition drop_duplicates is globally exact, folded immediately
-    to per-column partial counts (col-cardinality rows leave the
-    partition, never values). A final engine aggregate sums both partials
-    over the handful of column names."""
+    (col, md5(val)) pairs — values string-cast (injective for the
+    int/string columns profiled here) then md5-digested, so the distinct
+    shuffle carries 32-byte digests instead of raw values (a long-text
+    column ships hashes, not documents; exactness rests on md5
+    collision-freeness, the SAME assumption dedup_exact's oracle parity
+    already makes) — and (b) a per-batch null-count partial riding the
+    same table (role flag). The cogroup keys on hash(col, digest), so
+    each distinct value lands wholly in one partition: a per-partition
+    drop_duplicates is globally exact, folded immediately to per-column
+    partial counts (col-cardinality rows leave the partition, never
+    values). A final engine aggregate sums both partials over the
+    handful of column names."""
     from ray.data.aggregate import Sum
+
+    from .dedup import md5_hex
 
     def _partial(b: pa.Table) -> pa.Table:
         frames = []
@@ -3391,7 +3397,8 @@ def profile_columns(ds, cols, parts: int = 64, coalesce: int = 8):
             arr = b.column(col)
             n_null = arr.null_count
             vals = pc.cast(arr.drop_null(), pa.string())
-            u = pc.unique(vals).to_numpy(zero_copy_only=False)
+            u = pc.unique(vals).to_pylist()
+            u = np.array(md5_hex(u), dtype=object)
             frames.append(
                 pd.DataFrame(
                     {
