@@ -135,6 +135,18 @@ def _endpoint_partials(b: pa.Table) -> pa.Table:
     return pa.table({"node": u, "partial": c.astype(np.int64)})
 
 
+def _typed_empty(**cols):
+    """Typed 0-row Dataset: an EMPTY graph otherwise yields schema-less
+    empty blocks downstream (Ray skips map_batches on empties and a
+    groupby of nothing has no schema), which breaks column-aware
+    consumers — return the declared schema explicitly instead."""
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table({c: pa.array([], t) for c, t in cols.items()})
+    )
+
+
 def cosupply_degrees(lineitem_ds, lo, hi, parts: int = 64):
     """(node, degree) over the distinct co-supply edge set. Node
     cardinality is the supplier dimension → the engine Aggregate's
@@ -142,7 +154,9 @@ def cosupply_degrees(lineitem_ds, lo, hi, parts: int = 64):
     4-lane coalesce keeps the tiny-key sort ranges non-empty."""
     from ray.data.aggregate import Sum
 
-    edges = cosupply_edges(lineitem_ds, lo, hi, parts=parts)
+    edges = cosupply_edges(lineitem_ds, lo, hi, parts=parts).materialize()
+    if edges.count() == 0:
+        return _typed_empty(node=pa.int64(), degree=pa.int64())
     return (
         edges.map_batches(
             _endpoint_partials, batch_format="pyarrow",
@@ -189,6 +203,8 @@ def triangle_counts(lineitem_ds, lo, hi, parts: int = 64,
         .groupby("node")
         .aggregate(Sum("partial", alias_name="degree"))
     )
+    if edges.count() == 0:
+        return _typed_empty(node=pa.int64(), n_triangles=pa.int64())
     deg_df = deg_tab.to_pandas().sort_values("node")  # searchsorted order
     if len(deg_df) and (
         int(deg_df["node"].iloc[-1]) >= 2**31
@@ -336,6 +352,9 @@ def common_neighbor_pairs(lineitem_ds, lo, hi, parts: int = 64,
     run unguarded — documented, not silently capped."""
 
     edges = cosupply_edges(lineitem_ds, lo, hi, parts=parts).materialize()
+    if edges.count() == 0:
+        return _typed_empty(a=pa.int64(), b=pa.int64(),
+                            n_common=pa.int64())
 
     def _adj(b: pa.Table) -> pa.Table:
         s1 = b.column("s1").to_numpy(zero_copy_only=False)
@@ -439,6 +458,8 @@ def pagerank(lineitem_ds, lo, hi, damping_ppm: int = 850_000,
 
     SCALE = 10**12
     edges = cosupply_edges(lineitem_ds, lo, hi, parts=parts).materialize()
+    if edges.count() == 0:
+        return _typed_empty(node=pa.int64(), rank_e12=pa.int64())
 
     deg_tab = (
         edges.map_batches(

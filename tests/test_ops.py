@@ -2391,3 +2391,32 @@ def test_kendall_heavy_user_chunked_path_matches_bruteforce(ray_session):
         c = int(np.count_nonzero((v[None, :] > v[:, None]) & later))
         d = int(np.count_nonzero((v[None, :] < v[:, None]) & later))
         assert got[u] == (c, d), u
+
+
+def test_graph_ops_empty_window_typed_zero_rows(ray_session):
+    """An out-of-window corpus yields an EMPTY graph: every graph op must
+    return 0 rows WITH its declared Dataset schema (Ray's schema-less-
+    empty pitfall), not crash on the missing 'node' column. (to_pandas()
+    on ANY 0-row Dataset drops columns — Ray behavior, so the assertion
+    reads ds.schema(), the surface downstream Ray stages consume.)"""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import graph as G
+
+    tbl = _li_tbl([(1, 1), (1, 2)]).set_column(
+        2, "l_shipdate",
+        pa.array([dt.datetime(1999, 1, 1)] * 2, pa.timestamp("us")),
+    )
+    lo, hi = dt.datetime(1995, 1, 1), dt.datetime(1995, 7, 1)
+    expect = {
+        G.triangle_counts: ["node", "n_triangles"],
+        G.cosupply_degrees: ["node", "degree"],
+        G.common_neighbor_pairs: ["a", "b", "n_common"],
+        G.pagerank: ["node", "rank_e12"],
+    }
+    for fn, cols in expect.items():
+        ds = fn(rd.from_arrow(tbl), lo, hi)
+        assert ds.count() == 0, fn.__name__
+        assert ds.schema().names == cols, fn.__name__
