@@ -2420,3 +2420,21 @@ def test_graph_ops_empty_window_typed_zero_rows(ray_session):
         ds = fn(rd.from_arrow(tbl), lo, hi)
         assert ds.count() == 0, fn.__name__
         assert ds.schema().names == cols, fn.__name__
+
+
+def test_neardup_families_no_dups_typed_empty(ray_session):
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import dedup as D
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["aaa bbb ccc", "xx21 yy zz9", "q8w e7r t65"], pa.string()
+            ),
+        }
+    )
+    ds = D.neardup_families(lambda: rd.from_arrow(tbl))
+    assert ds.count() == 0
+    assert ds.schema().names == ["family", "keep_doc_id", "n_docs"]
