@@ -200,3 +200,17 @@ def cogroup_agg(ds, key, aggs: dict, parts: int = 64, coalesce: int = 8):
         .groupby("part")
         .map_groups(_agg, batch_format="pandas")
     )
+
+
+def typed_empty(**cols):
+    """Typed 0-row Dataset. Ops whose result can be legitimately empty
+    (empty graph window, no dup pairs) short-circuit with this: the lazy
+    plan would otherwise yield SCHEMA-LESS empty blocks (map_batches skips
+    empties; a groupby of nothing has no schema) that break column-aware
+    consumers. ``cols``: column name → pyarrow type."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table({c: pa.array([], t) for c, t in cols.items()})
+    )

@@ -1813,13 +1813,10 @@ def neardup_families(docs_ds_factory, prefix_n: int = 32, gram: int = 3,
         threshold=threshold,
     ).materialize()  # CC reads it again via to_state; pair-cardinality
     if pairs.count() == 0:  # no near-dups: typed empty, not a schema-less
-        import ray.data as _rd
+        from ..common import typed_empty
 
-        return _rd.from_arrow(
-            pa.table({"family": pa.array([], pa.int64()),
-                      "keep_doc_id": pa.array([], pa.int64()),
-                      "n_docs": pa.array([], pa.int64())})
-        )
+        return typed_empty(family=pa.int64(), keep_doc_id=pa.int64(),
+                           n_docs=pa.int64())
 
     def _edge_state(b: pa.Table) -> pa.Table:
         a = b.column("doc_a").to_numpy(zero_copy_only=False)

@@ -46,6 +46,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..common import cached_broadcast, from_pandas_clean as _fpc
+from ..common import typed_empty as _typed_empty
 
 #: multiplier for the pair-hash partitioner (Knuth's 2^32 golden ratio);
 #: any odd constant works — partitioning only needs determinism + spread.
@@ -135,15 +136,21 @@ def _endpoint_partials(b: pa.Table) -> pa.Table:
     return pa.table({"node": u, "partial": c.astype(np.int64)})
 
 
-def _typed_empty(**cols):
-    """Typed 0-row Dataset: an EMPTY graph otherwise yields schema-less
-    empty blocks downstream (Ray skips map_batches on empties and a
-    groupby of nothing has no schema), which breaks column-aware
-    consumers — return the declared schema explicitly instead."""
-    import ray.data as rd
+def _degree_tab(edges, alias: str):
+    """Shared (node, <alias>) endpoint-count pipeline over an edge set —
+    the one keyed aggregate every graph op needs (degrees, orientation,
+    PageRank out-shares). 4-lane coalesce keeps the tiny-key sort ranges
+    non-empty (the heavy_hitters residual-merge rule)."""
+    from ray.data.aggregate import Sum
 
-    return rd.from_arrow(
-        pa.table({c: pa.array([], t) for c, t in cols.items()})
+    return (
+        edges.map_batches(
+            _endpoint_partials, batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=65536,
+        )
+        .repartition(4)
+        .groupby("node")
+        .aggregate(Sum("partial", alias_name=alias))
     )
 
 
@@ -152,21 +159,10 @@ def cosupply_degrees(lineitem_ds, lo, hi, parts: int = 64):
     cardinality is the supplier dimension → the engine Aggregate's
     per-block combine is the right final form (common.cogroup_agg rule);
     4-lane coalesce keeps the tiny-key sort ranges non-empty."""
-    from ray.data.aggregate import Sum
-
     edges = cosupply_edges(lineitem_ds, lo, hi, parts=parts).materialize()
     if edges.count() == 0:
         return _typed_empty(node=pa.int64(), degree=pa.int64())
-    return (
-        edges.map_batches(
-            _endpoint_partials, batch_format="pyarrow",
-            zero_copy_batch=True, batch_size=65536,
-        )
-        .repartition(4)
-        .groupby("node")
-        .aggregate(Sum("partial", alias_name="degree"))
-        .sort("node")
-    )
+    return _degree_tab(edges, "degree").sort("node")
 
 
 def triangle_counts(lineitem_ds, lo, hi, parts: int = 64,
@@ -194,15 +190,7 @@ def triangle_counts(lineitem_ds, lo, hi, parts: int = 64,
 
     # Degree map broadcast: bounded by the supplier-dimension cardinality
     # (see module docstring for the web-scale cogroup-join successor).
-    deg_tab = (
-        edges.map_batches(
-            _endpoint_partials, batch_format="pyarrow",
-            zero_copy_batch=True, batch_size=65536,
-        )
-        .repartition(4)
-        .groupby("node")
-        .aggregate(Sum("partial", alias_name="degree"))
-    )
+    deg_tab = _degree_tab(edges, "degree")
     if edges.count() == 0:
         return _typed_empty(node=pa.int64(), n_triangles=pa.int64())
     deg_df = deg_tab.to_pandas().sort_values("node")  # searchsorted order
@@ -454,32 +442,16 @@ def pagerank(lineitem_ds, lo, hi, damping_ppm: int = 850_000,
     Returns ``(node, rank_e12)`` sorted by node, rank_e12 = int64
     fixed-point."""
     import ray
-    from ray.data.aggregate import Sum
 
     SCALE = 10**12
     edges = cosupply_edges(lineitem_ds, lo, hi, parts=parts).materialize()
     if edges.count() == 0:
         return _typed_empty(node=pa.int64(), rank_e12=pa.int64())
 
-    deg_tab = (
-        edges.map_batches(
-            _endpoint_partials, batch_format="pyarrow",
-            zero_copy_batch=True, batch_size=65536,
-        )
-        .repartition(4)
-        .groupby("node")
-        .aggregate(Sum("partial", alias_name="degree"))
-        .to_pandas()
-        .sort_values("node")
-    )
+    deg_tab = _degree_tab(edges, "degree").to_pandas().sort_values("node")
     nodes = deg_tab["node"].to_numpy(np.int64)
     deg = deg_tab["degree"].to_numpy(np.int64)
-    n = len(nodes)
-    if n == 0:
-        return ray.data.from_arrow(
-            pa.table({"node": pa.array([], pa.int64()),
-                      "rank_e12": pa.array([], pa.int64())})
-        )
+    n = len(nodes)  # > 0: the empty-edge guard above returned already
     rank = np.full(n, SCALE // n, dtype=np.int64)
     base = (SCALE * (10**6 - damping_ppm) // 10**6) // n
 
@@ -487,7 +459,14 @@ def pagerank(lineitem_ds, lo, hi, damping_ppm: int = 850_000,
         ref = ray.put({"node": nodes, "share": rank // deg})
 
         def _contrib(b: pa.Table, _ref=ref) -> pa.Table:
-            st = cached_broadcast(_ref)
+            # plain ray.get, NOT cached_broadcast: the ref is fresh each
+            # iteration, so the per-worker cache would pin one
+            # node-cardinality dict per iteration forever; plasma get of
+            # numpy arrays is zero-copy and the pool touches each ref a
+            # handful of times
+            import ray as _ray
+
+            st = _ray.get(_ref)
             s1 = b.column("s1").to_numpy(zero_copy_only=False)
             s2 = b.column("s2").to_numpy(zero_copy_only=False)
             dst = np.concatenate([s2, s1])

@@ -3289,7 +3289,13 @@ def kendall_concordance(events_ds, parts: int = 64, coalesce: int = 8):
     def _heavy_counts(v: np.ndarray) -> tuple[int, int]:
         """(concordant, discordant) for one time-ordered value array:
         within-chunk pairs via a triangle mask, cross-chunk pairs via
-        searchsorted against the sorted prefix of all earlier values."""
+        searchsorted against the sorted prefix of all earlier values.
+        NaN/NULL values are dropped first: every pair touching a NaN
+        counts as NEITHER under SQL comparison semantics (the light
+        path's float compares give False both ways), and searchsorted
+        would otherwise rank NaN above everything — the one place the
+        two paths could diverge."""
+        v = v[~np.isnan(v)]
         c = d = 0
         prev_sorted = np.empty(0, dtype=v.dtype)
         for s in range(0, len(v), chunk):

@@ -11,6 +11,7 @@ None of these callables initialises Ray — the driver owns the session.
 
 from __future__ import annotations
 
+import datetime as _datetime
 import os
 
 import numpy as np
@@ -764,8 +765,8 @@ def q_token_explode(sf_dir: str):
 #: scale (sf0.01: 610 edges / 341 triangles over all 100 suppliers;
 #: sf0.1: 6,197 / 947) while keeping the DuckDB triple-self-join oracle
 #: cheap enough for the parametrized gate.
-_GRAPH_LO = __import__("datetime").datetime(1995, 1, 1)
-_GRAPH_HI = __import__("datetime").datetime(1995, 7, 1)
+_GRAPH_LO = _datetime.datetime(1995, 1, 1)
+_GRAPH_HI = _datetime.datetime(1995, 7, 1)
 
 
 def _graph_lineitem(sf_dir: str):

@@ -2438,3 +2438,36 @@ def test_neardup_families_no_dups_typed_empty(ray_session):
     ds = D.neardup_families(lambda: rd.from_arrow(tbl))
     assert ds.count() == 0
     assert ds.schema().names == ["family", "keep_doc_id", "n_docs"]
+
+
+def test_kendall_heavy_path_null_values_match_light_path(ray_session):
+    """NULL values in a >heavy_n user must count as NEITHER concordant
+    nor discordant (SQL comparison semantics) — the chunked path drops
+    NaNs where searchsorted would otherwise rank them above everything."""
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import relational as R
+
+    rng = np.random.default_rng(5)
+    n = 800  # > heavy_n=512
+    val = np.round(rng.normal(size=n), 1)
+    null_at = rng.random(n) < 0.1
+    arr = pa.array(
+        [None if m else float(x) for m, x in zip(null_at, val)],
+        pa.float64(),
+    )
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(np.ones(n, np.int64), pa.int64()),
+            "ts": pa.array(np.arange(n) * 1000, pa.timestamp("us")),
+            "value": arr,
+        }
+    )
+    got = R.kendall_concordance(rd.from_arrow(tbl)).to_pandas().iloc[0]
+    v = np.where(null_at, np.nan, val)
+    later = np.triu(np.ones((n, n), dtype=bool), k=1)
+    with np.errstate(invalid="ignore"):
+        c = int(np.count_nonzero((v[None, :] > v[:, None]) & later))
+        d = int(np.count_nonzero((v[None, :] < v[:, None]) & later))
+    assert (got["n_conc"], got["n_disc"]) == (c, d)
