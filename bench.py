@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "neardup_families",
     "pagerank",
     "kmv_overlap",
+    "streaks",
 ]
 
 

@@ -3462,3 +3462,63 @@ def profile_columns(ds, cols, parts: int = 64, coalesce: int = 8):
         )
         .sort("col")
     )
+
+
+def activity_streaks(events_ds, parts: int = 64, coalesce: int = 8):
+    """GAPS-AND-ISLANDS: per-user runs of CONSECUTIVE active days —
+    ``(user_id, start_day, end_day, n_days)`` per streak — the classic
+    islands analytic (engagement streaks, sensor uptime, SLA windows),
+    which SQL needs a dense_rank trick for and Ray Data has no form for.
+
+    Shape: per-batch partials collapse events to distinct (user, day)
+    rows; ONE user-hash cogroup sorts its partition by (user, day) and
+    finds island boundaries with a single vectorized pass (new island ⇔
+    user changes OR day ≠ prev_day+1; island id = cumsum of the flag;
+    one groupby(island) min/max/count). Each user lands wholly in one
+    partition, so islands can never straddle a boundary."""
+
+    DAY_US = 86_400_000_000
+
+    def _partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": b.column("user_id").to_numpy(
+                    zero_copy_only=False
+                ),
+                "day": b.column("ts").cast(pa.int64()).to_numpy()
+                // DAY_US,
+            }
+        ).drop_duplicates()
+        df["part"] = (df["user_id"] % parts).astype(np.int32)
+        return _fpc(df)
+
+    def _islands(g: pd.DataFrame) -> pa.Table:
+        d = g[["user_id", "day"]].drop_duplicates().sort_values(
+            ["user_id", "day"]
+        )
+        u = d["user_id"].to_numpy(np.int64)
+        day = d["day"].to_numpy(np.int64)
+        new = np.ones(len(d), dtype=bool)
+        new[1:] = (u[1:] != u[:-1]) | (day[1:] != day[:-1] + 1)
+        isl = np.cumsum(new)
+        out = (
+            pd.DataFrame({"user_id": u, "day": day, "isl": isl})
+            .groupby("isl", sort=False)
+            .agg(
+                user_id=("user_id", "first"),
+                start_day=("day", "min"),
+                end_day=("day", "max"),
+                n_days=("day", "size"),
+            )
+            .reset_index(drop=True)
+        )
+        out["n_days"] = out["n_days"].astype(np.int64)
+        return _fpc(out)
+
+    return (
+        events_ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=65536)
+        .repartition(coalesce)
+        .groupby("part")
+        .map_groups(_islands, batch_format="pandas")
+    )

@@ -802,6 +802,10 @@ def q_link_predict(sf_dir: str):
     )
 
 
+def q_streaks(sf_dir: str):
+    return R.activity_streaks(_read(sf_dir, "events", ["user_id", "ts"]))
+
+
 def q_kmv_overlap(sf_dir: str):
     """Rows-only (estimates by construction): KMV bottom-k set-overlap —
     pytest pins a ±15% bound vs the exact cohort overlap at k=1024
@@ -1349,6 +1353,7 @@ def _all_queries() -> dict:
         "link_predict": q_link_predict,
         "profile_docs": q_profile_docs,
         "neardup_families": q_neardup_families,
+        "streaks": q_streaks,
         # approximate by construction (int8 quantization) — rows-only;
         # recall@k pinned by tests/test_ops.py::test_ann_int8_recall
         "ann_int8": q_ann_int8,
@@ -2253,6 +2258,17 @@ def oracle_sql() -> dict:
             "SELECT node, CAST(count(*) AS BIGINT) AS degree "
             "FROM (SELECT s1 AS node FROM e UNION ALL SELECT s2 FROM e) "
             "GROUP BY node ORDER BY node"
+        ),
+        "streaks": (
+            # gaps-and-islands via the dense_rank difference trick: same
+            # streak ⇔ constant (day - rank) per user
+            "WITH d AS (SELECT DISTINCT user_id, CAST(floor(epoch_us(ts) "
+            "/ 86400000000) AS BIGINT) AS day FROM events), "
+            "g AS (SELECT user_id, day, day - dense_rank() OVER ("
+            "PARTITION BY user_id ORDER BY day) AS grp FROM d) "
+            "SELECT user_id, min(day) AS start_day, max(day) AS end_day, "
+            "CAST(count(*) AS BIGINT) AS n_days "
+            "FROM g GROUP BY user_id, grp"
         ),
         "neardup_families": (
             # full dedup workflow restated in SQL: the ngram_jaccard pair

@@ -2471,3 +2471,21 @@ def test_kendall_heavy_path_null_values_match_light_path(ray_session):
         c = int(np.count_nonzero((v[None, :] > v[:, None]) & later))
         d = int(np.count_nonzero((v[None, :] < v[:, None]) & later))
     assert (got["n_conc"], got["n_disc"]) == (c, d)
+
+
+def test_activity_streaks_islands(ray_session):
+    """user 1: days 0,1,2 then 5,6 → two islands; user 2: single day."""
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import relational as R
+
+    DAY = 86_400_000_000
+    rows = [(i, 1, d * DAY, 0.0) for i, d in enumerate([0, 1, 2, 5, 6, 1])]
+    rows += [(9, 2, 3 * DAY + 7, 0.0)]
+    out = (
+        R.activity_streaks(rd.from_arrow(_events_tbl(rows)))
+        .to_pandas().sort_values(["user_id", "start_day"])
+    )
+    got = list(map(tuple, out[
+        ["user_id", "start_day", "end_day", "n_days"]].to_numpy()))
+    assert got == [(1, 0, 2, 3), (1, 5, 6, 2), (2, 3, 3, 1)]
