@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "pagerank",
     "kmv_overlap",
     "streaks",
+    "debounce",
 ]
 
 

@@ -3522,3 +3522,58 @@ def activity_streaks(events_ds, parts: int = 64, coalesce: int = 8):
         .groupby("part")
         .map_groups(_islands, batch_format="pandas")
     )
+
+
+def debounce_events(events_ds, parts: int = 64, coalesce: int = 8):
+    """WINDOWED DEDUP / DEBOUNCE: keep only the FIRST event per
+    (user, event_type, day) — the event-throttling primitive (at-least-
+    once ingestion dedup, notification rate-limiting, daily-unique
+    actions). Returns ``(event_id, user_id, event_type, day)``.
+
+    Shape: per-batch partial argmin by (ts, event_id) collapses each
+    batch to one candidate row per key — idempotent and distributive, so
+    ONE coarse user-hash cogroup finishes the selection with the same
+    vectorized sort + drop_duplicates. Only candidates cross the wire,
+    never the event stream."""
+
+    DAY_US = 86_400_000_000
+
+    def _partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_id": b.column("event_id").to_numpy(
+                    zero_copy_only=False
+                ),
+                "user_id": b.column("user_id").to_numpy(
+                    zero_copy_only=False
+                ),
+                "event_type": b.column("event_type").to_pylist(),
+                "ts": b.column("ts").cast(pa.int64()).to_numpy(),
+            }
+        )
+        df["day"] = df["ts"] // DAY_US
+        first = df.sort_values(["ts", "event_id"]).drop_duplicates(
+            ["user_id", "event_type", "day"]
+        )
+        first = first.copy()
+        first["part"] = (first["user_id"] % parts).astype(np.int32)
+        return _fpc(
+            first[["part", "event_id", "user_id", "event_type", "day",
+                   "ts"]]
+        )
+
+    def _final(g: pd.DataFrame) -> pa.Table:
+        first = g.sort_values(["ts", "event_id"]).drop_duplicates(
+            ["user_id", "event_type", "day"]
+        )
+        return _fpc(
+            first[["event_id", "user_id", "event_type", "day"]]
+        )
+
+    return (
+        events_ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=65536)
+        .repartition(coalesce)
+        .groupby("part")
+        .map_groups(_final, batch_format="pandas")
+    )

@@ -802,6 +802,12 @@ def q_link_predict(sf_dir: str):
     )
 
 
+def q_debounce(sf_dir: str):
+    return R.debounce_events(
+        _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    )
+
+
 def q_streaks(sf_dir: str):
     return R.activity_streaks(_read(sf_dir, "events", ["user_id", "ts"]))
 
@@ -1354,6 +1360,7 @@ def _all_queries() -> dict:
         "profile_docs": q_profile_docs,
         "neardup_families": q_neardup_families,
         "streaks": q_streaks,
+        "debounce": q_debounce,
         # approximate by construction (int8 quantization) — rows-only;
         # recall@k pinned by tests/test_ops.py::test_ann_int8_recall
         "ann_int8": q_ann_int8,
@@ -2258,6 +2265,15 @@ def oracle_sql() -> dict:
             "SELECT node, CAST(count(*) AS BIGINT) AS degree "
             "FROM (SELECT s1 AS node FROM e UNION ALL SELECT s2 FROM e) "
             "GROUP BY node ORDER BY node"
+        ),
+        "debounce": (
+            # first event per (user, type, day); (ts, event_id) is a
+            # total order so the winner is deterministic
+            "SELECT event_id, user_id, event_type, "
+            "CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day "
+            "FROM (SELECT *, row_number() OVER (PARTITION BY user_id, "
+            "event_type, floor(epoch_us(ts) / 86400000000) "
+            "ORDER BY ts, event_id) AS rn FROM events) WHERE rn = 1"
         ),
         "streaks": (
             # gaps-and-islands via the dense_rank difference trick: same

@@ -2489,3 +2489,27 @@ def test_activity_streaks_islands(ray_session):
     got = list(map(tuple, out[
         ["user_id", "start_day", "end_day", "n_days"]].to_numpy()))
     assert got == [(1, 0, 2, 3), (1, 5, 6, 2), (2, 3, 3, 1)]
+
+
+def test_debounce_keeps_first_per_user_type_day(ray_session):
+    """Duplicates within a (user, type, day) window collapse to the
+    earliest (ts, event_id); distinct days/types/users survive."""
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import relational as R
+
+    DAY = 86_400_000_000
+    rows = [
+        (3, 1, 100, 0.0), (1, 1, 100, 0.0),       # ts tie → min event_id
+        (2, 1, 500, 0.0),                          # same window dup
+        (4, 1, DAY + 5, 0.0),                      # next day survives
+        (5, 2, 100, 0.0),                          # other user survives
+    ]
+    tbl = _events_tbl(rows).append_column(
+        "event_type", pa.array(["click"] * 5, pa.string())
+    )
+    out = (
+        R.debounce_events(rd.from_arrow(tbl)).to_pandas()
+        .sort_values("event_id")
+    )
+    assert list(out["event_id"]) == [1, 4, 5]
