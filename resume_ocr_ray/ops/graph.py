@@ -39,6 +39,7 @@ shipdate-sorted layout).
 from __future__ import annotations
 
 import datetime as _dt
+import logging
 
 import numpy as np
 import pandas as pd
@@ -47,6 +48,8 @@ import pyarrow.compute as pc
 
 from ..common import cached_broadcast, from_pandas_clean as _fpc
 from ..common import typed_empty as _typed_empty
+
+_LOG = logging.getLogger(__name__)
 
 #: multiplier for the pair-hash partitioner (Knuth's 2^32 golden ratio);
 #: any odd constant works — partitioning only needs determinism + spread.
@@ -356,6 +359,16 @@ def common_neighbor_pairs(lineitem_ds, lo, hi, parts: int = 64,
 
     def _wedge_partials(g: pd.DataFrame) -> pa.Table:
         d = g[["c", "n"]]
+        deg = d.groupby("c")["n"].size()
+        hub = int(deg.max()) if len(deg) else 0
+        if hub > 10_000:  # C(d,2) pairs land in THIS partition — loud,
+            # per the repo's no-silent-explosions rule; the salted
+            # two-level successor is documented in the docstring
+            _LOG.warning(
+                "common_neighbor_pairs: hub center with degree %d "
+                "generates %d wedge pairs in one partition", hub,
+                hub * (hub - 1) // 2,
+            )
         m = d.merge(d, on="c")
         m = m[m["n_x"] < m["n_y"]]
         if m.empty:
