@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "kmv_overlap",
     "streaks",
     "debounce",
+    "grouped_approx_quantile",
 ]
 
 

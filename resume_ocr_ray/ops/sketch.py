@@ -617,3 +617,83 @@ def kmv_overlap(events_ds, type_a: str, type_b: str, k: int = 1024):
     import ray.data as rd
 
     return rd.from_arrow(out)
+
+
+def ddsketch_quantiles_grouped(ds, group_col: str, value_col: str,
+                               ps=(0.5, 0.95), rel_err: float = 0.01):
+    """GROUPED DDSketch quantiles: ``(group, p, value)`` within ±rel_err
+    RELATIVE error per group — the scale path for per-group quantiles
+    (the exact form shuffles per-group value-count histograms; this
+    shuffles ≤ ~1k log-bins per group regardless of row count, and the
+    estimate is deterministic at any parallelism, same argument as the
+    global ``ddsketch_quantiles``).
+
+    Per-batch partials are (group, bin, n) counts; one engine aggregate
+    sums them (group × bin cardinality is tiny); the finalize is a
+    vectorized per-group cumsum + rank probe on the driver — bounded by
+    groups × bins, never rows."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from ..common import from_pandas_clean
+
+    gamma = (1.0 + rel_err) / (1.0 - rel_err)
+    log_g = math.log(gamma)
+    ZERO_BIN = np.iinfo(np.int64).min
+
+    def _partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": b.column(group_col).to_pylist(),
+                "v": b.column(value_col).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.float64),
+            }
+        ).dropna()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            bins = np.where(
+                df["v"].to_numpy() > 0,
+                np.ceil(
+                    np.log(np.maximum(df["v"].to_numpy(), 1e-300)) / log_g
+                ).astype(np.int64),
+                ZERO_BIN,
+            )
+        out = (
+            df.assign(bin=bins).groupby(["g", "bin"], sort=False)
+            .size().reset_index(name="n")
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return from_pandas_clean(out)
+
+    merged = (
+        ds.map_batches(_partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=65536)
+        .repartition(4)
+        .groupby("g")
+        .map_groups(
+            lambda d: from_pandas_clean(
+                d.groupby(["g", "bin"], sort=False, as_index=False)["n"]
+                .sum()
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()  # groups × log-bins — sketch-sized, never rows
+    )
+    rows = []
+    for g, sub in merged.groupby("g", sort=True):
+        sub = sub.sort_values("bin")
+        bins = sub["bin"].to_numpy()
+        cum = np.cumsum(sub["n"].to_numpy())
+        total = int(cum[-1])
+        for p in ps:
+            rank = max(1, math.ceil(p * total))
+            b = int(bins[np.searchsorted(cum, rank)])
+            v = 0.0 if b == ZERO_BIN else round(
+                2.0 * gamma ** b / (gamma + 1.0), 6
+            )
+            rows.append((g, float(p), v))
+    out = pd.DataFrame(rows, columns=[group_col, "p", "value"])
+    import ray.data as rd
+
+    return rd.from_arrow(from_pandas_clean(out))

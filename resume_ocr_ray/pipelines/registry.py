@@ -812,6 +812,18 @@ def q_streaks(sf_dir: str):
     return R.activity_streaks(_read(sf_dir, "events", ["user_id", "ts"]))
 
 
+def q_grouped_approx_quantile(sf_dir: str):
+    """Rows-only (±1% relative-error estimates by construction): grouped
+    DDSketch — pytest pins the per-group bound vs the exact quantiles
+    (tests/test_ops.py::test_grouped_ddsketch_bound)."""
+    from ..ops import sketch as SK
+
+    return SK.ddsketch_quantiles_grouped(
+        _read(sf_dir, "documents", ["lang", "n_chars"]),
+        group_col="lang", value_col="n_chars",
+    )
+
+
 def q_kmv_overlap(sf_dir: str):
     """Rows-only (estimates by construction): KMV bottom-k set-overlap —
     pytest pins a ±15% bound vs the exact cohort overlap at k=1024
@@ -1370,6 +1382,9 @@ def _all_queries() -> dict:
         # estimates by construction (KMV bottom-k) — rows-only; ±15%
         # planted bound pinned by tests/test_ops.py::test_kmv_overlap_*
         "kmv_overlap": q_kmv_overlap,
+        # ±1% relative-error estimates — rows-only; per-group bound
+        # pinned by tests/test_ops.py::test_grouped_ddsketch_bound
+        "grouped_approx_quantile": q_grouped_approx_quantile,
     }}
 
 

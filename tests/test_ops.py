@@ -2513,3 +2513,29 @@ def test_debounce_keeps_first_per_user_type_day(ray_session):
         .sort_values("event_id")
     )
     assert list(out["event_id"]) == [1, 4, 5]
+
+
+def test_grouped_ddsketch_bound(ray_session):
+    """Per-group DDSketch p50/p95 within ±1% RELATIVE error of the exact
+    per-group quantile over the sf0.01 documents table."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import sketch as SK
+
+    tbl = pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet", columns=["lang", "n_chars"]
+    )
+    out = SK.ddsketch_quantiles_grouped(
+        rd.from_arrow(tbl), group_col="lang", value_col="n_chars"
+    ).to_pandas()
+    df = tbl.to_pandas()
+    assert set(out["lang"]) == set(df["lang"])
+    for r in out.itertuples():
+        grp = df.loc[df["lang"] == r.lang, "n_chars"].to_numpy()
+        # DDSketch rank contract: the estimate is within rel_err of the
+        # value at rank ceil(p*n) (the "lower" empirical quantile)
+        exact = float(np.sort(grp)[max(0, int(np.ceil(r.p * len(grp))) - 1)])
+        assert abs(r.value - exact) <= 0.0101 * exact + 1e-9, (
+            r.lang, r.p, r.value, exact
+        )
