@@ -669,7 +669,12 @@ def ddsketch_quantiles_grouped(ds, group_col: str, value_col: str,
     merged = (
         ds.map_batches(_partial, batch_format="pyarrow",
                        zero_copy_batch=True, batch_size=65536)
-        .repartition(4)
+        # 2 lanes, not 4: the sort-groupby makes one range per input
+        # block, and group cardinality here is the lang dimension (~10
+        # keys) — 4 ranges leave <4 keys per range, where boundary
+        # sampling manufactures schema-less empty ranges (warning spam;
+        # the repo's ≥4-keys-per-range spacing rule)
+        .repartition(2)
         .groupby("g")
         .map_groups(
             lambda d: from_pandas_clean(
