@@ -156,6 +156,10 @@ def _floored_mod(col, parts: int):
 def _round_window(df: pd.DataFrame) -> pd.DataFrame:
     df["n_events"] = df["n_events"].astype("int64")
     df["sum_value"] = df["sum_value"].round(4)
+    # microsecond resolution: duckdb's fetchdf() renders TIMESTAMP as
+    # datetime64[us]; flooring the [s]-resolution source keeps [s] here,
+    # and a dtype-sensitive value hash treats [s] vs [us] as a mismatch
+    df["window_start"] = df["window_start"].astype("datetime64[us]")
     return df
 
 
@@ -2340,8 +2344,8 @@ def full_outer_join_customers_orders(customer_ds, orders_ds,
     batch), both sides union into one tagged schema, ONE shuffle on the
     coarse key hash, then a vectorized pandas OUTER merge per cogroup.
     NULL semantics are explicit: unmatched acctbal/n_orders surface as
-    Arrow nulls (pandas nullable Float64/Int64, never NaN — DuckDB's FULL
-    JOIN emits SQL NULL and the driver hash-compares them)."""
+    numpy float64 NaN — matching how duckdb's fetchdf() renders FULL JOIN
+    SQL NULLs, so the driver's dtype-sensitive value hash agrees."""
 
     def _cust_side(b: pa.Table) -> pa.Table:
         keep = pc.greater(b.column("c_acctbal"), pa.scalar(min_acctbal))
@@ -2377,8 +2381,11 @@ def full_outer_join_customers_orders(customer_ds, orders_ds,
             .groupby("custkey", as_index=False)["n_orders"].sum()
         )
         j = cust.merge(od, on="custkey", how="outer")
-        j["acctbal"] = j["acctbal"].astype("Float64")
-        j["n_orders"] = j["n_orders"].astype("Int64")
+        # numpy-native float64/NaN, NOT pandas Float64/Int64 extension
+        # dtypes: duckdb's fetchdf() renders FULL JOIN nulls as NaN in
+        # float64 columns, and the driver's value hash is dtype-sensitive
+        j["acctbal"] = j["acctbal"].astype("float64")
+        j["n_orders"] = j["n_orders"].astype("float64")
         return j[["custkey", "acctbal", "n_orders"]]
 
     cust = customer_ds.map_batches(

@@ -1984,8 +1984,11 @@ def oracle_sql() -> dict:
             "FROM documents"
         ),
         "json_props": (
+            # outer CAST: sum(BIGINT) yields HUGEINT, which duckdb's
+            # fetchdf() renders float64 — the Ray side emits int64
             "SELECT event_type, "
-            "sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k, count(*) AS n "
+            "CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k, "
+            "count(*) AS n "
             "FROM events GROUP BY 1"
         ),
         "funnel": (
@@ -2000,8 +2003,10 @@ def oracle_sql() -> dict:
             "SELECT user_id FROM s3"
         ),
         "region_rollup": (
+            # outer CAST: sum(BIGINT) is HUGEINT → float64 in fetchdf()
             "SELECT r_name, count(*) AS n_cust, "
-            "sum(CAST(round(c_acctbal*100) AS BIGINT)) AS bal_cents "
+            "CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) "
+            "AS bal_cents "
             "FROM customer JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey GROUP BY 1"
         ),
@@ -2439,11 +2444,13 @@ def oracle_sql() -> dict:
         "running_sum": (
             # integer cents: float window sums are accumulation-order-
             # dependent (segment tree vs cumsum) and fail exact compares
+            # outer CAST: windowed sum(BIGINT) is HUGEINT → float64 in
+            # fetchdf(); the Ray side emits int64
             "SELECT event_id, user_id, "
-            "sum(CAST(round(value*100) AS BIGINT)) OVER ("
+            "CAST(sum(CAST(round(value*100) AS BIGINT)) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
-            ") AS run_cents FROM events"
+            ") AS BIGINT) AS run_cents FROM events"
         ),
         "fuzzy_pairs": (
             # same candidate blocking as the Ray side: shared 8-char prefix

@@ -43,6 +43,16 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _value_hash(df: pd.DataFrame) -> int:
+    """Dtype-sensitive canonical hash mirroring the driver's compare:
+    columns sorted by name, rows sorted, then hash over values. int64 vs
+    float64 and pd.NA vs NaN hash DIFFERENTLY here — exactly the drift
+    class (HUGEINT→float64, pandas extension dtypes) that cost 4 driver
+    lanes in round 4 while the old ``check_dtype=False`` gate stayed
+    green."""
+    return int(pd.util.hash_pandas_object(df, index=False).sum())
+
+
 def test_all_queries_run(ray_session, registry):
     for name, fn in registry.queries().items():
         res = _to_pandas(fn(SF_DIR))
@@ -67,8 +77,15 @@ def test_query_matches_oracle(ray_session, registry, duck, name):
         name, list(ray_df.columns), list(sql_df.columns)
     )
     assert len(ray_df) == len(sql_df), name
+    # value equality first (better failure messages than a hash diff) ...
     pd.testing.assert_frame_equal(
         ray_df, sql_df, check_dtype=False, check_exact=False, rtol=0, atol=0
+    )
+    # ... then the driver-strength dtype-sensitive hash
+    assert _value_hash(ray_df) == _value_hash(sql_df), (
+        name,
+        dict(ray_df.dtypes.astype(str)),
+        dict(sql_df.dtypes.astype(str)),
     )
 
 
