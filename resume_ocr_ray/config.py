@@ -85,3 +85,12 @@ OCR_CONCURRENCY = 4
 
 #: Default number of output partitions for the checkpointed write.
 DEFAULT_NUM_PARTITIONS = 8
+
+#: Row budget for broadcasting a join's small side to every worker
+#: (``ray.put`` once, fetched per worker). Above this the enrolled queries
+#: switch to the shuffled sibling (asof_join_shuffled,
+#: orders_by_segment_shuffled) — decided from the parquet FOOTER row count,
+#: never by reading data on the driver. 4M rows ≈ tens of MB for the
+#: 2–4-column dimension frames involved; matches the dup-hash broadcast
+#: budget in ops/dedup.py.
+BROADCAST_BUDGET_ROWS = 4_000_000

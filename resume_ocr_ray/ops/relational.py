@@ -115,6 +115,81 @@ def _round_seg(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def orders_by_segment_shuffled(orders_ds, customer_ds, parts: int = 64):
+    """Scale form of ``orders_by_segment`` for when the customer side
+    exceeds the broadcast budget (``q_orders_by_segment`` size-gates on the
+    parquet footer row count): the fact side collapses to per-batch partial
+    sums per custkey, unions with the customer (custkey → segment) side
+    into one tagged schema, ONE shuffle on the coarse custkey hash, a
+    vectorized per-cogroup inner merge emitting per-segment partials, then
+    a tiny final ``groupby(c_mktsegment)``. Nothing is read on the driver;
+    rows crossing the wire are ≤ customers + (batches × distinct custkeys
+    per batch), not raw orders."""
+    from ray.data.aggregate import Sum
+
+    def _ord_side(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        tp = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        keys, inv, cnt = np.unique(ck, return_inverse=True, return_counts=True)
+        sums = np.zeros(len(keys), dtype=np.float64)
+        np.add.at(sums, inv, tp)
+        return pa.table(
+            {
+                "part": pa.array((keys % parts).astype(np.int32)),
+                "custkey": pa.array(keys),
+                "seg": pa.nulls(len(keys), pa.string()),
+                "total_price": pa.array(sums),
+                "n_orders": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def _cust_side(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "part": _floored_mod(b.column("c_custkey"), parts),
+                "custkey": b.column("c_custkey"),
+                "seg": b.column("c_mktsegment"),
+                "total_price": pa.nulls(n, pa.float64()),
+                "n_orders": pa.nulls(n, pa.int64()),
+            }
+        )
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        cust = g.loc[g["seg"].notna(), ["custkey", "seg"]]
+        od = (
+            g.loc[g["seg"].isna(), ["custkey", "total_price", "n_orders"]]
+            .groupby("custkey", as_index=False)
+            .agg(total_price=("total_price", "sum"),
+                 n_orders=("n_orders", "sum"))
+        )
+        j = od.merge(cust, on="custkey", how="inner")
+        out = j.groupby("seg", as_index=False).agg(
+            total_price=("total_price", "sum"), n_orders=("n_orders", "sum")
+        )
+        return out.rename(columns={"seg": "c_mktsegment"})
+
+    od = orders_ds.map_batches(
+        _ord_side, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )
+    cust = customer_ds.map_batches(
+        _cust_side, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )
+    return (
+        od.union(cust)
+        .groupby("part")
+        .map_groups(_merge, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("total_price", alias_name="total_price"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+        .map_batches(_round_seg, batch_format="pandas")
+    )
+
+
 def _window_partial(batch: pa.Table) -> pa.Table:
     """Tumbling 1-hour window partials: floor ts to hour inside the batch."""
     df = batch.select(["ts", "event_type", "value"]).to_pandas()
@@ -449,18 +524,23 @@ def asof_join_events_orders(events_ds, orders_df: pd.DataFrame):
     return events_ds.map_batches(enrich, batch_format="pandas")
 
 
-def asof_join_shuffled(events_ds, orders_ds):
+def asof_join_shuffled(events_ds, orders_ds, parts: int = 64):
     """Both-sides-large form of the as-of join: shared tagged schema, union,
-    ONE ``groupby(user_id)`` shuffle, per-group searchsorted merge.
-    Partitioning assumption: one user's events+orders fit in one worker;
-    salt the key if a user is pathologically hot. Prefer the broadcast form
-    when the order side is dimension-sized — per-key map_groups overhead
-    makes this ~6× slower at 15k keys (measured sf0.1)."""
+    ONE shuffle on the coarse ``user_id % parts`` hash, then ONE vectorized
+    ``pd.merge_asof(by="user_id")`` per partition cogroup — many users per
+    group, no per-key Python. (An earlier per-key ``groupby(user_id)``
+    variant paid a Python fn call + frame slice per user: ~6× slower at 15k
+    keys, and a per-key call per user is a non-starter at web scale.)
+    Partitioning assumption: one partition's events+orders fit in one
+    worker; raise ``parts`` (or salt) if a partition is pathologically hot.
+    Prefer the broadcast form when the order side is dimension-sized —
+    ``q_asof_join`` size-gates on the parquet footer row count."""
 
     def _ev_side(b: pa.Table) -> pa.Table:
         n = b.num_rows
         return pa.table(
             {
+                "part": _floored_mod(b.column("user_id"), parts),
                 "user_id": b.column("user_id"),
                 "ts": b.column("ts"),
                 "event_id": b.column("event_id"),
@@ -473,6 +553,7 @@ def asof_join_shuffled(events_ds, orders_ds):
         n = b.num_rows
         return pa.table(
             {
+                "part": _floored_mod(b.column("o_custkey"), parts),
                 "user_id": b.column("o_custkey"),
                 "ts": b.column("o_orderdate"),
                 "event_id": pa.nulls(n, pa.int64()),
@@ -486,32 +567,30 @@ def asof_join_shuffled(events_ds, orders_ds):
         od = g[g["o_orderkey"].notna()]
         if ev.empty or od.empty:
             return _empty_asof_frame()
-        od = _dedupe_order_state(od)
-        idx = np.searchsorted(
-            od["ts"].to_numpy(), ev["ts"].to_numpy(), side="right"
-        ) - 1
-        keep = idx >= 0
-        ev = ev[keep]
-        idx = idx[keep]
-        if ev.empty:
-            return _empty_asof_frame()
-        return pd.DataFrame(
-            {
-                "event_id": ev["event_id"].to_numpy().astype("int64"),
-                "user_id": ev["user_id"].to_numpy().astype("int64"),
-                "ts": ev["ts"].to_numpy(),
-                "o_orderkey": od["o_orderkey"].to_numpy()[idx].astype("int64"),
-                "o_totalprice": od["o_totalprice"].to_numpy()[idx],
-            }
+        state = _dedupe_order_state(
+            od[["user_id", "ts", "o_orderkey", "o_totalprice"]]
         )
+        m = pd.merge_asof(
+            ev.sort_values("ts", kind="mergesort")[
+                ["event_id", "user_id", "ts"]
+            ],
+            state,
+            on="ts",
+            by="user_id",
+            direction="backward",
+        )
+        m = m[m["o_orderkey"].notna()]  # inner as-of: no prior order → drop
+        return _asof_out_frame(m) if not m.empty else _empty_asof_frame()
 
     ev = events_ds.map_batches(
-        _ev_side, batch_format="pyarrow", zero_copy_batch=True
+        _ev_side, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
     )
     od = orders_ds.map_batches(
-        _ord_side, batch_format="pyarrow", zero_copy_batch=True
+        _ord_side, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
     )
-    return ev.union(od).groupby("user_id").map_groups(
+    return ev.union(od).groupby("part").map_groups(
         _merge, batch_format="pandas"
     )
 

@@ -214,9 +214,26 @@ def q_lineitem_agg(sf_dir: str):
     return R.lineitem_agg(_read(sf_dir, "lineitem", cols))
 
 
+def _footer_rows(sf_dir: str, table: str) -> int:
+    """Row count from the parquet FOOTER — the size-gate probe for
+    broadcast-vs-shuffle plan selection. Never reads data on the driver."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+
+
 def q_orders_by_segment(sf_dir: str):
     import pyarrow.parquet as pq
 
+    from .. import config as _cfg
+
+    if _footer_rows(sf_dir, "customer") > _cfg.BROADCAST_BUDGET_ROWS:
+        # customer side too big to ship to every worker → tagged-union
+        # cogroup; both sides stream, nothing is read on the driver
+        return R.orders_by_segment_shuffled(
+            _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+            _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        )
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     ).to_pandas()
@@ -246,6 +263,16 @@ def q_grouped_topk(sf_dir: str):
 def q_asof_join(sf_dir: str):
     import pyarrow.parquet as pq
 
+    from .. import config as _cfg
+
+    if _footer_rows(sf_dir, "orders") > _cfg.BROADCAST_BUDGET_ROWS:
+        # order state too big to broadcast → both-sides-large shuffled
+        # form; both sides stream, nothing is read on the driver
+        return R.asof_join_shuffled(
+            _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+            _read(sf_dir, "orders",
+                  ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"]),
+        )
     orders = pq.read_table(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"],

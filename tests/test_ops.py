@@ -2539,3 +2539,67 @@ def test_grouped_ddsketch_bound(ray_session):
         assert abs(r.value - exact) <= 0.0101 * exact + 1e-9, (
             r.lang, r.p, r.value, exact
         )
+
+
+def test_orders_by_segment_shuffled_matches_broadcast(ray_session):
+    """The size-gated scale sibling must agree with the broadcast form on
+    real tables (inner-join semantics, per-segment sums, rounding)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import relational as R
+
+    sf = "/root/testdata/sf0.001"
+    cust_df = pq.read_table(
+        f"{sf}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    orders = rd.read_parquet(
+        f"{sf}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = rd.read_parquet(
+        f"{sf}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    a = (
+        R.orders_by_segment(orders, cust_df).to_pandas()
+        .sort_values("c_mktsegment").reset_index(drop=True)
+    )
+    b = (
+        R.orders_by_segment_shuffled(orders, cust).to_pandas()
+        .sort_values("c_mktsegment").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_exact=False, rtol=1e-9)
+
+
+def test_size_gate_selects_shuffled_paths(ray_session, monkeypatch):
+    """With the broadcast budget forced to 0, the enrolled asof_join and
+    orders_by_segment queries take the shuffled plan and still produce the
+    broadcast plan's results."""
+    import pandas as pd
+
+    from resume_ocr_ray import config as cfg
+    from resume_ocr_ray.pipelines import registry as reg
+
+    sf = "/root/testdata/sf0.001"
+    qs = reg.queries()
+    base_seg = (
+        qs["orders_by_segment"](sf).to_pandas()
+        .sort_values("c_mktsegment").reset_index(drop=True)
+    )
+    base_asof = (
+        qs["asof_join"](sf).to_pandas()
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    monkeypatch.setattr(cfg, "BROADCAST_BUDGET_ROWS", 0)
+    gated_seg = (
+        qs["orders_by_segment"](sf).to_pandas()
+        .sort_values("c_mktsegment").reset_index(drop=True)
+    )
+    gated_asof = (
+        qs["asof_join"](sf).to_pandas()
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base_seg, gated_seg,
+                                  check_exact=False, rtol=1e-9)
+    pd.testing.assert_frame_equal(base_asof, gated_asof,
+                                  check_exact=False, rtol=1e-9)
