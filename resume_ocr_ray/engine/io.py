@@ -264,6 +264,101 @@ def ensure_derived_corpus(sf_dir: str, repeat: int = 2,
     return docs_dir, media_dir
 
 
+def ensure_media_sidecar(sf_dir: str, repeat: int = 2) -> tuple:
+    """Idempotent FACT sidecars for the derived media corpus, giving the
+    multimodal family exact DuckDB-oracle lanes (round-4 verdict #4):
+
+    - ``media_meta.parquet``  — per payload: media_ref, header media_kind
+      ('unknown' if the header fails to parse, 'missing' if the payload is
+      null), header n_pages, payload_bytes, and a ``decodable`` flag (full
+      ``decode_media`` succeeds).
+    - ``media_pages.parquet`` — per decoded page: media_ref, page_no,
+      page_bytes.
+
+    These are raw INPUT facts (kinds and byte sizes), not precomputed
+    pipeline answers: the probe / frame-count / resize-budget oracles are
+    ARITHMETIC over them in SQL. Built Ray-parallel (one task per media
+    shard), written atomically next to the corpus dirs — NOT inside
+    media/ (``read_parquet(media_dir)`` must not pick them up) — and
+    backfilled for caches generated before this version existed."""
+    import ray
+
+    docs_dir, media_dir = ensure_derived_corpus(sf_dir, repeat=repeat)
+    cache = os.path.dirname(docs_dir)
+    meta_path = os.path.join(cache, "media_meta.parquet")
+    pages_path = os.path.join(cache, "media_pages.parquet")
+    if os.path.exists(meta_path) and os.path.exists(pages_path):
+        return meta_path, pages_path
+
+    @ray.remote
+    def shard_meta(path: str):
+        from ..core import media as M_
+
+        t = pq.read_table(path, columns=["media_ref", "payload"])
+        refs = t.column("media_ref").to_pylist()
+        payloads = t.column("payload").to_pylist()
+        kinds, npg, pbytes, dec = [], [], [], []
+        prefs, pnos, pbs = [], [], []
+        for r, p in zip(refs, payloads):
+            if p is None:
+                kinds.append("missing")
+                npg.append(0)
+                pbytes.append(0)
+                dec.append(False)
+                continue
+            pbytes.append(len(p))
+            try:
+                hdr = M_.decode_media_header(p)
+            except Exception:
+                kinds.append("unknown")
+                npg.append(0)
+                dec.append(False)
+                continue
+            kinds.append(hdr["media_kind"])
+            npg.append(int(hdr["n_pages"]))
+            try:
+                doc = M_.decode_media(p)
+            except Exception:
+                dec.append(False)
+                continue
+            dec.append(True)
+            for i, pg in enumerate(doc.pages):
+                prefs.append(r)
+                pnos.append(i)
+                pbs.append(len(pg))
+        meta = pa.table(
+            {
+                "media_ref": pa.array(refs, type=pa.string()),
+                "media_kind": pa.array(kinds, type=pa.string()),
+                "n_pages": pa.array(npg, type=pa.int32()),
+                "payload_bytes": pa.array(pbytes, type=pa.int64()),
+                "decodable": pa.array(dec, type=pa.bool_()),
+            }
+        )
+        pages = pa.table(
+            {
+                "media_ref": pa.array(prefs, type=pa.string()),
+                "page_no": pa.array(pnos, type=pa.int32()),
+                "page_bytes": pa.array(pbs, type=pa.int64()),
+            }
+        )
+        return meta, pages
+
+    shards = sorted(
+        f for f in os.listdir(media_dir) if f.endswith(".parquet")
+    )
+    res = ray.get(
+        [shard_meta.remote(os.path.join(media_dir, f)) for f in shards]
+    )
+    meta = pa.concat_tables([m for m, _ in res])
+    pages = pa.concat_tables([p for _, p in res])
+    for tbl, path in ((meta, meta_path), (pages, pages_path)):
+        tmp = f"{path}.__tmp__{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)  # atomic: racing builders write identical facts
+    return meta_path, pages_path
+
+
 def build_media_meta(media: pa.Table) -> dict:
     """Per-ref dispatch metadata for the explode stage (cheap header peeks).
 

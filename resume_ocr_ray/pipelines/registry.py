@@ -516,8 +516,10 @@ def _media_ds(sf_dir: str, repeat: int = 2):
 
 
 def q_probe_media(sf_dir: str):
-    """Header-only metadata probe over binary media payloads (rows-only:
-    the derived media table is not one of the driver's SQL views)."""
+    """Header-only metadata probe over binary media payloads. Exact oracle:
+    the probe output equals a plain SELECT over the media_meta fact sidecar
+    (kinds + byte sizes recorded at corpus build)."""
+    EIO.ensure_media_sidecar(sf_dir)
     return MM.probe_media(_media_ds(sf_dir))
 
 
@@ -529,8 +531,13 @@ def q_decode_features(sf_dir: str):
 def q_frame_sample(sf_dir: str):
     """Every-2nd-page frame sampling, summarized via a re-probe (returning
     page counts instead of raw binary payloads keeps the driver compare
-    light)."""
-    return MM.probe_media(MM.frame_sample(_media_ds(sf_dir), every_k=2))
+    light). Exact oracle: kept-page count is ceil(n_pages/2) arithmetic
+    over the media_meta sidecar; re-encoded payload bytes stay pytest-land
+    (codec framing overhead is not SQL arithmetic)."""
+    EIO.ensure_media_sidecar(sf_dir)
+    return MM.probe_media(
+        MM.frame_sample(_media_ds(sf_dir), every_k=2)
+    ).select_columns(["media_ref", "media_kind", "n_pages"])
 
 
 #: seeds for the multi-query ANN batch (deterministic; oracle bakes the same)
@@ -1015,8 +1022,25 @@ def q_funnel(sf_dir: str):
 
 def q_resize_images(sf_dir: str):
     """Byte-budget page resize; payloads dropped so the driver compare
-    stays light (the stats columns prove the transform ran)."""
-    return MM.resize_images(_media_ds(sf_dir)).drop_columns(["payload"])
+    stays light. Exact oracle: n_pages / bytes_in / bytes_out are ceil-
+    division arithmetic over the media_pages sidecar; the error STRING is
+    projected to a ``failed`` flag (exception text is pytest's job)."""
+    EIO.ensure_media_sidecar(sf_dir)
+
+    def flag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_ref": b.column("media_ref"),
+                "n_pages": b.column("n_pages"),
+                "bytes_in": b.column("bytes_in"),
+                "bytes_out": b.column("bytes_out"),
+                "failed": pc.is_valid(b.column("error")),
+            }
+        )
+
+    return MM.resize_images(_media_ds(sf_dir)).map_batches(
+        flag, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def q_region_rollup(sf_dir: str):
@@ -1456,7 +1480,54 @@ def oracle_sql() -> dict:
     es = _lang_profile_sql(T._LANG_PROFILES["es"])
     fr = _lang_profile_sql(T._LANG_PROFILES["fr"])
     de = _lang_profile_sql(T._LANG_PROFILES["de"])
+    # Multimodal fact-sidecar paths: the driver runs oracle SQL at sf0.01
+    # only (driver contract), so the sidecar location is resolved for that
+    # sf_dir. The sidecars are written by the queries themselves
+    # (ensure_media_sidecar) before the SQL ever runs side-by-side.
+    _mm_cache = EIO.derived_corpus_dirs("/root/testdata/sf0.01", 2)[0]
+    mm_meta = f"read_parquet('{_mm_cache}/media_meta.parquet')"
+    mm_pages = f"read_parquet('{_mm_cache}/media_pages.parquet')"
     return {**_EXT_SQL, **{
+        "probe_media": (
+            # the probe output IS the fact sidecar: header kind ('unknown'
+            # when the header fails, 'missing' for null payloads), header
+            # page count, raw payload bytes
+            f"SELECT media_ref, media_kind, n_pages, payload_bytes "
+            f"FROM {mm_meta}"
+        ),
+        "frame_sample": (
+            # every-2nd-page sampling keeps ceil(n/2) pages; undecodable
+            # payloads surface as explicit error rows that re-probe as
+            # ('missing', 0)
+            f"SELECT media_ref, "
+            f"CASE WHEN decodable THEN media_kind ELSE 'missing' END "
+            f"AS media_kind, "
+            f"CAST(CASE WHEN decodable THEN (n_pages + 1) // 2 ELSE 0 END "
+            f"AS INTEGER) AS n_pages "
+            f"FROM {mm_meta}"
+        ),
+        "resize_images": (
+            # byte-budget shrink per page: step = ceil(len/256), kept
+            # bytes = ceil(len/step) — pure integer arithmetic over the
+            # per-page fact table; failed rows bill bytes_in at the raw
+            # payload size with zero pages out
+            f"WITH pg AS (SELECT media_ref, "
+            f"CAST(count(*) AS INTEGER) AS n_pages_d, "
+            f"CAST(sum(page_bytes) AS BIGINT) AS bytes_in_d, "
+            f"CAST(sum(CASE WHEN page_bytes <= 256 THEN page_bytes "
+            f"ELSE (page_bytes + ((page_bytes + 255) // 256) - 1) "
+            f"// ((page_bytes + 255) // 256) END) AS BIGINT) AS bytes_out_d "
+            f"FROM {mm_pages} GROUP BY 1) "
+            f"SELECT m.media_ref, "
+            f"CAST(CASE WHEN m.decodable THEN coalesce(pg.n_pages_d, 0) "
+            f"ELSE 0 END AS INTEGER) AS n_pages, "
+            f"CAST(CASE WHEN m.decodable THEN coalesce(pg.bytes_in_d, 0) "
+            f"ELSE m.payload_bytes END AS BIGINT) AS bytes_in, "
+            f"CAST(CASE WHEN m.decodable THEN coalesce(pg.bytes_out_d, 0) "
+            f"ELSE 0 END AS BIGINT) AS bytes_out, "
+            f"NOT m.decodable AS failed "
+            f"FROM {mm_meta} m LEFT JOIN pg USING (media_ref)"
+        ),
         "doc_stats": (
             "SELECT doc_id, length(text) AS n_chars_actual, "
             "len(string_split(text, ' ')) AS n_tokens FROM documents"
