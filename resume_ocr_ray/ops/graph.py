@@ -436,8 +436,191 @@ def common_neighbor_pairs(lineitem_ds, lo, hi, parts: int = 64,
     )
 
 
+def _pagerank_join(edges, deg_ds, n: int, damping_ppm: int, iters: int,
+                   parts: int):
+    """Join-based PageRank successor for node sets past the broadcast
+    budget: NOTHING node-cardinality ever touches the driver. State
+    ``(node, degree, rank)`` lives as a materialized Dataset; each
+    iteration is two node-hash cogroups — (1) edges ⋈ state on src emits
+    per-dst integer contribution partials, (2) partials ⋈ state on node
+    computes the new rank — plus a scalar ``sum(changed)`` for the same
+    exact early-exit the broadcast path has. All arithmetic is the
+    IDENTICAL int64 fixed-point (share = rank // degree, order-independent
+    integer sums), so output is bit-identical to the broadcast path
+    (pinned by pytest)."""
+    SCALE = 10**12
+    base = (SCALE * (10**6 - damping_ppm) // 10**6) // n
+    init = SCALE // n
+
+    def _dir_edges(b: pa.Table) -> pa.Table:
+        s1 = b.column("s1").to_numpy(zero_copy_only=False)
+        s2 = b.column("s2").to_numpy(zero_copy_only=False)
+        src = np.concatenate([s1, s2])
+        dst = np.concatenate([s2, s1])
+        m = len(src)
+        return pa.table(
+            {
+                "part": pa.array((src % parts).astype(np.int32)),
+                "a": pa.array(src),
+                "b": pa.array(dst),
+                "degree": np.zeros(m, dtype=np.int64),
+                "rank": np.zeros(m, dtype=np.int64),
+                "role": pa.array(np.zeros(m, np.int8), pa.int8()),
+            }
+        )
+
+    edges_dir = edges.map_batches(
+        _dir_edges, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    ).materialize()
+
+    def _init_state(b: pa.Table) -> pa.Table:
+        node = b.column("node").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array((node % parts).astype(np.int32)),
+                "node": pa.array(node),
+                "degree": b.column("degree"),
+                "rank": np.full(len(node), init, dtype=np.int64),
+                "changed": np.zeros(len(node), dtype=np.int64),
+            }
+        )
+
+    state = deg_ds.map_batches(
+        _init_state, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    ).materialize()
+
+    def _as_state_rows(b: pa.Table) -> pa.Table:
+        m = b.num_rows
+        return pa.table(
+            {
+                "part": b.column("part"),
+                "a": b.column("node"),
+                "b": np.zeros(m, dtype=np.int64),
+                "degree": b.column("degree"),
+                "rank": b.column("rank"),
+                "role": pa.array(np.ones(m, np.int8), pa.int8()),
+            }
+        )
+
+    def _contrib_group(g: pd.DataFrame) -> pa.Table:
+        st = g[g["role"] == 1].sort_values("a")
+        ed = g[g["role"] == 0]
+        if ed.empty or st.empty:
+            return pa.table({"part": pa.array([], pa.int32()),
+                             "node": pa.array([], pa.int64()),
+                             "partial": pa.array([], pa.int64())})
+        nodes = st["a"].to_numpy(np.int64)
+        share = (st["rank"].to_numpy(np.int64)
+                 // st["degree"].to_numpy(np.int64))
+        src = ed["a"].to_numpy(np.int64)
+        dst = ed["b"].to_numpy(np.int64)
+        c = share[np.searchsorted(nodes, src)]
+        u = np.unique(dst)
+        sums = np.zeros(len(u), dtype=np.int64)
+        np.add.at(sums, np.searchsorted(u, dst), c)
+        return pa.table(
+            {
+                "part": pa.array((u % parts).astype(np.int32)),
+                "node": pa.array(u),
+                "partial": pa.array(sums),
+            }
+        )
+
+    def _update_group(g: pd.DataFrame) -> pa.Table:
+        st = g[g["role"] == 1].sort_values("node")
+        if st.empty:
+            return pa.table({"part": pa.array([], pa.int32()),
+                             "node": pa.array([], pa.int64()),
+                             "degree": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64()),
+                             "changed": pa.array([], pa.int64())})
+        nodes = st["node"].to_numpy(np.int64)
+        old = st["rank"].to_numpy(np.int64)
+        contrib = np.zeros(len(nodes), dtype=np.int64)
+        co = g[g["role"] == 0]
+        if not co.empty:
+            np.add.at(
+                contrib,
+                np.searchsorted(nodes, co["node"].to_numpy(np.int64)),
+                co["partial"].to_numpy(np.int64),
+            )
+        new = base + (damping_ppm * contrib) // 10**6
+        return pa.table(
+            {
+                "part": pa.array((nodes % parts).astype(np.int32)),
+                "node": pa.array(nodes),
+                "degree": pa.array(st["degree"].to_numpy(np.int64)),
+                "rank": pa.array(new),
+                "changed": pa.array((new != old).astype(np.int64)),
+            }
+        )
+
+    for _ in range(iters):
+        state_rows = state.map_batches(
+            _as_state_rows, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536,
+        )
+        contrib = edges_dir.union(state_rows).groupby("part").map_groups(
+            _contrib_group, batch_format="pandas"
+        )
+
+        def _as_contrib_rows(b: pa.Table) -> pa.Table:
+            m = b.num_rows
+            return pa.table(
+                {
+                    "part": b.column("part"),
+                    "node": b.column("node"),
+                    "partial": b.column("partial"),
+                    "degree": np.zeros(m, dtype=np.int64),
+                    "rank": np.zeros(m, dtype=np.int64),
+                    "role": pa.array(np.zeros(m, np.int8), pa.int8()),
+                }
+            )
+
+        def _state_for_update(b: pa.Table) -> pa.Table:
+            m = b.num_rows
+            return pa.table(
+                {
+                    "part": b.column("part"),
+                    "node": b.column("node"),
+                    "partial": np.zeros(m, dtype=np.int64),
+                    "degree": b.column("degree"),
+                    "rank": b.column("rank"),
+                    "role": pa.array(np.ones(m, np.int8), pa.int8()),
+                }
+            )
+
+        new_state = (
+            contrib.map_batches(
+                _as_contrib_rows, batch_format="pyarrow",
+                zero_copy_batch=True, batch_size=65536,
+            )
+            .union(state.map_batches(
+                _state_for_update, batch_format="pyarrow",
+                zero_copy_batch=True, batch_size=65536,
+            ))
+            .groupby("part")
+            .map_groups(_update_group, batch_format="pandas")
+            .materialize()
+        )
+        state = new_state
+        # scalar reduce on the materialized state — the ONLY driver-side
+        # value per iteration is this single int
+        if state.sum("changed") == 0:
+            break
+
+    return state.select_columns(["node", "rank"]).map_batches(
+        lambda b: pa.table({"node": b.column("node"),
+                            "rank_e12": b.column("rank")}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).sort("node")
+
+
 def pagerank(lineitem_ds, lo, hi, damping_ppm: int = 850_000,
-             iters: int = 20, parts: int = 64):
+             iters: int = 20, parts: int = 64,
+             node_budget: int | None = None):
     """PageRank over the undirected co-supply graph, INTEGER-DETERMINISTIC:
     ranks are fixed-point int64 (scaled by 1e12) and every cross-partition
     reduction is an integer Sum, so the result is bit-identical at any
@@ -451,9 +634,11 @@ def pagerank(lineitem_ds, lo, hi, damping_ppm: int = 850_000,
     by a partial-combine + tiny engine aggregate (node cardinality =
     dimension table). The rank vector itself rides a per-iteration
     ``ray.put`` broadcast — bounded by node cardinality like the degree
-    map (join-based successor documented in the module docstring).
-    Returns ``(node, rank_e12)`` sorted by node, rank_e12 = int64
-    fixed-point."""
+    map. Past ``node_budget`` nodes (default config.BROADCAST_BUDGET_ROWS)
+    the op switches to ``_pagerank_join``: two node-hash cogroups per
+    iteration, nothing node-cardinality on the driver, bit-identical
+    output (pytest-pinned). Returns ``(node, rank_e12)`` sorted by node,
+    rank_e12 = int64 fixed-point."""
     import ray
 
     SCALE = 10**12
@@ -461,7 +646,19 @@ def pagerank(lineitem_ds, lo, hi, damping_ppm: int = 850_000,
     if edges.count() == 0:
         return _typed_empty(node=pa.int64(), rank_e12=pa.int64())
 
-    deg_tab = _degree_tab(edges, "degree").to_pandas().sort_values("node")
+    deg_ds = _degree_tab(edges, "degree").materialize()
+    if node_budget is None:
+        from .. import config as _cfg
+
+        node_budget = _cfg.BROADCAST_BUDGET_ROWS
+    n_nodes = deg_ds.count()
+    if n_nodes > node_budget:
+        # web-scale node set: rank vector must not live on the driver —
+        # switch to the two-cogroup join successor (bit-identical output)
+        return _pagerank_join(edges, deg_ds, n_nodes, damping_ppm, iters,
+                              parts)
+
+    deg_tab = deg_ds.to_pandas().sort_values("node")
     nodes = deg_tab["node"].to_numpy(np.int64)
     deg = deg_tab["degree"].to_numpy(np.int64)
     n = len(nodes)  # > 0: the empty-edge guard above returned already

@@ -2603,3 +2603,34 @@ def test_size_gate_selects_shuffled_paths(ray_session, monkeypatch):
                                   check_exact=False, rtol=1e-9)
     pd.testing.assert_frame_equal(base_asof, gated_asof,
                                   check_exact=False, rtol=1e-9)
+
+
+def test_pagerank_join_path_bit_identical(ray_session):
+    """node_budget=0 forces the join-based successor (two node-hash
+    cogroups per iteration, nothing node-cardinality on the driver); its
+    output must be BIT-identical to the broadcast path on the star graph
+    AND on the real sf0.001 co-supply graph."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import graph as G
+
+    rows = []
+    for i, leaf in enumerate(range(20, 28)):
+        rows += [(i, 10), (i, leaf)]
+    lo, hi = dt.datetime(1995, 1, 1), dt.datetime(1995, 7, 1)
+    a = G.pagerank(rd.from_arrow(_li_tbl(rows)), lo, hi).to_pandas()
+    b = G.pagerank(
+        rd.from_arrow(_li_tbl(rows)), lo, hi, node_budget=0
+    ).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+    li = rd.read_parquet(
+        "/root/testdata/sf0.001/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    a2 = G.pagerank(li, lo, hi, iters=5, parts=8).to_pandas()
+    b2 = G.pagerank(li, lo, hi, iters=5, parts=8,
+                    node_budget=0).to_pandas()
+    pd.testing.assert_frame_equal(a2, b2)
