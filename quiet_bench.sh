@@ -11,6 +11,12 @@
 set -u
 cd "$(dirname "$0")"
 OUT="${1:-/tmp/bench_final.json}"
+
+# Fail loudly if a probe produced a non-numeric value (an empty $s/$st
+# would otherwise turn the awk gate into a syntax error and spin the
+# quiet-wait loop forever).
+numeric() { [[ "$1" =~ ^-?[0-9]+([.][0-9]+)?$ ]]; }
+
 for attempt in 1 2 3 4 5 6; do
   while true; do
     s=$(python - <<'PY'
@@ -21,12 +27,21 @@ d=[y-x for x,y in zip(a,b)]
 print(round(100*d[7]/max(1,sum(d)),2))
 PY
 )
+    if ! numeric "${s:-}"; then
+      echo "ERROR: steal probe returned non-numeric '$s' — aborting" >&2
+      exit 2
+    fi
     echo "attempt $attempt pre-run steal=$s%" >&2
     awk "BEGIN{exit !($s < 0.2)}" && break
     sleep 120
   done
   python bench.py > "$OUT" 2>"${OUT%.json}.err"
-  st=$(python -c "import json; print(json.load(open('$OUT'))['steal_pct'])")
+  st=$(python -c "import json; print(json.load(open('$OUT'))['steal_pct'])" 2>/dev/null)
+  if ! numeric "${st:-}"; then
+    echo "ERROR: bench output in $OUT unparseable (steal_pct missing);" \
+         "stderr in ${OUT%.json}.err — aborting" >&2
+    exit 2
+  fi
   echo "attempt $attempt run steal_pct=$st%" >&2
   if awk "BEGIN{exit !($st <= 0.3)}"; then
     echo "ACCEPTED attempt $attempt steal=$st% -> $OUT"

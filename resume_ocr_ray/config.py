@@ -34,7 +34,10 @@ TOP_K = 5
 #: Per-payload size cap (reference MAX_FILE_SIZE = 10 MB, constants.py:5).
 #: Deviation from the reference, documented: an oversized payload becomes a
 #: per-row error (the reference 400s the whole request, utils.py:27-47 —
-#: failing a whole 100 TB job on one file would be wrong at scale).
+#: failing a whole 100 TB job on one file would be wrong at scale). Exact
+#: reference all-or-nothing semantics are available as an opt-in:
+#: ``engine.job --strict-request`` (engine/job.py strict_validate_request)
+#: rejects the whole batch with the reference's HTTP status + detail.
 MAX_MEDIA_BYTES = 10 * 1024 * 1024
 ERR_TOO_LARGE = "Arquivo {name} excede o tamanho máximo de 10MB."
 

@@ -165,7 +165,10 @@ def write_corpus(out_dir: str, docs: pa.Table, media: pa.Table, num_shards: int 
         # EVERY bucket file is written, even empty ones: the two-phase
         # resolve stage recomputes a ref's bucket as crc32(ref) % n_files,
         # so a skipped empty bucket would shift every modulus after it
-        pq.write_table(media.take(idx), os.path.join(media_dir, f"media-{s:04d}.parquet"))
+        # typed indices: a bare [] becomes a null-typed array, which
+        # take() has no kernel for on string columns
+        pq.write_table(media.take(pa.array(idx, type=pa.int64())),
+                       os.path.join(media_dir, f"media-{s:04d}.parquet"))
     return docs_dir, media_dir
 
 

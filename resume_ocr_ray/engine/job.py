@@ -41,6 +41,100 @@ def validate_job_config(args) -> list:
     return errors
 
 
+def strict_validate_request(input_dir: str, max_files: int | None = None):
+    """Reference request-level file-list validation, ALL-OR-NOTHING
+    (app/utils/utils.py:27-47, raised before any processing at
+    app/routers/analysis.py:479-480): ANY invalid file fails the whole
+    batch with the reference's HTTP status + Portuguese detail. This is
+    the ``--strict-request`` opt-in; the default engine behavior stays
+    per-row errors (the right call at scale, see config.py:34-48).
+
+    Mapping onto the corpus model: a document row is a "file" (doc_id =
+    filename), its media rows carry the type (media_kind stands in for
+    the extension — the corpus has no extension to be missing, so the
+    reference's separate no-extension 415 folds into the bad-kind 415)
+    and the size. Checks in reference order: empty list (422) → count
+    cap (413) → per-file name (422) / type (415) / size (413); the
+    first violation wins, deterministically (docs in stored order,
+    media in sorted-ref order). Uses the media_meta sidecar when present
+    (no payload read); else one streaming binary_length pass.
+
+    Returns ``None`` if valid, else ``(http_status, detail)``.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+
+    from .. import config as C
+
+    if max_files is None:
+        max_files = C.MAX_FILES
+
+    docs_dir = os.path.join(input_dir, "documents")
+    doc_ids = []
+    for f in sorted(os.listdir(docs_dir)):
+        if f.endswith(".parquet"):
+            doc_ids.extend(
+                _pq.read_table(os.path.join(docs_dir, f), columns=["doc_id"])
+                .column("doc_id").to_pylist()
+            )
+    if not doc_ids:
+        return 422, "Pelo menos um arquivo deve ser enviado."
+    if len(doc_ids) > max_files:
+        return (413, "Payload Too Large: O número máximo de arquivos é "
+                     f"{max_files}.")
+    for d in doc_ids:
+        if not d or not d.strip():
+            return 422, "Um dos arquivos foi enviado sem nome."
+
+    meta_path = os.path.join(input_dir, "media_meta.parquet")
+    if os.path.exists(meta_path):
+        meta = _pq.read_table(
+            meta_path, columns=["media_ref", "media_kind", "payload_bytes"]
+        )
+    else:  # no sidecar: one streaming pass, payload column never held whole
+        media_dir = os.path.join(input_dir, "media")
+        parts = []
+        for f in sorted(os.listdir(media_dir)):
+            if not f.endswith(".parquet"):
+                continue
+            pf = _pq.ParquetFile(os.path.join(media_dir, f))
+            for b in pf.iter_batches(columns=["media_ref", "media_kind",
+                                              "payload"]):
+                parts.append(pa.table({
+                    "media_ref": b.column(0),
+                    "media_kind": b.column(1),
+                    "payload_bytes": pc.cast(
+                        pc.binary_length(b.column(2)), pa.int64()),
+                }))
+        meta = (pa.concat_tables(parts) if parts else
+                pa.table({"media_ref": pa.array([], pa.string()),
+                          "media_kind": pa.array([], pa.string()),
+                          "payload_bytes": pa.array([], pa.int64())}))
+    meta = meta.sort_by("media_ref")
+    bad_kind = meta.filter(
+        pc.invert(pc.is_in(meta.column("media_kind"),
+                           value_set=pa.array(C.ALLOWED_MEDIA_KINDS)))
+    )
+    if bad_kind.num_rows:
+        ref = bad_kind.column("media_ref")[0].as_py()
+        return (415, f"Unsupported Media Type: O formato do arquivo "
+                     f"'{ref}' não é suportado. Use PDF, PNG, JPG ou JPEG.")
+    too_big = meta.filter(
+        pc.greater(meta.column("payload_bytes"), C.MAX_MEDIA_BYTES)
+    )
+    if too_big.num_rows:
+        ref = too_big.column("media_ref")[0].as_py()
+        mb = C.MAX_MEDIA_BYTES // (1024 * 1024)
+        return 413, f"Arquivo '{ref}' é muito grande. Máximo de {mb}MB."
+    return None
+
+
+#: exit codes for strict-request violations, keyed by the reference's
+#: HTTP status (422 shares the existing invalid-input code 2)
+_STRICT_EXIT = {422: 2, 413: 4, 415: 5}
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", required=True, help="corpus dir (documents/ + media/)")
@@ -58,12 +152,27 @@ def main(argv=None) -> int:
              "(reference MAX_FILES request cap, app/config/constants.py:4 — "
              "pass 20 for exact reference behavior; default: unlimited)",
     )
+    p.add_argument(
+        "--strict-request", action="store_true",
+        help="reference request-level validation (utils.py:27-47): ANY "
+             "invalid file fails the whole batch before processing — "
+             "422→exit 2, 413→exit 4, 415→exit 5. File-count cap is "
+             "--max-docs, defaulting to the reference MAX_FILES=20",
+    )
     args = p.parse_args(argv)
 
     errors = validate_job_config(args)
     if errors:
         print(json.dumps({"status": "invalid", "errors": errors}))
         return 2
+
+    if args.strict_request:
+        violation = strict_validate_request(args.input, args.max_docs)
+        if violation is not None:
+            status, detail = violation
+            print(json.dumps({"status": "invalid", "http_status": status,
+                              "errors": [detail]}))
+            return _STRICT_EXIT[status]
 
     # M2 file-count cap as a job-level knob (reference utils.py:27-47 /
     # constants.py:4): counted from parquet footers — no data scan

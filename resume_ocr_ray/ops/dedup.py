@@ -1789,7 +1789,7 @@ def cross_source_pairs(docs_ds, prefix_n: int = 32, gram: int = 3,
 
 def neardup_families(docs_ds_factory, prefix_n: int = 32, gram: int = 3,
                      threshold: float = 0.8, parts: int = 64,
-                     coalesce: int = 8):
+                     coalesce: int = 8, max_block: int = 1000):
     """END-TO-END near-dup family selection — the full production dedup
     workflow (SlimPajama / RefinedWeb shape) as ONE composed pipeline:
 
@@ -1806,11 +1806,20 @@ def neardup_families(docs_ds_factory, prefix_n: int = 32, gram: int = 3,
     blocking, coarse CC cogroups, and two tagged-union cogroups here
     (label ⋈ doc metadata on doc-hash, then family fold on
     component-hash). Deterministic end to end, so the whole composition
-    carries an exact recursive-CTE + window-function DuckDB oracle."""
+    carries an exact recursive-CTE + window-function DuckDB oracle —
+    WITH ONE CAVEAT inherited from ``ngram_jaccard_pairs``: a prefix
+    block larger than ``max_block`` docs (a templated corpus's hot
+    prefix) falls back to STAR comparison against the block's min
+    doc_id, so the pair set is a SUBSET of all-pairs and family
+    composition can diverge from the all-pairs recursive-CTE oracle on
+    such corpora. Below the cap (every block <= max_block members, the
+    normal case after exact dedup) oracle parity is exact; raise
+    ``max_block`` to restore parity on a known-hot-prefix corpus at the
+    cost of the quadratic block."""
 
     pairs = ngram_jaccard_pairs(
         docs_ds_factory(), prefix_n=prefix_n, gram=gram,
-        threshold=threshold,
+        threshold=threshold, max_block=max_block,
     ).materialize()  # CC reads it again via to_state; pair-cardinality
     if pairs.count() == 0:  # no near-dups: typed empty, not a schema-less
         from ..common import typed_empty

@@ -631,7 +631,13 @@ def ddsketch_quantiles_grouped(ds, group_col: str, value_col: str,
     Per-batch partials are (group, bin, n) counts; one engine aggregate
     sums them (group × bin cardinality is tiny); the finalize is a
     vectorized per-group cumsum + rank probe on the driver — bounded by
-    groups × bins, never rows."""
+    groups × bins, never rows.
+
+    Values must be >= 0: the log-bin mapping has no mirrored sketch for
+    negatives (upstream DDSketch keeps a second store), so a negative
+    value raises ValueError from the offending batch rather than being
+    silently folded into the zero bin. Exact zeros are fine (dedicated
+    zero bin, reported as 0.0)."""
     import math
 
     from ray.data.aggregate import Sum
@@ -651,6 +657,13 @@ def ddsketch_quantiles_grouped(ds, group_col: str, value_col: str,
                 ).astype(np.float64),
             }
         ).dropna()
+        vals = df["v"].to_numpy()
+        if len(vals) and float(vals.min()) < 0.0:
+            raise ValueError(
+                f"ddsketch_quantiles_grouped: negative value "
+                f"{float(vals.min())!r} in {value_col!r} — the log-bin "
+                "sketch has no mirrored store for negatives"
+            )
         with np.errstate(divide="ignore", invalid="ignore"):
             bins = np.where(
                 df["v"].to_numpy() > 0,

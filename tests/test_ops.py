@@ -2541,6 +2541,29 @@ def test_grouped_ddsketch_bound(ray_session):
         )
 
 
+def test_grouped_ddsketch_rejects_negative_values(ray_session):
+    """The log-bin sketch has no mirrored store for negatives — a
+    negative value must raise ValueError loudly, not be silently folded
+    into the zero bin (which would yield a wrong quantile with no error
+    bound)."""
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import sketch as SK
+
+    tbl = pa.table({"g": ["a", "a", "b"], "v": [1.0, -2.5, 3.0]})
+    with pytest.raises(Exception) as ei:
+        SK.ddsketch_quantiles_grouped(
+            rd.from_arrow(tbl), group_col="g", value_col="v"
+        ).to_pandas()
+    assert "negative value" in str(ei.value)
+    # zeros are fine: dedicated zero bin, reported as 0.0
+    tbl0 = pa.table({"g": ["a", "a"], "v": [0.0, 0.0]})
+    out = SK.ddsketch_quantiles_grouped(
+        rd.from_arrow(tbl0), group_col="g", value_col="v"
+    ).to_pandas()
+    assert (out["value"] == 0.0).all()
+
+
 def test_orders_by_segment_shuffled_matches_broadcast(ray_session):
     """The size-gated scale sibling must agree with the broadcast form on
     real tables (inner-join semantics, per-segment sums, rounding)."""
