@@ -131,21 +131,28 @@ def _summarize_extracted(t: pa.Table) -> pa.Table:
 
 def q_extract_interleaved(sf_dir: str):
     """Flagship: full extraction over the derived interleaved corpus;
-    returns a per-doc summary (span counts / extracted chars / error)."""
+    returns a per-doc summary (span counts / extracted chars / error).
+    Rows-only (OCR/LLM semantics, no SQL form): byte-exact span equality
+    vs the sequential reference oracle is pytest's job
+    (tests/test_pipeline_equality.py)."""
     ds = _extraction_ds(sf_dir)
     return ds.map_batches(_summarize_extracted, batch_format="pyarrow",
                           zero_copy_batch=True)
 
 
 def q_extract_rank(sf_dir: str):
-    """Query-mode analysis + ranking: top-5 docs by alignment score."""
+    """Query-mode analysis + ranking: top-5 docs by alignment score.
+    Rows-only (LLM scoring, no SQL form): score/rank parity is pinned by
+    tests/test_pipeline_equality.py."""
     ds = _extraction_ds(sf_dir, analyzed=True, query=DEFAULT_QUERY)
     # rank_topk already projects to (doc_id, score, seniority, summary)
     return P.rank_topk(ds, k=5)
 
 
 def q_extract_seniority(sf_dir: str):
-    """No-query mode: seniority classification counts (G4-style counters)."""
+    """No-query mode: seniority classification counts (G4-style
+    counters). Rows-only (LLM classification, no SQL form): pinned by
+    tests/test_pipeline_equality.py."""
     from ray.data.aggregate import Count
 
     ds = _extraction_ds(sf_dir, analyzed=True, query=None)
@@ -388,6 +395,10 @@ def q_bloom_semi_join(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def q_approx_distinct(sf_dir: str):
+    """Rows-only (HLL estimates by construction): per-type approximate
+    distinct users — pytest pins <2% error at 2^14 registers and merge-
+    order determinism (tests/test_ops.py::
+    test_hll_accuracy_and_merge_determinism)."""
     from ..ops import sketch as SK
 
     return SK.approx_distinct_hll(
@@ -420,6 +431,13 @@ def q_point_lookup(sf_dir: str):
 
 
 def q_minhash_verified(sf_dir: str):
+    """Rows-only (LSH candidate recall is probabilistic): MinHash
+    candidates re-verified with EXACT Jaccard — pytest pins planted-pair
+    recall, reported-jaccard exactness and candidate-heavy fan-out
+    (tests/test_ops.py::test_minhash_verified_*,
+    tests/test_limits_and_validation.py::test_minhash_verified_jaccard).
+    The deterministic exact member of the family (ngram_jaccard /
+    neardup_pairs) carries the SQL oracle."""
     return D.minhash_verified(
         _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.2
     )
@@ -449,17 +467,26 @@ def q_neardup_pairs(sf_dir: str):
 
 
 def q_minhash_pairs(sf_dir: str):
+    """Rows-only (hash-sketch candidates, no SQL form): MinHash+LSH
+    band-bucket candidate pairs — pytest pins planted near-dup recall
+    (tests/test_ops.py::test_minhash_finds_near_dups); exactness lives
+    in the verified/ngram siblings."""
     return D.minhash_candidates(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
 def q_simhash_pairs(sf_dir: str):
+    """Rows-only (hash-sketch candidates, no SQL form): SimHash hamming-
+    band candidates — pytest pins planted near-dup recall
+    (tests/test_ops.py::test_simhash_finds_near_dups)."""
     return D.simhash_candidates(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
 def q_embedding_dups(sf_dir: str):
     """Near-dup detection demo: the random testdata embeddings contain no
     true near-dups, so plant deterministic jittered copies of the first 10
-    vectors (ids +1_000_000) — the operator must recover exactly those."""
+    vectors (ids +1_000_000) — the operator must recover exactly those.
+    Rows-only (LSH-bucketed cosine, no SQL form): recovery + hub skew cap
+    pinned by tests/test_ops.py::test_embedding_dups_skew_cap."""
     import ray.data as rd
 
     def plant(batch: pa.Table) -> pa.Table:
@@ -489,6 +516,11 @@ def q_lang_id(sf_dir: str):
 
 
 def q_fingerprint(sf_dir: str):
+    """Rows-only (uint64 rolling hash has no DuckDB twin): winnowing
+    fingerprint — pytest pins a hand-rolled modular-arithmetic oracle,
+    split-invariance and the empty/short-doc edge cases
+    (tests/test_ops.py::test_fingerprint_rolling_hash_exact); the md5
+    variant (fingerprint_md5) is the SQL-checked sibling."""
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         T.fingerprint, batch_format="pyarrow", zero_copy_batch=True
     )
@@ -524,7 +556,13 @@ def q_probe_media(sf_dir: str):
 
 
 def q_decode_features(sf_dir: str):
-    """Per-page decode + feature extraction (synthetic codec path)."""
+    """Per-page decode + feature extraction (synthetic codec path).
+    Rows-only BY POLICY: text_len/entropy are computed by the decoder
+    itself, so a sidecar lane would be the pipeline checking its own
+    answer (the media sidecars carry only raw input facts — see
+    engine/io.py ensure_media_sidecar). pytest pins decode parity and
+    the error-row convention (tests/test_media.py,
+    tests/test_multimodal_real.py)."""
     return MM.decode_features(_media_ds(sf_dir))
 
 
@@ -552,6 +590,10 @@ def q_ann_multi(sf_dir: str):
 
 
 def q_ivf_ann(sf_dir: str):
+    """Rows-only (probe subset is approximate BY DESIGN): IVF ANN top-k
+    — pytest pins overlap vs brute force
+    (tests/test_ops.py::test_brute_force_vs_ivf_overlap); the full-probe
+    variant (ivf_full_probe) is exhaustive and oracle-checked."""
     qv = SIM.query_vector(64, seed=7)
     return SIM.ivf_topk(
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]), qv, k=10
@@ -577,7 +619,9 @@ def q_extract_checkpointed(sf_dir: str):
     committed parquet back as the same per-doc summary the plain
     extraction query returns (rows-only check — deterministic columns
     only). A second call at the same sf_dir exercises the resume-skip
-    arm: every shard is already committed, so only the read-back runs."""
+    arm: every shard is already committed, so only the read-back runs.
+    Manifest lineage/metrics and resume-skip semantics are pinned by
+    tests/test_checkpoint.py."""
     import ray.data as rd
 
     from ..engine import checkpoint as CK
@@ -871,9 +915,11 @@ def q_kmv_overlap(sf_dir: str):
 
 
 def q_pagerank(sf_dir: str):
-    """Rows-only (iterative, no SQL form): integer-deterministic fixed-
-    point PageRank — pytest pins determinism, mass bound and hub
-    ordering (tests/test_ops.py)."""
+    """Integer-deterministic fixed-point PageRank. EXACT oracle despite
+    being iterative: the 20 int64 steps unroll as materialized DuckDB
+    CTEs (_pagerank_oracle_sql); pytest additionally pins determinism,
+    mass bound, hub ordering and broadcast≡join-path bit-equality
+    (tests/test_ops.py)."""
     return G.pagerank(_graph_lineitem(sf_dir), _GRAPH_LO, _GRAPH_HI)
 
 
@@ -948,7 +994,10 @@ def q_mode_lang(sf_dir: str):
 
 def q_kmeans(sf_dir: str):
     """Iterative Lloyd's k-means over the embeddings (broadcast centroids,
-    partial-aggregate sweeps; non-SQL — iterative fixpoint)."""
+    partial-aggregate sweeps; non-SQL — FLOAT iterative fixpoint, unlike
+    pagerank's integer one, so no unrolled-CTE oracle). pytest pins
+    convergence, partition balance and seed determinism
+    (tests/test_ops.py::test_kmeans_partitions_and_converges)."""
     return SIM.kmeans_clusters(
         lambda: _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
         k=8, iters=5,
@@ -1086,6 +1135,9 @@ def q_fuzzy_pairs(sf_dir: str):
 
 
 def q_ann_int8(sf_dir: str):
+    """Rows-only (int8 quantization is approximate by construction):
+    quantized brute-force top-k — pytest pins recall@10 >= 0.8 vs the
+    exact f64 baseline (tests/test_ops.py::test_ann_int8_recall)."""
     qv = SIM.query_vector(64, seed=7)
     return SIM.brute_force_topk_int8(
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]), qv, k=10
@@ -1427,8 +1479,8 @@ def _all_queries() -> dict:
         # approximate by construction (int8 quantization) — rows-only;
         # recall@k pinned by tests/test_ops.py::test_ann_int8_recall
         "ann_int8": q_ann_int8,
-        # iterative fixed-point — rows-only; determinism/mass/hub-order
-        # pinned by tests/test_ops.py::test_pagerank_*
+        # iterative but integer-deterministic → EXACT oracle: the 20
+        # fixed-point steps unroll as materialized CTEs (oracle_sql)
         "pagerank": q_pagerank,
         # estimates by construction (KMV bottom-k) — rows-only; ±15%
         # planted bound pinned by tests/test_ops.py::test_kmv_overlap_*
@@ -1459,6 +1511,49 @@ def _mixture_sample_sql() -> str:
         "SELECT doc_id, lang FROM documents WHERE CASE "
         + cases + " ELSE FALSE END"
     )
+
+
+def _pagerank_oracle_sql(iters: int = 20, damping_ppm: int = 850_000) -> str:
+    """Exact SQL twin of ops.graph.pagerank: the iteration is UNROLLED as
+    ``iters`` chained MATERIALIZED CTEs (DuckDB inlines single-use CTEs —
+    unmaterialized, the 20-level nested plan takes minutes; materialized,
+    sub-second). Every step is the same int64 fixed-point arithmetic as
+    the Ray op (share = rank // degree, new = base + damp*contrib // 1e6,
+    all integer `//`), so the match is bit-exact, not approximate. Early
+    exit needs no SQL analog: once the integer vector is stationary,
+    further iterations reproduce it, so fixed-depth unrolling equals the
+    early-exited run."""
+    head = (
+        "WITH w AS MATERIALIZED (SELECT l_orderkey, l_suppkey FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1995-01-01' "
+        "AND l_shipdate < TIMESTAMP '1995-07-01'), "
+        "e AS MATERIALIZED (SELECT DISTINCT a.l_suppkey AS s1, "
+        "b.l_suppkey AS s2 FROM w a JOIN w b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_suppkey < b.l_suppkey), "
+        "dir AS MATERIALIZED (SELECT s1 AS src, s2 AS dst FROM e "
+        "UNION ALL SELECT s2, s1 FROM e), "
+        "deg AS MATERIALIZED (SELECT src AS node, "
+        "CAST(count(*) AS BIGINT) AS degree FROM dir GROUP BY src), "
+        "c AS MATERIALIZED (SELECT "
+        f"CAST((1000000000000 * {10**6 - damping_ppm} // 1000000) "
+        "// count(*) AS BIGINT) AS base, "
+        "CAST(1000000000000 // count(*) AS BIGINT) AS init FROM deg), "
+        "r0 AS MATERIALIZED (SELECT node, degree, "
+        "(SELECT init FROM c) AS rank FROM deg)"
+    )
+    steps = []
+    for i in range(iters):
+        steps.append(
+            f", r{i + 1} AS MATERIALIZED (SELECT d.node, d.degree, "
+            f"CAST((SELECT base FROM c) + ({damping_ppm} * "
+            f"COALESCE(x.contrib, 0)) // 1000000 AS BIGINT) AS rank "
+            f"FROM deg d LEFT JOIN (SELECT dir.dst AS node, "
+            f"CAST(sum(r{i}.rank // r{i}.degree) AS BIGINT) AS contrib "
+            f"FROM dir JOIN r{i} ON dir.src = r{i}.node GROUP BY dir.dst) x "
+            f"ON d.node = x.node)"
+        )
+    return (head + "".join(steps)
+            + f" SELECT node, rank AS rank_e12 FROM r{iters} ORDER BY node")
 
 
 def oracle_sql() -> dict:
@@ -2356,6 +2451,9 @@ def oracle_sql() -> dict:
             "SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) "
             "AS token FROM documents"
         ),
+        # bit-exact despite being iterative: int64 fixed-point unrolled
+        # as 20 materialized CTE steps (see _pagerank_oracle_sql)
+        "pagerank": _pagerank_oracle_sql(),
         "triangles": (
             # triple self-join enumerates each triangle once (s1<s2 chain);
             # the Ray side enumerates under DEGREE order — same triangle

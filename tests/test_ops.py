@@ -2657,3 +2657,63 @@ def test_pagerank_join_path_bit_identical(ray_session):
     b2 = G.pagerank(li, lo, hi, iters=5, parts=8,
                     node_budget=0).to_pandas()
     pd.testing.assert_frame_equal(a2, b2)
+
+
+def test_fingerprint_rolling_hash_exact(ray_session):
+    """Pin the rows-only winnowing fingerprint against a hand-rolled
+    pure-Python modular-arithmetic oracle (explicit ints mod 2^64 — no
+    numpy, so the op's uint64 wraparound semantics are independently
+    restated), plus the edge cases: empty/None text → 0, docs shorter
+    than the window clamp to their length, and the result is invariant
+    to batch splits / parallelism."""
+    import zlib
+
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import text as T
+
+    BASE, MOD, WINDOW = 1099511628211, 2**64, 8
+
+    def oracle(t):
+        toks = (t or "").split()
+        if not toks:
+            return 0
+        crcs = [zlib.crc32(w.encode()) for w in toks]
+        w = min(WINDOW, len(crcs))
+        best = None
+        for i in range(len(crcs) - w + 1):
+            h = 0
+            for c in crcs[i:i + w]:
+                h = (h * BASE + c) % MOD
+            best = h if best is None else min(best, h)
+        # the op views uint64 as int64 for Arrow
+        return best - MOD if best >= 2**63 else best
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "short doc",          # shorter than the window → clamped
+        "",                   # empty → 0
+        None,                 # null → 0
+        "one two three four five six seven eight nine ten",
+        "the quick brown fox jumps over the lazy dog again and again",  # dup
+    ]
+    tbl = pa.table({"doc_id": list(range(len(texts))),
+                    "text": pa.array(texts, pa.string())})
+    out = (
+        rd.from_arrow(tbl).repartition(3)
+        .map_batches(T.fingerprint, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    expected = [oracle(t) for t in texts]
+    assert list(out["fingerprint"]) == expected
+    assert expected[0] == expected[5]      # identical text → identical key
+    assert expected[2] == expected[3] == 0
+    # split-invariance at a different parallelism
+    out1 = (
+        rd.from_arrow(tbl)
+        .map_batches(T.fingerprint, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(out1["fingerprint"]) == expected
