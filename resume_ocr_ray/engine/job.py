@@ -153,6 +153,11 @@ def main(argv=None) -> int:
              "pass 20 for exact reference behavior; default: unlimited)",
     )
     p.add_argument(
+        "--log-dir", default=None,
+        help="run-log directory (rotating run.log + run.jsonl; default "
+             "<out>/_logs — reference logging_config.py analog)",
+    )
+    p.add_argument(
         "--strict-request", action="store_true",
         help="reference request-level validation (utils.py:27-47): ANY "
              "invalid file fails the whole batch before processing — "
@@ -207,6 +212,19 @@ def main(argv=None) -> int:
         print(json.dumps({"status": "unavailable", "errors": [f"output path: {e}"]}))
         return 3
 
+    # structured run logging (reference logging_config.py:6-53 analog):
+    # rotating human-format + JSON-lines files under the run's output dir
+    from .logging_config import setup_run_logging
+
+    runlog = setup_run_logging(
+        args.log_dir or os.path.join(args.out, "_logs"),
+        run_id=args.request_id, console=False,
+    )
+    runlog.info(
+        "Nova requisição - ID: %s | User: %s | Query: %s",
+        args.request_id, args.user_id, "Sim" if args.query else "Não",
+    )
+
     # driver-side query validation (reference L2, analysis.py:491: invalid
     # query → 400 before processing)
     if args.query is not None:
@@ -247,6 +265,11 @@ def main(argv=None) -> int:
     )
     total = summary["total_docs"]
     total_failure = total > 0 and summary["total_errors"] == total
+    (runlog.warning if total_failure else runlog.info)(
+        "Requisição %s concluída - docs: %s | erros: %s | tempo: %.2fs",
+        args.request_id, total, summary["total_errors"],
+        summary.get("processing_time", 0.0),
+    )
     print(
         json.dumps(
             {

@@ -139,21 +139,21 @@ class ImageDecodeStage:
         )
 
 
-def probe_media(media_ds, concurrency: int = 2):
+def probe_media(media_ds, concurrency=(1, 2)):
     return media_ds.map_batches(
         MediaProbeStage, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=64, concurrency=concurrency,
     )
 
 
-def decode_features(media_ds, concurrency: int = 2):
+def decode_features(media_ds, concurrency=(1, 2)):
     return media_ds.map_batches(
         ImageDecodeStage, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=32, concurrency=concurrency,
     )
 
 
-def frame_sample(media_ds, every_k: int = 2, concurrency: int = 2):
+def frame_sample(media_ds, every_k: int = 2, concurrency=(1, 2)):
     """Every k-th page of each payload, re-encoded as a smaller payload.
     Undecodable rows come out with ``error`` set and a null payload
     (explicit error-row convention — no silent drops)."""
@@ -287,7 +287,7 @@ class ImageResizeStage:
 
 
 def resize_images(media_ds, max_bytes_per_page: int = 256,
-                  concurrency: int = 2):
+                  concurrency=(1, 2)):
     return media_ds.map_batches(
         ImageResizeStage,
         fn_constructor_kwargs={"max_bytes_per_page": max_bytes_per_page},

@@ -105,3 +105,72 @@ def test_param_mismatch_invalidates_all(ray_session, corpus_on_disk, tmp_path):
         analyzed=True, query="python spark",
     )
     assert not s2["processed"] and len(s2["skipped"]) == 4
+
+
+def test_run_logging_setup(tmp_path):
+    """Structured run logging (reference logging_config.py analog):
+    rotating human-format + JSON-lines handlers, reference rotation
+    policy (10MB x 5), idempotent re-setup, DEBUG to file, parseable
+    JSON records carrying the run_id."""
+    import json
+    import logging
+
+    from resume_ocr_ray.engine.logging_config import (
+        BACKUP_COUNT, MAX_BYTES, RUN_LOGGER, setup_run_logging,
+    )
+
+    d = str(tmp_path / "_logs")
+    lg = setup_run_logging(d, run_id="run-42", console=False)
+    lg.debug("detalhe")          # file handlers are DEBUG-level
+    lg.info("Nova requisição - ID: run-42")
+    lg.warning("algo estranho")
+
+    # idempotent: re-setup must not duplicate handlers (reference clears
+    # existing handlers, logging_config.py:19-21)
+    lg2 = setup_run_logging(d, run_id="run-42", console=False)
+    assert lg2 is logging.getLogger(RUN_LOGGER)
+    assert len(lg2.handlers) == 2
+
+    for h in lg2.handlers:
+        h.flush()
+        assert h.maxBytes == MAX_BYTES and h.backupCount == BACKUP_COUNT
+
+    human = (tmp_path / "_logs" / "run.log").read_text().splitlines()
+    assert any("Nova requisição" in line for line in human)
+    assert any("| DEBUG |" in line for line in human)
+    assert any(" | resume_ocr_ray.run | " in line for line in human)
+
+    recs = [json.loads(line) for line in
+            (tmp_path / "_logs" / "run.jsonl").read_text().splitlines()]
+    assert all(r["run_id"] == "run-42" for r in recs)
+    assert {"ts", "level", "logger", "msg"} <= set(recs[0])
+    assert any(r["level"] == "WARNING" for r in recs)
+
+
+def test_job_writes_run_logs(ray_session, tmp_path):
+    """engine.job end-to-end writes run.log/run.jsonl under <out>/_logs
+    with the request lifecycle records."""
+    import io as _io
+    import json
+    from contextlib import redirect_stdout
+
+    from resume_ocr_ray.core import corpus
+    from resume_ocr_ray.engine import io as EIO, job as J
+
+    docs, media = corpus.generate_corpus(6, seed=3)
+    src = str(tmp_path / "corpus")
+    EIO.write_corpus(src, docs, media, num_shards=2)
+    out = str(tmp_path / "out")
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        rc = J.main(["--input", src, "--out", out, "--request-id",
+                     "a7f3a9b2-1c2d-4e5f-8a9b-0c1d2e3f4a5b"])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["status"] == "ok"
+    recs = [json.loads(line) for line in
+            open(f"{out}/_logs/run.jsonl").read().splitlines()]
+    msgs = " ".join(r["msg"] for r in recs)
+    assert "Nova requisição" in msgs and "concluída" in msgs
+    assert all(r["run_id"] == "a7f3a9b2-1c2d-4e5f-8a9b-0c1d2e3f4a5b"
+               for r in recs)

@@ -1444,6 +1444,10 @@ def test_cogroup_agg_matches_pandas_groupby(ray_session):
         .sort_values(["k", "k2"], na_position="last")
         .reset_index(drop=True)
     )
+    # unify null-likes (one side carries None, the other NaN) — pandas
+    # equality-testing is deprecating None==NaN, so normalize explicitly
+    for frame in (got, want):
+        frame["k"] = frame["k"].map(lambda x: None if pd.isna(x) else x)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
