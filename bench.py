@@ -36,6 +36,8 @@ SCALING_OCR_COST_MS = os.environ.get("GRAFT_OCR_COST_MS", "3")
 
 BENCH_QUERIES = [
     "extract_rank",
+    "weighted_sample",
+    "token_rarity",
     "lineitem_agg",
     "dedup_exact",
     "postings",

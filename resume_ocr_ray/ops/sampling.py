@@ -269,3 +269,74 @@ def grouped_sample(docs_ds, k: int = 10):
         .repartition(1)
         .map_batches(_final, batch_format="pandas", batch_size=None)
     )
+
+
+def weighted_sample_k(docs_ds, k: int = 200, weight_col: str = "n_chars"):
+    """Weighted WITHOUT-replacement sample of k docs by sequential
+    Poisson sampling (Ohlsson 1998; the order-sampling cousin of
+    Efraimidis–Spirakis A-ES): keep the bottom-k docs by
+    ``q = u / w`` where ``u = uint64(md5('sps:' + doc_id)[:16])`` and
+    ``w`` is the weight column — inclusion probability ≈ proportional
+    to weight, deterministic across runs/shards/parallelism because u
+    is content-derived, not RNG state.
+
+    EXACTLY SQL-expressible, unlike A-ES: A-ES ranks by u^(1/w) or
+    -ln(u)/w, whose libm calls differ by ULPs across engines; a single
+    IEEE division (uint64→double cast is correctly rounded in both
+    numpy and DuckDB, as is the divide) is bit-identical, so the
+    bottom-k set matches the oracle exactly. (doc_id tiebreak for
+    belt-and-braces determinism.) Rows with w <= 0 are excluded —
+    zero-weight items have q = inf in any order-sampling scheme.
+
+    Scale shape = hash_sample's: partial bottom-k per batch (≤ k rows
+    leave each batch; the partial is idempotent because q is
+    recomputable from (doc_id, w)), one tree-reduce level over 8
+    coarse blocks, then a ≤ 8k-row single-block merge. Output
+    (doc_id, weight) sorted by doc_id."""
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        w = b.column(weight_col).to_numpy(zero_copy_only=False)
+        pos = w > 0
+        ids, w = ids[pos], w[pos]
+        u = np.fromiter(
+            (int(hashlib.md5(f"sps:{i}".encode()).hexdigest()[:16], 16)
+             for i in ids),
+            dtype=np.uint64, count=len(ids),
+        )
+        q = u.astype(np.float64) / w.astype(np.float64)
+        keep = np.lexsort((ids, q))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep].astype(np.int64)),
+                weight_col: pa.array(w[keep].astype(np.int64)),
+                "q": pa.array(q[keep]),
+            }
+        )
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(["q", "doc_id"], kind="mergesort").head(k)
+        return (
+            out[["doc_id", weight_col]]
+            .rename(columns={weight_col: "weight"})
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    def _repartial(b: pa.Table) -> pa.Table:
+        # tree level: same bottom-k, q already attached
+        df = b.to_pandas().sort_values(["q", "doc_id"],
+                                       kind="mergesort").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        docs_ds.map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536,
+        )
+        .repartition(8)
+        .map_batches(_repartial, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .repartition(1)
+        .map_batches(_merge, batch_format="pandas", batch_size=None)
+    )

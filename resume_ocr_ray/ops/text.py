@@ -1228,3 +1228,189 @@ def token_explode(docs_ds):
         _explode, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=65536,
     )
+
+
+def _rarity_joined(docs_ds_factory, cnt_ds, total: int):
+    """token_rarity's scale path: term-keyed cogroup attaches the global
+    count to per-doc tf rows, doc-keyed cogroup folds the per-doc sum —
+    no driver vocabulary map at any size (tfidf's join shape)."""
+
+    def _tf_rows(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(b.column("text"), ""), " ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        doc_ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        dd = pd.DataFrame({"p": parent, "term": flat.to_pandas()})
+        dd = dd[dd["term"] != ""]
+        tf = dd.groupby(["p", "term"], sort=False).size().reset_index(
+            name="tf"
+        )
+        out = pd.DataFrame(
+            {
+                "term": tf["term"],
+                "doc_id": doc_ids[tf["p"].to_numpy()],
+                "tf": tf["tf"].astype(np.int64),
+                "is_cnt": np.int8(0),
+            }
+        )
+        out["gpart"] = _gpart(out["term"])
+        return _fpc(out)
+
+    def _cnt_side(t: pa.Table) -> pa.Table:
+        gs = t.column("term").to_pandas()
+        n = len(gs)
+        return pa.table(
+            {
+                "term": t.column("term"),
+                "doc_id": pa.array(np.full(n, -1, dtype=np.int64)),
+                # the global count rides in the tf column (union schema)
+                "tf": t.column("c").cast(pa.int64()),
+                "is_cnt": pa.array(np.ones(n, dtype=np.int8)),
+                "gpart": pa.array(_gpart(gs)),
+            }
+        )
+
+    def _attach(g: pd.DataFrame) -> pa.Table:
+        cnts = g.loc[g["is_cnt"] == 1, ["term", "tf"]].rename(
+            columns={"tf": "c"}
+        ).drop_duplicates("term")
+        rows = g.loc[g["is_cnt"] == 0, ["term", "doc_id", "tf"]]
+        if rows.empty or cnts.empty:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.int64()),
+                 "s": pa.array([], type=pa.int64()),
+                 "n": pa.array([], type=pa.int64()),
+                 "dpart": pa.array([], type=pa.int32())}
+            )
+        m = rows.merge(cnts, on="term")  # every term has its count row
+        tf = m["tf"].to_numpy(np.int64)
+        m["s"] = tf * (total * 1_000_000 // m["c"].to_numpy(np.int64))
+        m["n"] = tf
+        m["dpart"] = (
+            m["doc_id"].to_numpy(np.int64) % _GRAM_PARTS
+        ).astype(np.int32)
+        return _fpc(m[["doc_id", "s", "n", "dpart"]])
+
+    def _doc_fold(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("doc_id", sort=True, as_index=False).agg(
+            s=("s", "sum"), n=("n", "sum")
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(agg["doc_id"].to_numpy(np.int64)),
+                "n_tokens": pa.array(agg["n"].to_numpy(np.int64)),
+                "rarity_e6": pa.array(
+                    agg["s"].to_numpy(np.int64)
+                    // agg["n"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    return (
+        docs_ds_factory()
+        .map_batches(_tf_rows, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=65536)
+        .union(cnt_ds.map_batches(_cnt_side, batch_format="pyarrow",
+                                  zero_copy_batch=True))
+        .repartition(_GRAM_PARTS // 4)
+        .groupby("gpart")
+        .map_groups(_attach, batch_format="pandas")
+        .repartition(_GRAM_PARTS // 4)
+        .groupby("dpart")
+        .map_groups(_doc_fold, batch_format="pandas")
+    )
+
+
+def token_rarity(docs_ds_factory, broadcast_max: int = GRAM_BROADCAST_MAX):
+    """Per-document mean token rarity — the CCNet-perplexity-proxy
+    quality signal made INTEGER-EXACT (same trick as tfidf_topk: a
+    monotone integer surrogate instead of ULP-fragile logarithms):
+
+        rarity_e6 = (Σ_occurrences total_tokens·10⁶ // cnt(term)) // n
+
+    High scores = rare vocabulary (low unigram likelihood — candidate
+    gibberish/OOV-heavy docs); low = stopword-heavy boilerplate. Both
+    tails are the ones a quality gate trims. Tokenization is single-space
+    split with empties dropped == DuckDB ``string_split(text, ' ')``;
+    docs with zero tokens are excluded (no mean exists).
+
+    Pass 1 builds global occurrence counts with a vocabulary-bounded
+    combiner (per-batch value_counts → coarse cogroup sum); ``total``
+    is a scalar Sum over that counts dataset. Pass 2 is count-gated
+    like tfidf_topk: ≤ ``broadcast_max`` distinct terms ships the count
+    map by closure; past it, ``_rarity_joined`` runs term-keyed +
+    doc-keyed cogroups with no driver vocabulary map. int64 bound:
+    ``total·10⁶`` must stay < 2⁶³ (total < 9.2e12 tokens); past that,
+    drop the scale constant to 10³ — documented, not silent."""
+    from ..common import cogroup_agg
+
+    def _cnt_partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(b.column("text"), ""), " ")
+        flat = pc.list_flatten(toks).to_pandas()
+        vc = flat[flat != ""].value_counts(sort=False)
+        return pa.table(
+            {
+                "term": pa.array(vc.index, type=pa.string()),
+                "c": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    def _cnt_ds():
+        return cogroup_agg(
+            docs_ds_factory().map_batches(
+                _cnt_partial, batch_format="pyarrow",
+                zero_copy_batch=True, batch_size=65536,
+            ),
+            "term", {"c": ("c", "sum")},
+        )
+
+    counts = _cnt_ds().materialize()  # vocab-cardinality; reused twice
+    total = int(counts.sum("c") or 0)
+    if total == 0:
+        from ..common import typed_empty
+
+        return typed_empty(doc_id=pa.int64(), n_tokens=pa.int64(),
+                           rarity_e6=pa.int64())
+    if counts.count() > broadcast_max:
+        return _rarity_joined(docs_ds_factory, counts, total)
+
+    cnt_map = dict(zip(*(
+        counts.to_pandas()[c] for c in ("term", "c")
+    )))
+
+    def _score(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(b.column("text"), ""), " ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        doc_ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        dd = pd.DataFrame({"p": parent, "term": flat.to_pandas()})
+        dd = dd[dd["term"] != ""]
+        if dd.empty:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.int64()),
+                 "n_tokens": pa.array([], type=pa.int64()),
+                 "rarity_e6": pa.array([], type=pa.int64())}
+            )
+        c = dd["term"].map(cnt_map).to_numpy(np.int64)
+        dd = dd.assign(occ=total * 1_000_000 // c)
+        agg = dd.groupby("p", sort=True).agg(
+            s=("occ", "sum"), n=("occ", "size")
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[agg.index.to_numpy()]),
+                "n_tokens": pa.array(agg["n"].to_numpy(np.int64)),
+                "rarity_e6": pa.array(
+                    agg["s"].to_numpy(np.int64) // agg["n"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    return docs_ds_factory().map_batches(
+        _score, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )

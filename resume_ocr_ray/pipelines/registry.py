@@ -680,6 +680,24 @@ def q_pack_sequences(sf_dir: str):
     )
 
 
+def q_weighted_sample(sf_dir: str):
+    """Sequential Poisson weighted sample (Ohlsson 1998): bottom-200 by
+    q = md5-u64 / n_chars — weighted WITHOUT-replacement selection whose
+    single IEEE division is bit-identical in numpy and DuckDB (unlike
+    A-ES's libm pow/log), so the lane is hash-exact."""
+    return S.weighted_sample_k(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]), k=200
+    )
+
+
+def q_token_rarity(sf_dir: str):
+    """Per-doc mean token rarity (integer-exact CCNet-style quality
+    signal; see ops.text.token_rarity)."""
+    return T.token_rarity(
+        lambda: _read(sf_dir, "documents", ["doc_id", "text"])
+    )
+
+
 def q_hash_sample(sf_dir: str):
     return S.hash_sample(_read(sf_dir, "documents", ["doc_id"]), k=50)
 
@@ -1400,6 +1418,8 @@ def _all_queries() -> dict:
         "train_split": q_train_split,
         "group_split": q_group_split,
         "hash_sample": q_hash_sample,
+        "weighted_sample": q_weighted_sample,
+        "token_rarity": q_token_rarity,
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
         "pivot_events": q_pivot_events,
@@ -1942,6 +1962,32 @@ def oracle_sql() -> dict:
             "SELECT doc_id FROM documents "
             "ORDER BY substr(md5('sample:' || CAST(doc_id AS VARCHAR)), "
             "1, 8), doc_id LIMIT 50"
+        ),
+        "weighted_sample": (
+            # sequential Poisson: q = uint64(md5[:16])::DOUBLE / weight —
+            # one correctly-rounded IEEE divide, bit-identical to numpy
+            "SELECT doc_id, weight FROM ("
+            "SELECT doc_id, n_chars AS weight, "
+            "CAST(('0x' || substr(md5('sps:' || CAST(doc_id AS VARCHAR)), "
+            "1, 16)) AS UBIGINT)::DOUBLE / CAST(n_chars AS DOUBLE) AS q "
+            "FROM documents WHERE n_chars > 0 "
+            "ORDER BY q, doc_id LIMIT 200) ORDER BY doc_id"
+        ),
+        "token_rarity": (
+            # integer-exact mean inverse unigram frequency; `//` floor
+            # division matches the op's int64 arithmetic step for step
+            "WITH t AS (SELECT doc_id, unnest(string_split("
+            "coalesce(text, ''), ' ')) AS term FROM documents), "
+            "tt AS (SELECT doc_id, term FROM t WHERE term <> ''), "
+            "cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS c "
+            "FROM tt GROUP BY term), "
+            "tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cnt), "
+            "per AS (SELECT tt.doc_id, "
+            "CAST(sum((SELECT total FROM tot) * 1000000 // c.c) AS BIGINT)"
+            " AS s, CAST(count(*) AS BIGINT) AS n "
+            "FROM tt JOIN cnt c USING (term) GROUP BY tt.doc_id) "
+            "SELECT doc_id, n AS n_tokens, CAST(s // n AS BIGINT) "
+            "AS rarity_e6 FROM per ORDER BY doc_id"
         ),
         "mixture_sample": _mixture_sample_sql(),
         # range-local greedy packing restated as a per-range recursive scan

@@ -2721,3 +2721,80 @@ def test_fingerprint_rolling_hash_exact(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     assert list(out1["fingerprint"]) == expected
+
+
+def test_weighted_sample_k_exact_and_weighted(ray_session):
+    """Sequential Poisson sample: (1) equals the brute-force numpy
+    bottom-k at any parallelism, (2) excludes nonpositive weights,
+    (3) actually respects weights — a huge-weight doc is always
+    selected, and heavy docs are overrepresented vs uniform."""
+    import hashlib
+
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import sampling as S
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    w = rng.integers(1, 100, n).astype(np.int64)
+    w[7] = 10**9        # whale: q ~ u/1e9 → effectively always sampled
+    w[13] = 0           # must be excluded outright
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({"doc_id": ids, "n_chars": w})
+
+    def brute(k):
+        u = np.fromiter(
+            (int(hashlib.md5(f"sps:{i}".encode()).hexdigest()[:16], 16)
+             for i in ids), dtype=np.uint64, count=n)
+        pos = w > 0
+        q = u[pos].astype(np.float64) / w[pos].astype(np.float64)
+        order = np.lexsort((ids[pos], q))[:k]
+        return sorted(ids[pos][order])
+
+    for parts in (1, 7):
+        got = (
+            S.weighted_sample_k(rd.from_arrow(tbl).repartition(parts), k=300)
+            .to_pandas()
+        )
+        assert list(got["doc_id"]) == brute(300)
+        assert 13 not in set(got["doc_id"])
+        assert 7 in set(got["doc_id"])        # the whale is in
+    # weighted, not uniform: mean weight of the sample must exceed the
+    # population mean (heavier docs have smaller q)
+    sel = got[got["doc_id"] != 7]["weight"].to_numpy()
+    assert sel.mean() > w[(w > 0) & (ids != 7)].mean()
+
+
+def test_token_rarity_exact_and_join_path(ray_session):
+    """token_rarity == a from-scratch integer oracle on a planted
+    corpus (common word everywhere, rare word once), zero-token docs
+    excluded, and the broadcast_max=0 join path is IDENTICAL to the
+    broadcast path."""
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import text as T
+
+    texts = ["the the rare", "the the the", "", None, "the unique the"]
+    tbl = pa.table({"doc_id": list(range(5)),
+                    "text": pa.array(texts, pa.string())})
+    factory = lambda: rd.from_arrow(tbl).repartition(2)
+
+    # hand oracle: counts {the: 7, rare: 1, unique: 1}, total 9
+    def occ(c): return 9 * 1_000_000 // c
+    exp = {
+        0: (3, (2 * occ(7) + occ(1)) // 3),
+        1: (3, occ(7)),
+        4: (3, (2 * occ(7) + occ(1)) // 3),
+    }
+    got = T.token_rarity(factory).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert set(got["doc_id"]) == set(exp)
+    for r in got.itertuples():
+        assert (r.n_tokens, r.rarity_e6) == exp[r.doc_id], r
+    # rare-vocab doc scores above the all-stopword doc
+    by = dict(zip(got["doc_id"], got["rarity_e6"]))
+    assert by[0] > by[1]
+
+    joined = T.token_rarity(factory, broadcast_max=0).to_pandas(
+    ).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, joined)
