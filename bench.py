@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "extract_rank",
     "weighted_sample",
     "token_rarity",
+    "source_overlap",
     "lineitem_agg",
     "dedup_exact",
     "postings",

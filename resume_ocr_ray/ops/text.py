@@ -1414,3 +1414,84 @@ def token_rarity(docs_ds_factory, broadcast_max: int = GRAM_BROADCAST_MAX):
         _score, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=65536,
     )
+
+
+def source_overlap(docs_ds, n: int = 3, coalesce: int = 4):
+    """Cross-source duplication matrix — for every unordered source pair
+    (a < b), the number of DISTINCT word ``n``-grams appearing in both
+    sources. The corpus-lineage staple of multi-source training-data
+    curation ("how much of source A is already in source B?") that
+    decides dedup ordering and mixture weights between crawls/dumps.
+
+    Shape: per-batch DISTINCT (gram, source) collapse (exact within-doc,
+    a doc never splits across batches; cross-batch dups collapse at the
+    cogroup), then ONE gram-keyed hash cogroup where each gram's distinct
+    source set expands to pairs via a vectorized self-merge — fanout per
+    gram is bounded by the SOURCE DIMENSION (a handful of crawls), never
+    by corpus size — and pair counts pre-combine per partition before a
+    tiny source-pair aggregate. Only (gram, source) pairs ever shuffle;
+    the output is source-pair cardinality. Tokenization matches
+    ``dup_phrases``: single-space split (empties kept inside grams), docs
+    with < n tokens contribute nothing."""
+    from ray.data.aggregate import Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        seen = set()
+        for t, s in zip(b.column("text").to_pylist(),
+                        b.column("source").to_pylist()):
+            toks = (t or "").split(" ")
+            if len(toks) < n or s is None:
+                continue
+            for g in {" ".join(toks[i:i + n])
+                      for i in range(len(toks) - n + 1)}:
+                seen.add((g, s))
+        if not seen:
+            return pa.table(
+                {"gram": pa.array([], type=pa.string()),
+                 "source": pa.array([], type=pa.string()),
+                 "gpart": pa.array([], type=pa.int32())}
+            )
+        grams = pd.Series([g for g, _ in seen])
+        return pa.table(
+            {
+                "gram": pa.array(grams, type=pa.string()),
+                "source": pa.array([s for _, s in seen], type=pa.string()),
+                "gpart": pa.array(_gpart(grams)),
+            }
+        )
+
+    def _pairs(g: pd.DataFrame) -> pa.Table:
+        dd = g.drop_duplicates(["gram", "source"])[["gram", "source"]]
+        m = dd.merge(dd, on="gram")
+        m = m[m["source_x"] < m["source_y"]]
+        if m.empty:
+            return pa.table(
+                {"source_a": pa.array([], type=pa.string()),
+                 "source_b": pa.array([], type=pa.string()),
+                 "partial": pa.array([], type=pa.int64())}
+            )
+        vc = m.groupby(["source_x", "source_y"], sort=False).size()
+        idx = vc.index.to_frame(index=False)
+        return pa.table(
+            {
+                "source_a": pa.array(idx["source_x"], type=pa.string()),
+                "source_b": pa.array(idx["source_y"], type=pa.string()),
+                "partial": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536,
+        )
+        .repartition(_GRAM_PARTS // 4)
+        .groupby("gpart")
+        .map_groups(_pairs, batch_format="pandas")
+        # source-pair cardinality is dimension² — tiny; coalesce keeps the
+        # engine aggregate's sort ranges non-empty (heavy_hitters rule)
+        .repartition(coalesce)
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("partial", alias_name="n_shared_grams"))
+        .sort(["source_a", "source_b"])
+    )

@@ -680,6 +680,14 @@ def q_pack_sequences(sf_dir: str):
     )
 
 
+def q_source_overlap(sf_dir: str):
+    """Cross-source duplication matrix: shared distinct word-3-grams per
+    source pair (see ops.text.source_overlap)."""
+    return T.source_overlap(
+        _read(sf_dir, "documents", ["source", "text"])
+    )
+
+
 def q_weighted_sample(sf_dir: str):
     """Sequential Poisson weighted sample (Ohlsson 1998): bottom-200 by
     q = md5-u64 / n_chars — weighted WITHOUT-replacement selection whose
@@ -1419,6 +1427,7 @@ def _all_queries() -> dict:
         "group_split": q_group_split,
         "hash_sample": q_hash_sample,
         "weighted_sample": q_weighted_sample,
+        "source_overlap": q_source_overlap,
         "token_rarity": q_token_rarity,
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
@@ -1972,6 +1981,20 @@ def oracle_sql() -> dict:
             "1, 16)) AS UBIGINT)::DOUBLE / CAST(n_chars AS DOUBLE) AS q "
             "FROM documents WHERE n_chars > 0 "
             "ORDER BY q, doc_id LIMIT 200) ORDER BY doc_id"
+        ),
+        "source_overlap": (
+            # distinct (gram, source) then a self-join on gram with a < b;
+            # DISTINCT applies AFTER the unnest (row-level), matching the
+            # op's within-corpus distinct-gram-per-source semantics
+            "WITH w AS (SELECT source, string_split(text, ' ') AS l "
+            "FROM documents WHERE source IS NOT NULL), "
+            "g AS (SELECT DISTINCT source, unnest(list_transform("
+            "range(1, len(l) - 1), i -> l[i] || ' ' || l[i+1] || ' ' || "
+            "l[i+2])) AS gram FROM w WHERE len(l) >= 3) "
+            "SELECT a.source AS source_a, b.source AS source_b, "
+            "CAST(count(*) AS BIGINT) AS n_shared_grams "
+            "FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "token_rarity": (
             # integer-exact mean inverse unigram frequency; `//` floor

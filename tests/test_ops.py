@@ -2798,3 +2798,32 @@ def test_token_rarity_exact_and_join_path(ray_session):
     joined = T.token_rarity(factory, broadcast_max=0).to_pandas(
     ).sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, joined)
+
+
+def test_source_overlap_planted(ray_session):
+    """Planted cross-source duplication: sources A/B share exactly the
+    grams of one duplicated sentence; C shares nothing; within-source
+    duplication must NOT count (distinct grams per source)."""
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import text as T
+
+    dup = "alpha beta gamma delta"          # 2 trigram windows
+    rows = [
+        ("A", dup), ("A", dup),             # within-source dup: no effect
+        ("A", "only in a one two"),
+        ("B", dup + " epsilon"),            # adds 1 extra gram beyond dup's
+        ("B", "b unique text here"),
+        ("C", "totally different words entirely"),
+        ("C", None), ("A", "x y"),          # null text + <3 tokens: no-ops
+    ]
+    tbl = pa.table({"source": [r[0] for r in rows],
+                    "text": pa.array([r[1] for r in rows], pa.string())})
+    out = (
+        T.source_overlap(rd.from_arrow(tbl).repartition(3))
+        .to_pandas()
+    )
+    got = {(r.source_a, r.source_b): r.n_shared_grams
+           for r in out.itertuples()}
+    # shared grams A∩B = {"alpha beta gamma", "beta gamma delta"}
+    assert got == {("A", "B"): 2}
