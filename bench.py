@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "weighted_sample",
     "token_rarity",
     "source_overlap",
+    "unshipped_orders",
+    "weighted_sample_grouped",
     "lineitem_agg",
     "dedup_exact",
     "postings",

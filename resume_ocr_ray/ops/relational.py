@@ -3663,3 +3663,181 @@ def debounce_events(events_ds, parts: int = 64, coalesce: int = 8):
         .groupby("part")
         .map_groups(_final, batch_format="pandas")
     )
+
+
+def unshipped_orders_topk(lineitem_ds, orders_ds, customer_ds,
+                          segment: str = "BUILDING",
+                          cutoff=None, k: int = 10, parts: int = 64):
+    """TPC-H Q3-style shipping-priority query: top-``k`` orders by
+    outstanding revenue — ``segment`` customers, orders placed before
+    ``cutoff``, revenue from lineitems shipped after it. Revenue uses
+    nation_revenue's EXACT integer form (rev_e4 = cents·pct, no
+    float-sum order dependence), so the oracle hash-matches.
+
+    Shape: two chained tagged-union coarse-hash cogroups (custkey
+    semi-join re-keys qualifying orders to orderkey; orderkey join
+    attaches per-batch lineitem revenue partials), then ``topk_exact``
+    — per-block partial top-k, never a global range sort. Facts shuffle
+    at most twice, pre-aggregated; per-order Σrev_e4 is bounded by the
+    ~7-lineitem order width, far inside int64. Output
+    (o_orderkey, rev_e4, o_orderdate, o_orderpriority)."""
+    import datetime as _dt
+
+    from ..common import topk_exact
+
+    if cutoff is None:
+        cutoff = _dt.datetime(1995, 3, 15)
+    cutoff64 = np.datetime64(cutoff, "us")
+    EPOCH_SENTINEL = np.datetime64(0, "us")
+
+    # ---- cogroup 1: segment custkeys ⋉ orders, keyed on custkey --------
+    def _cust(b: pa.Table) -> pa.Table:
+        seg = b.column("c_mktsegment").to_numpy(zero_copy_only=False)
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False)[
+            seg == segment
+        ].astype(np.int64)
+        n = len(ck)
+        return pa.table(
+            {
+                "part": pa.array((ck % parts).astype(np.int32)),
+                "o_custkey": pa.array(ck),
+                "o_orderkey": pa.array(np.full(n, -1, np.int64)),
+                "o_orderdate": pa.array(
+                    np.full(n, EPOCH_SENTINEL), pa.timestamp("us")),
+                "o_orderpriority": pa.array([""] * n, pa.string()),
+                "is_cust": pa.array(np.ones(n, np.int8), pa.int8()),
+            }
+        )
+
+    def _ord(b: pa.Table) -> pa.Table:
+        od = b.column("o_orderdate").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        )
+        keep = od < cutoff64
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)[
+            keep].astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array((ck % parts).astype(np.int32)),
+                "o_custkey": pa.array(ck),
+                "o_orderkey": pa.array(
+                    b.column("o_orderkey").to_numpy(zero_copy_only=False)[
+                        keep].astype(np.int64)),
+                "o_orderdate": pa.array(od[keep], pa.timestamp("us")),
+                "o_orderpriority": pa.array(
+                    np.asarray(b.column("o_orderpriority").to_pylist(),
+                               dtype=object)[keep], pa.string()),
+                "is_cust": pa.array(np.zeros(keep.sum(), np.int8),
+                                    pa.int8()),
+            }
+        )
+
+    def _semi(g: pd.DataFrame) -> pa.Table:
+        keys = set(
+            g.loc[g["is_cust"] == 1, "o_custkey"].to_numpy(np.int64)
+        )
+        rows = g[(g["is_cust"] == 0)
+                 & g["o_custkey"].isin(keys)]
+        ok = rows["o_orderkey"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "part": pa.array((ok % parts).astype(np.int32)),
+                "o_orderkey": pa.array(ok),
+                "rev": pa.array(np.zeros(len(ok), np.int64)),
+                "o_orderdate": pa.array(
+                    rows["o_orderdate"].to_numpy("datetime64[us]"),
+                    pa.timestamp("us")),
+                "o_orderpriority": pa.array(
+                    rows["o_orderpriority"].to_numpy(object), pa.string()),
+                "is_ord": pa.array(np.ones(len(ok), np.int8), pa.int8()),
+            }
+        )
+
+    orders_q = (
+        customer_ds.map_batches(_cust, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=65536)
+        .union(orders_ds.map_batches(_ord, batch_format="pyarrow",
+                                     zero_copy_batch=True,
+                                     batch_size=65536))
+        .repartition(parts // 8)
+        .groupby("part")
+        .map_groups(_semi, batch_format="pandas")
+    )
+
+    # ---- cogroup 2: lineitem revenue partials ⋈ qualifying orders ------
+    def _li(b: pa.Table) -> pa.Table:
+        sd = b.column("l_shipdate").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        )
+        keep = sd > cutoff64
+        cents = np.rint(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+            * 100.0
+        ).astype(np.int64)
+        pct = np.rint(
+            (1.0 - b.column("l_discount").to_numpy(
+                zero_copy_only=False)[keep]) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "o_orderkey": b.column("l_orderkey").to_numpy(
+                    zero_copy_only=False)[keep].astype(np.int64),
+                "rev": cents * pct,
+            }
+        )
+        g = df.groupby("o_orderkey", as_index=False)["rev"].sum()
+        ok = g["o_orderkey"].to_numpy(np.int64)
+        n = len(ok)
+        return pa.table(
+            {
+                "part": pa.array((ok % parts).astype(np.int32)),
+                "o_orderkey": pa.array(ok),
+                "rev": pa.array(g["rev"].to_numpy(np.int64)),
+                "o_orderdate": pa.array(
+                    np.full(n, EPOCH_SENTINEL), pa.timestamp("us")),
+                "o_orderpriority": pa.array([""] * n, pa.string()),
+                "is_ord": pa.array(np.zeros(n, np.int8), pa.int8()),
+            }
+        )
+
+    def _join(g: pd.DataFrame) -> pa.Table:
+        ords = g[g["is_ord"] == 1].drop_duplicates("o_orderkey")
+        li = g[g["is_ord"] == 0]
+        if ords.empty or li.empty:
+            return pa.table(
+                {"o_orderkey": pa.array([], pa.int64()),
+                 "rev_e4": pa.array([], pa.int64()),
+                 "o_orderdate": pa.array([], pa.timestamp("us")),
+                 "o_orderpriority": pa.array([], pa.string())}
+            )
+        rv = li.groupby("o_orderkey", as_index=False)["rev"].sum()
+        m = rv.merge(
+            ords[["o_orderkey", "o_orderdate", "o_orderpriority"]],
+            on="o_orderkey",
+        )
+        return pa.table(
+            {
+                "o_orderkey": pa.array(m["o_orderkey"].to_numpy(np.int64)),
+                "rev_e4": pa.array(m["rev"].to_numpy(np.int64)),
+                "o_orderdate": pa.array(
+                    m["o_orderdate"].to_numpy("datetime64[us]"),
+                    pa.timestamp("us")),
+                "o_orderpriority": pa.array(
+                    m["o_orderpriority"].to_numpy(object), pa.string()),
+            }
+        )
+
+    joined = (
+        lineitem_ds.map_batches(_li, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=65536)
+        .union(orders_q)
+        .repartition(parts // 8)
+        .groupby("part")
+        .map_groups(_join, batch_format="pandas")
+    )
+    return topk_exact(
+        joined,
+        [("rev_e4", "descending"), ("o_orderdate", "ascending"),
+         ("o_orderkey", "ascending")],
+        k,
+    )

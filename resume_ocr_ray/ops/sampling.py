@@ -340,3 +340,61 @@ def weighted_sample_k(docs_ds, k: int = 200, weight_col: str = "n_chars"):
         .repartition(1)
         .map_batches(_merge, batch_format="pandas", batch_size=None)
     )
+
+
+def weighted_sample_k_grouped(docs_ds, k: int = 20,
+                              group_col: str = "lang",
+                              weight_col: str = "n_chars"):
+    """Per-GROUP sequential Poisson sample: bottom-k by q = u/w within
+    each group (the stratified form of ``weighted_sample_k`` — per-lang
+    weighted eval-set carving). Same bit-exact-vs-SQL argument (one IEEE
+    divide), same partial bottom-k shape per batch, with the group key in
+    the lexsort; the tree level and merge keep k per group. Output
+    (group, doc_id, weight) sorted by (group, doc_id)."""
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        w = b.column(weight_col).to_numpy(zero_copy_only=False)
+        grp = b.column(group_col).to_numpy(zero_copy_only=False)
+        pos = w > 0
+        ids, w, grp = ids[pos], w[pos], grp[pos]
+        u = np.fromiter(
+            (int(hashlib.md5(f"sps:{i}".encode()).hexdigest()[:16], 16)
+             for i in ids),
+            dtype=np.uint64, count=len(ids),
+        )
+        q = u.astype(np.float64) / w.astype(np.float64)
+        df = pd.DataFrame({group_col: grp, "doc_id": ids.astype(np.int64),
+                           weight_col: w.astype(np.int64), "q": q})
+        df = df.sort_values([group_col, "q", "doc_id"], kind="mergesort")
+        df = df.groupby(group_col, sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _retree(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values([group_col, "q", "doc_id"],
+                                       kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby(group_col, sort=False).head(k), preserve_index=False
+        )
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([group_col, "q", "doc_id"], kind="mergesort")
+        out = df.groupby(group_col, sort=False).head(k)
+        return (
+            out[[group_col, "doc_id", weight_col]]
+            .rename(columns={weight_col: "weight"})
+            .sort_values([group_col, "doc_id"])
+            .reset_index(drop=True)
+        )
+
+    return (
+        docs_ds.map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536,
+        )
+        .repartition(8)
+        .map_batches(_retree, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .repartition(1)
+        .map_batches(_merge, batch_format="pandas", batch_size=None)
+    )

@@ -680,6 +680,14 @@ def q_pack_sequences(sf_dir: str):
     )
 
 
+def q_weighted_sample_grouped(sf_dir: str):
+    """Per-lang sequential Poisson sample (stratified weighted carving;
+    see ops.sampling.weighted_sample_k_grouped)."""
+    return S.weighted_sample_k_grouped(
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]), k=20
+    )
+
+
 def q_source_overlap(sf_dir: str):
     """Cross-source duplication matrix: shared distinct word-3-grams per
     source pair (see ops.text.source_overlap)."""
@@ -1262,6 +1270,20 @@ def q_nation_revenue(sf_dir: str):
     )
 
 
+def q_unshipped_orders(sf_dir: str):
+    """TPC-H Q3-style shipping-priority top-10 (integer-exact revenue;
+    see ops.relational.unshipped_orders_topk)."""
+    return R.unshipped_orders_topk(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_extendedprice", "l_discount",
+               "l_shipdate"]),
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate",
+               "o_orderpriority"]),
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+    )
+
+
 def q_length_outliers(sf_dir: str):
     """sigmas=1 HERE because the synthetic corpus draws n_chars
     near-uniform (max deviation < 2σ — the 3σ default returns the empty
@@ -1428,6 +1450,8 @@ def _all_queries() -> dict:
         "hash_sample": q_hash_sample,
         "weighted_sample": q_weighted_sample,
         "source_overlap": q_source_overlap,
+        "weighted_sample_grouped": q_weighted_sample_grouped,
+        "unshipped_orders": q_unshipped_orders,
         "token_rarity": q_token_rarity,
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
@@ -1995,6 +2019,30 @@ def oracle_sql() -> dict:
             "CAST(count(*) AS BIGINT) AS n_shared_grams "
             "FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source "
             "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "unshipped_orders": (
+            # Q3-style: integer rev_e4 = round(price*100)*round((1-disc)
+            # *100); (rev desc, date, orderkey) is a total order
+            "SELECT o_orderkey, CAST(sum("
+            "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) "
+            "AS rev_e4, o_orderdate, o_orderpriority "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1995-03-15' "
+            "AND l_shipdate > TIMESTAMP '1995-03-15' "
+            "GROUP BY o_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY rev_e4 DESC, o_orderdate, o_orderkey LIMIT 10"
+        ),
+        "weighted_sample_grouped": (
+            "SELECT lang, doc_id, weight FROM ("
+            "SELECT lang, doc_id, n_chars AS weight, row_number() OVER ("
+            "PARTITION BY lang ORDER BY "
+            "CAST(('0x' || substr(md5('sps:' || CAST(doc_id AS VARCHAR)), "
+            "1, 16)) AS UBIGINT)::DOUBLE / CAST(n_chars AS DOUBLE), doc_id"
+            ") AS rn FROM documents WHERE n_chars > 0) "
+            "WHERE rn <= 20 ORDER BY lang, doc_id"
         ),
         "token_rarity": (
             # integer-exact mean inverse unigram frequency; `//` floor

@@ -2827,3 +2827,75 @@ def test_source_overlap_planted(ray_session):
            for r in out.itertuples()}
     # shared grams A∩B = {"alpha beta gamma", "beta gamma delta"}
     assert got == {("A", "B"): 2}
+
+
+def test_weighted_sample_grouped_per_group_k(ray_session):
+    """Per-group sequential Poisson: exactly min(k, group size) rows per
+    group, each group's selection equal to running the ungrouped sampler
+    on that group alone (the partial is group-local)."""
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import sampling as S
+
+    rng = np.random.default_rng(5)
+    n = 900
+    tbl = pa.table({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "lang": [f"l{i % 3}" for i in range(n)],
+        "n_chars": rng.integers(1, 50, n).astype(np.int64),
+    })
+    got = S.weighted_sample_k_grouped(
+        rd.from_arrow(tbl).repartition(5), k=7
+    ).to_pandas()
+    assert got.groupby("lang").size().to_dict() == {
+        "l0": 7, "l1": 7, "l2": 7}
+    for lang in ("l0", "l1", "l2"):
+        sub = tbl.to_pandas().query("lang == @lang")
+        solo = S.weighted_sample_k(
+            rd.from_arrow(pa.Table.from_pandas(sub, preserve_index=False)),
+            k=7,
+        ).to_pandas()
+        assert list(got[got["lang"] == lang]["doc_id"]) == list(
+            solo["doc_id"])
+
+
+def test_unshipped_orders_boundary_semantics(ray_session):
+    """Q3-style composite on a planted micro-warehouse: wrong-segment
+    customers, orders ON/after the cutoff, and lineitems shipped ON/
+    before the cutoff must all be excluded; revenue is the integer
+    cents*pct product."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import relational as R
+
+    C = dt.datetime(1995, 3, 15)
+    day = dt.timedelta(days=1)
+    cust = pa.table({"c_custkey": [1, 2], 
+                     "c_mktsegment": ["BUILDING", "AUTOMOBILE"]})
+    orders = pa.table({
+        "o_orderkey": [10, 11, 12, 13],
+        "o_custkey": [1, 1, 1, 2],
+        "o_orderdate": pa.array(
+            [C - day, C, C - day, C - day], pa.timestamp("us")),
+        "o_orderpriority": ["1-URGENT"] * 4,
+    })
+    li = pa.table({
+        "l_orderkey": [10, 10, 10, 11, 12, 13],
+        "l_extendedprice": [100.0, 200.0, 50.0, 10.0, 10.0, 10.0],
+        "l_discount": [0.10, 0.00, 0.05, 0.0, 0.0, 0.0],
+        "l_shipdate": pa.array(
+            [C + day, C + day, C,          # order 10: 2 qualify, 1 on-cutoff
+             C + day,                       # order 11: order ON cutoff — out
+             C - day,                       # order 12: shipped before — out
+             C + day],                      # order 13: wrong segment — out
+            pa.timestamp("us")),
+    })
+    out = R.unshipped_orders_topk(
+        rd.from_arrow(li), rd.from_arrow(orders), rd.from_arrow(cust),
+        cutoff=C, k=10, parts=8,
+    ).to_pandas()
+    assert list(out["o_orderkey"]) == [10]
+    # 100.00*0.90 → 10000*90; 200.00*1.00 → 20000*100
+    assert int(out["rev_e4"][0]) == 10000 * 90 + 20000 * 100
