@@ -368,14 +368,25 @@ def weighted_sample_k_grouped(docs_ds, k: int = 20,
                            weight_col: w.astype(np.int64), "q": q})
         df = df.sort_values([group_col, "q", "doc_id"], kind="mergesort")
         df = df.groupby(group_col, sort=False).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _typed_tbl(df)
+
+    def _typed_tbl(df: pd.DataFrame) -> pa.Table:
+        # explicit types: an ALL-FILTERED batch must not emit a null-typed
+        # group column (from_pandas on an empty object column does), which
+        # would make downstream blocks schema-heterogeneous
+        return pa.table(
+            {
+                group_col: pa.array(df[group_col], type=pa.string()),
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+                weight_col: pa.array(df[weight_col].to_numpy(np.int64)),
+                "q": pa.array(df["q"].to_numpy(np.float64)),
+            }
+        )
 
     def _retree(b: pa.Table) -> pa.Table:
         df = b.to_pandas().sort_values([group_col, "q", "doc_id"],
                                        kind="mergesort")
-        return pa.Table.from_pandas(
-            df.groupby(group_col, sort=False).head(k), preserve_index=False
-        )
+        return _typed_tbl(df.groupby(group_col, sort=False).head(k))
 
     def _merge(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([group_col, "q", "doc_id"], kind="mergesort")

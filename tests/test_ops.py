@@ -2899,3 +2899,21 @@ def test_unshipped_orders_boundary_semantics(ray_session):
     assert list(out["o_orderkey"]) == [10]
     # 100.00*0.90 → 10000*90; 200.00*1.00 → 20000*100
     assert int(out["rev_e4"][0]) == 10000 * 90 + 20000 * 100
+
+
+def test_weighted_sample_grouped_all_filtered_batch(ray_session):
+    """A batch whose every row has weight <= 0 must emit a TYPED empty
+    block (string group col), not a null-typed one that poisons the
+    union schema."""
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import sampling as S
+
+    good = pa.table({"doc_id": [1, 2], "lang": ["en", "en"],
+                     "n_chars": [5, 9]})
+    allzero = pa.table({"doc_id": [3, 4], "lang": ["de", "de"],
+                        "n_chars": [0, 0]})
+    ds = rd.from_arrow(good).union(rd.from_arrow(allzero))
+    out = S.weighted_sample_k_grouped(ds, k=5).to_pandas()
+    assert set(out["lang"]) == {"en"}
+    assert set(out["doc_id"]) == {1, 2}
