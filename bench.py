@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "weighted_sample",
     "token_rarity",
     "source_overlap",
+    "split_leakage",
     "unshipped_orders",
     "weighted_sample_grouped",
     "lineitem_agg",

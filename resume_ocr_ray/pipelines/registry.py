@@ -688,6 +688,47 @@ def q_weighted_sample_grouped(sf_dir: str):
     )
 
 
+def q_split_leakage(sf_dir: str):
+    """Train/val/test split-LEAKAGE check — shared distinct word-3-grams
+    across split boundaries, i.e. source_overlap composed over the
+    train_split hash assignment (ops.sampling.train_split +
+    ops.text.source_overlap). A nonzero (train, test) row is exactly the
+    contamination a leakage gate would alarm on; the doc-hash split makes
+    the assignment reproducible in SQL, so the lane is hash-exact.
+
+    The split is re-derived inline next to the text (the hash is
+    recomputable from doc_id — exactly why train_split stores nothing):
+    one streamed pass, no join."""
+    import hashlib as _hl
+
+    import numpy as _np
+
+    from ..ops import sampling as S_
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _assign(b):
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        h = _np.array(
+            [_hl.md5(str(i).encode()).hexdigest()[:8] for i in ids],
+            dtype=object,
+        )
+        split = _np.where(
+            h < S_.SPLIT_T_TRAIN, "train",
+            _np.where(h < S_.SPLIT_T_VAL, "val", "test"),
+        )
+        import pyarrow as _pa
+
+        return _pa.table(
+            {"source": _pa.array(split, type=_pa.string()),
+             "text": b.column("text")}
+        )
+
+    keyed = docs.map_batches(_assign, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=65536)
+    return T.source_overlap(keyed)
+
+
 def q_source_overlap(sf_dir: str):
     """Cross-source duplication matrix: shared distinct word-3-grams per
     source pair (see ops.text.source_overlap)."""
@@ -1469,6 +1510,7 @@ def _all_queries() -> dict:
         "hash_sample": q_hash_sample,
         "weighted_sample": q_weighted_sample,
         "source_overlap": q_source_overlap,
+        "split_leakage": q_split_leakage,
         "weighted_sample_grouped": q_weighted_sample_grouped,
         "unshipped_orders": q_unshipped_orders,
         "token_rarity": q_token_rarity,
@@ -2062,6 +2104,22 @@ def oracle_sql() -> dict:
             "1, 16)) AS UBIGINT)::DOUBLE / CAST(n_chars AS DOUBLE), doc_id"
             ") AS rn FROM documents WHERE n_chars > 0) "
             "WHERE rn <= 20 ORDER BY lang, doc_id"
+        ),
+        "split_leakage": (
+            "WITH s AS (SELECT CASE "
+            "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' "
+            "THEN 'train' "
+            "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' "
+            "THEN 'val' ELSE 'test' END AS source, text FROM documents), "
+            "w AS (SELECT source, string_split(text, ' ') AS l FROM s "
+            "WHERE source IS NOT NULL), "
+            "g AS (SELECT DISTINCT source, unnest(list_transform("
+            "range(1, len(l) - 1), i -> l[i] || ' ' || l[i+1] || ' ' || "
+            "l[i+2])) AS gram FROM w WHERE len(l) >= 3) "
+            "SELECT a.source AS source_a, b.source AS source_b, "
+            "CAST(count(*) AS BIGINT) AS n_shared_grams "
+            "FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "token_rarity": (
             # integer-exact mean inverse unigram frequency; `//` floor

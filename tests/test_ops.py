@@ -2917,3 +2917,43 @@ def test_weighted_sample_grouped_all_filtered_batch(ray_session):
     out = S.weighted_sample_k_grouped(ds, k=5).to_pandas()
     assert set(out["lang"]) == {"en"}
     assert set(out["doc_id"]) == {1, 2}
+
+
+def test_split_leakage_query_semantics(ray_session, tmp_path):
+    """split_leakage = source_overlap over the train_split assignment:
+    plant two docs whose md5-prefix split assignments DIFFER but whose
+    texts share a trigram — the query must surface that pair with the
+    right count."""
+    import hashlib
+
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import sampling as S
+    from resume_ocr_ray.pipelines import registry as REG
+
+    # find one train and one test doc_id under the real hash thresholds
+    train_id = test_id = None
+    for i in range(10_000):
+        h = hashlib.md5(str(i).encode()).hexdigest()[:8]
+        if h < S.SPLIT_T_TRAIN:
+            train_id = train_id if train_id is not None else i
+        elif h >= S.SPLIT_T_VAL:
+            test_id = test_id if test_id is not None else i
+        if train_id is not None and test_id is not None:
+            break
+    shared = "alpha beta gamma"
+    docs = pa.table({
+        "doc_id": pa.array([train_id, test_id], pa.int64()),
+        "text": [shared + " one", shared + " two"],
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    import pyarrow.parquet as pq
+
+    pq.write_table(docs, str(d / "documents.parquet"))
+    out = REG.queries()["split_leakage"](str(d)).to_pandas()
+    got = {(r.source_a, r.source_b): r.n_shared_grams
+           for r in out.itertuples()}
+    # shared trigrams across the boundary: "alpha beta gamma",
+    # "beta gamma one/two" differ → only the one fully-shared gram counts
+    assert got == {("test", "train"): 1}
