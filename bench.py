@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "token_rarity",
     "source_overlap",
     "split_leakage",
+    "page_size_hist",
     "unshipped_orders",
     "weighted_sample_grouped",
     "lineitem_agg",

@@ -294,3 +294,50 @@ def resize_images(media_ds, max_bytes_per_page: int = 256,
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=32, concurrency=concurrency,
     )
+
+
+def page_size_hist(media_ds, bin_bytes: int = 64):
+    """Equi-width histogram of DECODED page sizes across the whole media
+    corpus — the capacity-planning profile (batch sizing, resize budgets,
+    spill estimates) every binary-heavy pipeline computes before tuning.
+    One streamed pass: full ``decode_media`` per payload (this exercises
+    the real decode path, unlike the header-only probe), per-batch
+    (bin, n) partial counts, then a tiny bin-keyed aggregate — only
+    (int, int) pairs ever shuffle; the output is bin-cardinality.
+    Undecodable / missing payloads contribute no pages (the meta sidecar
+    flags them; the pages fact table likewise has no rows for them), so
+    the media_pages oracle matches exactly. Output
+    ``(bin, n_pages)`` ascending, bin = page_bytes // bin_bytes."""
+    from ray.data.aggregate import Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for payload in b.column("payload").to_pylist():
+            if payload is None:
+                continue
+            try:
+                doc = M.decode_media(payload)
+            except Exception:
+                continue
+            for page in doc.pages:
+                k = len(page) // bin_bytes
+                counts[k] = counts.get(k, 0) + 1
+        return pa.table(
+            {
+                "bin": pa.array(list(counts), type=pa.int64()),
+                "n": pa.array(list(counts.values()), type=pa.int64()),
+            }
+        )
+
+    return (
+        media_ds.map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=64,
+        )
+        # bin cardinality is tiny → engine aggregate with a coalesce so
+        # the sort ranges stay non-empty (heavy_hitters rule)
+        .repartition(4)
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n_pages"))
+        .sort("bin")
+    )

@@ -589,6 +589,15 @@ def q_ann_multi(sf_dir: str):
     )
 
 
+def q_page_size_hist(sf_dir: str):
+    """Decoded page-size histogram (full-decode pass; see
+    ops.multimodal.page_size_hist). Exact oracle: the media_pages fact
+    sidecar holds page_bytes per decoded page, so the histogram is
+    floor-division arithmetic in SQL."""
+    EIO.ensure_media_sidecar(sf_dir)
+    return MM.page_size_hist(_media_ds(sf_dir))
+
+
 def q_ivf_ann(sf_dir: str):
     """Rows-only (probe subset is approximate BY DESIGN): IVF ANN top-k
     — pytest pins overlap vs brute force
@@ -1511,6 +1520,7 @@ def _all_queries() -> dict:
         "weighted_sample": q_weighted_sample,
         "source_overlap": q_source_overlap,
         "split_leakage": q_split_leakage,
+        "page_size_hist": q_page_size_hist,
         "weighted_sample_grouped": q_weighted_sample_grouped,
         "unshipped_orders": q_unshipped_orders,
         "token_rarity": q_token_rarity,
@@ -1703,6 +1713,10 @@ def oracle_sql() -> dict:
             # page count, raw payload bytes
             f"SELECT media_ref, media_kind, n_pages, payload_bytes "
             f"FROM {mm_meta}"
+        ),
+        "page_size_hist": (
+            f"SELECT page_bytes // 64 AS bin, CAST(count(*) AS BIGINT) "
+            f"AS n_pages FROM {mm_pages} GROUP BY bin ORDER BY bin"
         ),
         "frame_sample": (
             # every-2nd-page sampling keeps ceil(n/2) pages; undecodable
