@@ -168,22 +168,27 @@ def q_extract_seniority(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def q_doc_stats(sf_dir: str):
+    """Per-document text statistics (chars/words/lines and friends) in one streamed pass."""
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         T.doc_stats, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
 def q_quality(sf_dir: str):
+    """Gopher/CCNet-style integer quality gates per doc (length,
+    punctuation, stopword ratios)."""
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         T.quality_score, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
 def q_dedup_exact(sf_dir: str):
+    """Exact duplicate groups by md5(text): hash-partitioned first-wins representative per digest."""
     return D.dedup_exact(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
 def q_dedup_prefix(sf_dir: str):
+    """Prefix dedup: collapse docs sharing their first 24 chars to one representative."""
     from ray.data.aggregate import Count, Min
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -208,14 +213,17 @@ def q_dedup_components(sf_dir: str):
 
 
 def q_top_docs(sf_dir: str):
+    """Global top-k docs by n_chars (partial top-k per block, no full sort)."""
     return R.top_docs(_read(sf_dir, "documents", ["doc_id", "n_chars"]))
 
 
 def q_short_docs_by_lang(sf_dir: str):
+    """Per-lang counts of short documents (threshold filter + tiny keyed aggregate)."""
     return R.short_docs_by_lang(_read(sf_dir, "documents", ["lang", "n_chars"]))
 
 
 def q_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-style status/flag aggregate over lineitem with per-batch partial combine."""
     cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
             "l_discount"]
     return R.lineitem_agg(_read(sf_dir, "lineitem", cols))
@@ -230,6 +238,7 @@ def _footer_rows(sf_dir: str, table: str) -> int:
 
 
 def q_orders_by_segment(sf_dir: str):
+    """Order counts per customer market segment (size-gated broadcast or shuffled dim join)."""
     import pyarrow.parquet as pq
 
     from .. import config as _cfg
@@ -250,24 +259,29 @@ def q_orders_by_segment(sf_dir: str):
 
 
 def q_events_hourly(sf_dir: str):
+    """Tumbling one-hour event windows: count + value sum per window."""
     return R.events_hourly(_read(sf_dir, "events", ["ts", "event_type", "value"]))
 
 
 def q_events_sliding(sf_dir: str):
+    """Sliding (hop < width) event windows: count + value sum per window start."""
     return R.events_sliding(_read(sf_dir, "events", ["ts", "event_type", "value"]))
 
 
 def q_sessionize(sf_dir: str):
+    """Gap-based sessionization: 30-min-idle session ids and spans per user."""
     return R.sessionize(_read(sf_dir, "events", ["user_id", "ts", "value"]))
 
 
 def q_grouped_topk(sf_dir: str):
+    """Per-group top-k rows by value with deterministic tiebreaks."""
     return R.grouped_topk(
         _read(sf_dir, "part", ["p_brand", "p_partkey", "p_retailprice"])
     )
 
 
 def q_asof_join(sf_dir: str):
+    """As-of (nearest earlier) join of orders to a quote timeline (size-gated broadcast/shuffled forms)."""
     import pyarrow.parquet as pq
 
     from .. import config as _cfg
@@ -290,6 +304,7 @@ def q_asof_join(sf_dir: str):
 
 
 def q_anti_join(sf_dir: str):
+    """Customers with no orders (hash-aggregate anti join)."""
     return R.anti_join_customers_orders(
         _read(sf_dir, "customer", ["c_custkey", "c_name"]),
         _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]),
@@ -297,6 +312,7 @@ def q_anti_join(sf_dir: str):
 
 
 def q_semi_join(sf_dir: str):
+    """Customers having at least one order (hash-aggregate semi join)."""
     return R.anti_join_customers_orders(
         _read(sf_dir, "customer", ["c_custkey", "c_name"]),
         _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]),
@@ -314,24 +330,29 @@ def q_grouped_p95(sf_dir: str):
 
 
 def q_group_median(sf_dir: str):
+    """Exact per-group median via value-counts combiner (percentile_cont-exact)."""
     return R.group_median(_read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]))
 
 
 def q_rollup_agg(sf_dir: str):
+    """ROLLUP multi-level aggregate (group, subtotal, grand total) in one pass."""
     cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
             "l_discount"]
     return R.rollup_agg(_read(sf_dir, "lineitem", cols))
 
 
 def q_top_terms(sf_dir: str):
+    """Per-lang top terms by document frequency."""
     return R.top_terms(_read(sf_dir, "documents", ["lang", "text"]))
 
 
 def q_ngram_jaccard(sf_dir: str):
+    """Exact character-trigram Jaccard near-dup pairs (prefix-blocked candidates, threshold-verified)."""
     return D.ngram_jaccard_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
 def q_ann_cosine(sf_dir: str):
+    """Brute-force cosine top-10 for one query vector over the embeddings table."""
     qv = SIM.query_vector(64, seed=7)
     return SIM.brute_force_topk(
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]), qv, k=10
@@ -339,6 +360,7 @@ def q_ann_cosine(sf_dir: str):
 
 
 def q_shuffle_join(sf_dir: str):
+    """Large-large cogroup shuffle join of orders to customers."""
     return R.shuffle_join_revenue(
         _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]),
         _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]),
@@ -346,28 +368,33 @@ def q_shuffle_join(sf_dir: str):
 
 
 def q_range_join(sf_dir: str):
+    """Non-equi range join: events matched into value intervals."""
     return R.range_join_bands(_read(sf_dir, "orders", ["o_totalprice"]))
 
 
 def q_window_lag(sf_dir: str):
+    """Per-user lag(): gap since previous event timestamp."""
     return R.window_lag_gaps(
         _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
     )
 
 
 def q_cosine_pairs(sf_dir: str):
+    """Exact all-pairs cosine similarity above a threshold over embeddings."""
     return SIM.cosine_pairs_exact(
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.35
     )
 
 
 def q_exact_quantile(sf_dir: str):
+    """Exact global quantiles (arbitrary p) via value-counts combiner."""
     return R.exact_quantile(
         _read(sf_dir, "lineitem", ["l_extendedprice"]), "l_extendedprice"
     )
 
 
 def q_distinct_users(sf_dir: str):
+    """Exact distinct users per event type (keyed distinct aggregate)."""
     return R.grouped_count_distinct(
         _read(sf_dir, "events", ["event_type", "user_id"]),
         group_col="event_type", value_col="user_id",
@@ -375,12 +402,14 @@ def q_distinct_users(sf_dir: str):
 
 
 def q_heavy_hitters(sf_dir: str):
+    """Misra-Gries heavy hitters with an exact verification pass."""
     from ..ops import sketch as SK
 
     return SK.heavy_hitters(_read(sf_dir, "documents", ["text"]))
 
 
 def q_bloom_semi_join(sf_dir: str):
+    """Bloom-pruned semi join: filter fact rows by a small-side membership sketch, exact verify."""
     from ..ops import sketch as SK
 
     return SK.bloom_semi_join_revenue(
@@ -419,14 +448,17 @@ def q_approx_quantile(sf_dir: str):
 
 
 def q_stratified_sample(sf_dir: str):
+    """Per-stratum fixed-rate sample by stable hash threshold."""
     return R.stratified_sample(_read(sf_dir, "documents", ["doc_id", "source"]))
 
 
 def q_distinct_langs(sf_dir: str):
+    """Exact distinct language codes in the corpus."""
     return R.distinct_langs(_read(sf_dir, "documents", ["lang"]))
 
 
 def q_point_lookup(sf_dir: str):
+    """Single-key point lookup (reference Mongo-lookup analog) with predicate pushdown."""
     return R.point_lookup(None, sf_dir, doc_id=42)
 
 
@@ -510,6 +542,7 @@ def q_embedding_dups(sf_dir: str):
 
 
 def q_lang_id(sf_dir: str):
+    """N-gram-profile language identification per document."""
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         T.LangIdStage, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
     )
@@ -527,12 +560,14 @@ def q_fingerprint(sf_dir: str):
 
 
 def q_fingerprint_md5(sf_dir: str):
+    """Winnowing fingerprint, md5 variant: minimum md5 over 8-token shingles (SQL-restatable twin of the rolling-hash form)."""
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         T.fingerprint_md5, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
 def q_bpe_tokens(sf_dir: str):
+    """BPE-ish regex token counts per document (compiled pattern, vectorized)."""
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         T.BpeTokenCounter, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
     )
@@ -583,6 +618,7 @@ ANN_MULTI_SEEDS = (7, 11, 13, 17)
 
 
 def q_ann_multi(sf_dir: str):
+    """Multi-query brute-force cosine top-10 (broadcast query matrix, one pass)."""
     qmat = np.stack([SIM.query_vector(64, seed=s) for s in ANN_MULTI_SEEDS])
     return SIM.brute_force_topk_multi(
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]), qmat, k=10
@@ -670,20 +706,24 @@ def q_extract_checkpointed(sf_dir: str):
 
 
 def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids (vector-sum combiner; round-6 oracle)."""
     return SIM.label_centroids(
         _read(sf_dir, "embeddings", ["embedding", "label"])
     )
 
 
 def q_train_split(sf_dir: str):
+    """Stable 90/5/5 train/val/test assignment from md5(doc_id) — stored nowhere, recomputable anywhere."""
     return S.train_split(_read(sf_dir, "documents", ["doc_id"]))
 
 
 def q_mixture_sample(sf_dir: str):
+    """Per-lang weighted downsampling by stable hash thresholds (data mixing)."""
     return S.mixture_sample(_read(sf_dir, "documents", ["doc_id", "lang"]))
 
 
 def q_pack_sequences(sf_dir: str):
+    """Greedy fixed-budget sequence packing, restartable at doc_id-range boundaries (recursive-CTE oracle)."""
     return S.pack_sequences(
         _read(sf_dir, "documents", ["doc_id", "n_chars"])
     )
@@ -765,20 +805,24 @@ def q_token_rarity(sf_dir: str):
 
 
 def q_hash_sample(sf_dir: str):
+    """Consistent bottom-k uniform sample by salted doc hash (merge-composable across shards)."""
     return S.hash_sample(_read(sf_dir, "documents", ["doc_id"]), k=50)
 
 
 def q_group_split(sf_dir: str):
+    """Leakage-safe split keyed on the SOURCE hash: a source never straddles splits."""
     return S.group_split(_read(sf_dir, "documents", ["doc_id", "source"]))
 
 
 def q_pivot_events(sf_dir: str):
+    """Long-to-wide pivot: per-user event-type count columns."""
     return R.pivot_events(
         _read(sf_dir, "events", ["user_id", "event_type"])
     )
 
 
 def q_length_gate(sf_dir: str):
+    """Exact-percentile document length gate (keep the middle of the distribution)."""
     return R.length_gate(
         lambda: _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
         p=0.95,
@@ -786,6 +830,7 @@ def q_length_gate(sf_dir: str):
 
 
 def q_stopword_filter(sf_dir: str):
+    """Corpus-adaptive stopword filter: global top-k terms broadcast, filtered per doc."""
     return T.stopword_filter(
         lambda: _read(sf_dir, "documents", ["doc_id", "text"]), k=20
     )
@@ -920,6 +965,7 @@ def q_cust_except(sf_dir: str):
 
 
 def q_token_explode(sf_dir: str):
+    """Tokenize-and-unnest: one (doc_id, token) row per whitespace token, multiset-exact vs SQL unnest (pure-Arrow flat_map)."""
     return T.token_explode(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
@@ -938,20 +984,24 @@ def _graph_lineitem(sf_dir: str):
 
 
 def q_triangles(sf_dir: str):
+    """Per-node triangle counts on the co-supply graph (Schank-Wagner degree-oriented wedges; triple-self-join oracle)."""
     return G.triangle_counts(_graph_lineitem(sf_dir), _GRAPH_LO, _GRAPH_HI)
 
 
 def q_cosupply_degree(sf_dir: str):
+    """Node degrees of the distinct co-supply edge set (suppliers sharing an order in the date window)."""
     return G.cosupply_degrees(_graph_lineitem(sf_dir), _GRAPH_LO, _GRAPH_HI)
 
 
 def q_neardup_families(sf_dir: str):
+    """End-to-end near-dup family selection: Jaccard pair edges -> connected components -> keep-best representative."""
     return D.neardup_families(
         lambda: _read(sf_dir, "documents", ["doc_id", "text"])
     )
 
 
 def q_profile_docs(sf_dir: str):
+    """Dataset column profiler: per-column null count + exact distinct count in one scan."""
     return R.profile_columns(
         _read(sf_dir, "documents"),
         cols=["doc_id", "text", "lang", "source", "n_chars"],
@@ -959,18 +1009,21 @@ def q_profile_docs(sf_dir: str):
 
 
 def q_link_predict(sf_dir: str):
+    """Common-neighbor link prediction: top non-edges by shared-neighbor count on the co-supply graph."""
     return G.common_neighbor_pairs(
         _graph_lineitem(sf_dir), _GRAPH_LO, _GRAPH_HI
     )
 
 
 def q_debounce(sf_dir: str):
+    """Windowed event debounce: first event per (user, type, day) under the (ts, event_id) total order."""
     return R.debounce_events(
         _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
     )
 
 
 def q_streaks(sf_dir: str):
+    """Gaps-and-islands: per-user maximal runs of consecutive active days."""
     return R.activity_streaks(_read(sf_dir, "events", ["user_id", "ts"]))
 
 
@@ -1008,38 +1061,45 @@ def q_pagerank(sf_dir: str):
 
 
 def q_gap_fill(sf_dir: str):
+    """Time-series densify: per-user day grid with zero-filled gaps between first and last activity."""
     return R.gap_fill_daily(_read(sf_dir, "events", ["user_id", "ts"]))
 
 
 def q_kendall(sf_dir: str):
+    """Per-user Kendall concordant/discordant pair counts (time order vs value rank; tau-b pair semantics)."""
     return R.kendall_concordance(
         _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
     )
 
 
 def q_mad_lang(sf_dir: str):
+    """Per-lang median absolute deviation of n_chars (two composed exact-quantile passes)."""
     return R.mad_by_lang(
         lambda: _read(sf_dir, "documents", ["lang", "n_chars"])
     )
 
 
 def q_dense_rank(sf_dir: str):
+    """Per-group dense_rank over distinct values (value-domain broadcast + searchsorted)."""
     return R.dense_rank_by_lang(
         lambda: _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
     )
 
 
 def q_cross_source(sf_dir: str):
+    """Cross-source fuzzy record linkage: trigram-Jaccard pairs gated to different sources."""
     return D.cross_source_pairs(
         _read(sf_dir, "documents", ["doc_id", "text", "source"])
     )
 
 
 def q_value_histogram(sf_dir: str):
+    """Fixed-width histogram of event values (bincount combiner; bin-cardinality shuffle)."""
     return R.value_histogram(_read(sf_dir, "events", ["value"]))
 
 
 def q_first_last(sf_dir: str):
+    """Per-user first/last event endpoints (distributive ts-extreme selection)."""
     return R.first_last_value(
         _read(sf_dir, "events", ["user_id", "ts", "value"])
     )
@@ -1096,58 +1156,68 @@ _EXT_SQL: dict = {}
 
 
 def q_domain_cap(sf_dir: str):
+    """Per-source cap: keep at most k docs per source, quality-ordered (row_number <= k)."""
     return R.domain_cap(
         _read(sf_dir, "documents", ["source", "doc_id", "n_chars"])
     )
 
 
 def q_word_rep(sf_dir: str):
+    """Gopher-style repetition gate: duplicate-word fraction per doc, integer-exact."""
     return T.repetition_gate(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
 def q_moving_max(sf_dir: str):
+    """Window-frame moving max (ROWS BETWEEN k PRECEDING) per user ordered by time."""
     return R.moving_max(
         _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
     )
 
 
 def q_trailing_count(sf_dir: str):
+    """Time-RANGE trailing count (RANGE INTERVAL PRECEDING, peer-inclusive) per user."""
     return R.trailing_window_count(
         _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     )
 
 
 def q_dedup_keep_best(sf_dir: str):
+    """Exact dedup keeping the best row per digest (packed argmax: quality then doc_id)."""
     return R.dedup_keep_best(
         _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
     )
 
 
 def q_percent_rank(sf_dir: str):
+    """Per-group percent_rank via distributed rank (range sort + per-block offset exchange)."""
     return R.percent_rank_by_lang(
         _read(sf_dir, "documents", ["lang", "doc_id", "n_chars"])
     )
 
 
 def q_ntile(sf_dir: str):
+    """Per-group NTILE bucket assignment under the shared distributed-rank pass."""
     return R.ntile_by_lang(
         _read(sf_dir, "documents", ["lang", "doc_id", "n_chars"]), k=4
     )
 
 
 def q_cube_agg(sf_dir: str):
+    """CUBE aggregate over two dimensions (all four grouping sets) in one pass."""
     cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
             "l_discount"]
     return R.cube_agg(_read(sf_dir, "lineitem", cols))
 
 
 def q_json_props(sf_dir: str):
+    """JSON property extraction from event props + integer-cents aggregate per key."""
     return R.json_props_agg(
         _read(sf_dir, "events", ["event_type", "props"])
     )
 
 
 def q_funnel(sf_dir: str):
+    """Ordered view->click->purchase funnel per user (strictly increasing step times)."""
     return R.funnel_users(
         _read(sf_dir, "events", ["user_id", "ts", "event_type"])
     )
@@ -1177,6 +1247,7 @@ def q_resize_images(sf_dir: str):
 
 
 def q_region_rollup(sf_dir: str):
+    """Star-schema rollup: order revenue cents by region name (broadcast dims)."""
     return R.region_rollup(
         _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"]),
         f"{sf_dir}/nation.parquet", f"{sf_dir}/region.parquet",
@@ -1184,12 +1255,14 @@ def q_region_rollup(sf_dir: str):
 
 
 def q_retention(sf_dir: str):
+    """Signup-cohort retention: users active k days after their cohort day."""
     return R.retention_cohorts(
         _read(sf_dir, "events", ["user_id", "ts", "event_type"])
     )
 
 
 def q_dedup_normalized(sf_dir: str):
+    """Normalized dedup: NFC + casefold + accent-strip canonical text groups."""
     return D.dedup_exact(
         _read(sf_dir, "documents", ["doc_id", "text"]),
         key_fn=D.add_norm_md5, key_col="norm_md5",
@@ -1197,24 +1270,28 @@ def q_dedup_normalized(sf_dir: str):
 
 
 def q_substring_dups(sf_dir: str):
+    """Exact 64-char substring-window dedup (rolling u64 hashes; broadcast or semi-join scale path)."""
     return D.substring_dup_docs(
         lambda: _read(sf_dir, "documents", ["doc_id", "text"])
     )
 
 
 def q_cume_dist(sf_dir: str):
+    """Per-group cumulative distribution under the shared distributed-rank pass."""
     return R.cume_dist_by_lang(
         _read(sf_dir, "documents", ["lang", "doc_id", "n_chars"])
     )
 
 
 def q_running_sum(sf_dir: str):
+    """Per-customer running balance in integer cents (window cumsum)."""
     return R.running_sum_by_user(
         _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
     )
 
 
 def q_fuzzy_pairs(sf_dir: str):
+    """Edit-distance fuzzy duplicate pairs (pair-vectorized byte Levenshtein, blocked candidates)."""
     return D.fuzzy_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
@@ -1229,12 +1306,14 @@ def q_ann_int8(sf_dir: str):
 
 
 def q_tfidf_topk(sf_dir: str):
+    """Per-doc top-k keywords by integer-exact tf*1e6//df weight (count-gated join scale path)."""
     return T.tfidf_topk(
         lambda: _read(sf_dir, "documents", ["doc_id", "text"])
     )
 
 
 def q_left_join(sf_dir: str):
+    """Large-large LEFT OUTER join preserving unmatched rows as NULLs."""
     return R.left_outer_join_customer_orders(
         _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
@@ -1242,10 +1321,12 @@ def q_left_join(sf_dir: str):
 
 
 def q_prefix_contained(sf_dir: str):
+    """Prefix-containment dedup via range sort + boundary exchange (doc fully contained in a neighbor's prefix)."""
     return D.prefix_contained(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
 def q_winsorize(sf_dir: str):
+    """Per-lang winsorize: clip n_chars to that lang's [p5, p95] (broadcast bounds)."""
     return R.winsorize(
         lambda: _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
         sf_dir,
@@ -1265,52 +1346,61 @@ def q_postings(sf_dir: str):
 
 
 def q_bigram_counts(sf_dir: str):
+    """Corpus bigram LM counts, exact global top-k."""
     return T.bigram_counts(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
 def q_cooccur(sf_dir: str):
+    """Event-type co-occurrence pair counts per user (market-basket primitive)."""
     return R.event_type_cooccurrence(
         _read(sf_dir, "events", ["user_id", "event_type"])
     )
 
 
 def q_interval_overlap(sf_dir: str):
+    """Interval-interval overlap join (sessions x promo windows)."""
     return R.interval_overlap_counts(
         _read(sf_dir, "events", ["user_id", "ts"])
     )
 
 
 def q_argmax_event(sf_dir: str):
+    """Per-user argmax-value event row (deterministic event_id tiebreak, distributive pruning)."""
     return R.argmax_event(
         _read(sf_dir, "events", ["user_id", "event_id", "value"])
     )
 
 
 def q_event_transitions(sf_dir: str):
+    """Event-type transition counts per user (lead() successor pairs; Markov primitive)."""
     return R.event_transitions(
         _read(sf_dir, "events", ["user_id", "ts", "event_type"])
     )
 
 
 def q_above_avg_orders(sf_dir: str):
+    """Correlated-subquery analog: orders above their customer's average (integer cross-multiply, no division)."""
     return R.above_avg_orders(
         _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     )
 
 
 def q_grouped_sample(sf_dir: str):
+    """Per-lang consistent bottom-k sample by salted md5 prefix (stratified holdout)."""
     return S.grouped_sample(
         _read(sf_dir, "documents", ["doc_id", "lang"]), k=10
     )
 
 
 def q_emb_argmax(sf_dir: str):
+    """Per-vector argmax dimension probe (pure comparisons, bit-exact vs list_indexof)."""
     return SIM.emb_argmax(
         _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     )
 
 
 def q_nation_revenue(sf_dir: str):
+    """TPC-H Q5-style lineitem x orders x customer x nation revenue (two chained cogroups, integer rev_e4)."""
     return R.nation_revenue(
         _read(sf_dir, "lineitem",
               ["l_orderkey", "l_extendedprice", "l_discount"]),
@@ -1346,6 +1436,7 @@ def q_length_outliers(sf_dir: str):
 
 
 def q_pareto_skyline(sf_dir: str):
+    """Pareto frontier over (value, recency): lossless per-batch frontier partials, zero shuffles."""
     return R.pareto_lineitems(
         _read(sf_dir, "lineitem",
               ["l_orderkey", "l_linenumber", "l_quantity",
@@ -1354,6 +1445,7 @@ def q_pareto_skyline(sf_dir: str):
 
 
 def q_full_outer_join(sf_dir: str):
+    """FULL OUTER customers-orders join: matched + both unmatched sides, numpy-native NULL dtypes."""
     return R.full_outer_join_customers_orders(
         _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]),
         _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]),
@@ -1361,6 +1453,7 @@ def q_full_outer_join(sf_dir: str):
 
 
 def q_group_corr(sf_dir: str):
+    """Per-group Pearson correlation, bit-exact via integer moments (hi/lo overflow-safe sums)."""
     return R.group_corr(
         _read(sf_dir, "lineitem",
               ["l_returnflag", "l_quantity", "l_extendedprice"])
@@ -1368,10 +1461,12 @@ def q_group_corr(sf_dir: str):
 
 
 def q_event_gini(sf_dir: str):
+    """Per-user Gini event-type diversity, integer-exact (where entropy ln() can't hash-match)."""
     return R.event_gini(_read(sf_dir, "events", ["user_id", "event_type"]))
 
 
 def q_event_paths(sf_dir: str):
+    """Ordered per-user event-type path string (string_agg ORDER BY ts, event_id)."""
     return R.event_paths(
         _read(sf_dir, "events", ["user_id", "ts", "event_type"])
     )
