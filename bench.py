@@ -34,6 +34,20 @@ SCALING_REPEAT = int(os.environ.get("GRAFT_SCALING_REPEAT", "8"))
 #: still ~30× cheaper than tesseract; the headline bench keeps cost 0.
 SCALING_OCR_COST_MS = os.environ.get("GRAFT_OCR_COST_MS", "3")
 
+#: keys omitted from the STDOUT json line ONLY (still benched; full map in
+#: /tmp/bench_full_queries.json). None of these ever appeared in a parsed
+#: BENCH_r{N} record (r03 predates them; r04 failed to parse), so omission
+#: costs no cross-round comparability — it buys back the byte budget that
+#: keeps the line inside the driver's 2000-byte stdout tail.
+STDOUT_OMIT = frozenset({
+    "weighted_sample", "token_rarity", "source_overlap", "split_leakage",
+    "page_size_hist", "unshipped_orders", "weighted_sample_grouped",
+    "cust_union", "first_last", "event_paths", "emb_argmax",
+    "argmax_event", "event_transitions", "event_gini", "above_avg_orders",
+    "length_outliers", "grouped_sample", "dense_rank", "mad_lang",
+    "value_histogram",
+})
+
 BENCH_QUERIES = [
     "extract_rank",
     "weighted_sample",
@@ -264,18 +278,30 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             res.to_pandas()  # consume the lazy Dataset
         queries[name] = round(time.monotonic() - t0, 3)
 
+    # The driver records only the LAST 2000 bytes of stdout and parses the
+    # JSON line out of that window (BENCH_r04 failed to parse exactly
+    # because the full 100-query map outgrew it), so the stdout line is
+    # kept under ~1900 bytes: compact values, a fixed STDOUT_OMIT set of
+    # never-cross-round-compared keys, and the FULL 3-decimal map written
+    # to /tmp/bench_full_queries.json for local tooling.
+    try:
+        with open("/tmp/bench_full_queries.json", "w") as f:
+            json.dump({"queries": queries, "store_setup_sec":
+                       round(setup_sec, 3), "analyzed": analyzed}, f)
+    except OSError:
+        pass
     out = {
-        "metric": "interleaved OCR-extraction wall time (headline) + per-query sec",
+        "metric": "headline extraction wall sec + per-query sec",
         "value": round(headline_sec, 3),
         "unit": "sec",
-        "queries": queries,
+        "queries": {k: round(v, 2) for k, v in queries.items()
+                    if k not in STDOUT_OMIT},
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / headline_sec, 2),
-        "store_setup_sec": round(setup_sec, 3),
-        "analyzed": analyzed,
-        **cpu_report,
+        "steal_pct": cpu_report["steal_pct"],
+        "busy_cores": cpu_report["busy_cores"],
     }
     ray.shutdown()
     return out
@@ -341,8 +367,9 @@ def run_scaling(sf_dir: str, lo: int = None, hi: int = None) -> dict:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling(SF_DIR)))
+        print(json.dumps(run_scaling(SF_DIR), separators=(",", ":")))
     else:
         if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
             BENCH_QUERIES = []
-        print(json.dumps(run_bench(SF_DIR, NUM_CPUS)))
+        print(json.dumps(run_bench(SF_DIR, NUM_CPUS),
+                         separators=(",", ":")))
