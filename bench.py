@@ -46,6 +46,10 @@ STDOUT_OMIT = frozenset({
     "argmax_event", "event_transitions", "event_gini", "above_avg_orders",
     "length_outliers", "grouped_sample", "dense_rank", "mad_lang",
     "value_histogram",
+    # round-5 additions: timed (full map in /tmp + BASELINE.md) but never
+    # cross-round-compared, so they don't spend stdout-window bytes
+    "big_orders", "part_supplier_counts", "small_qty_revenue",
+    "global_rich_idle",
 })
 
 BENCH_QUERIES = [
@@ -148,6 +152,10 @@ BENCH_QUERIES = [
     "streaks",
     "debounce",
     "grouped_approx_quantile",
+    "big_orders",
+    "part_supplier_counts",
+    "small_qty_revenue",
+    "global_rich_idle",
 ]
 
 

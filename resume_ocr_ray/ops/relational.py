@@ -3841,3 +3841,549 @@ def unshipped_orders_topk(lineitem_ds, orders_ds, customer_ds,
          ("o_orderkey", "ascending")],
         k,
     )
+
+
+def big_orders_topk(lineitem_ds, orders_ds, customer_ds,
+                    min_qty: int = 200, k: int = 100, parts: int = 64):
+    """TPC-H Q18-style large-volume customers: orders whose total lineitem
+    quantity exceeds ``min_qty``, with customer name, ordered by order
+    value. (Reference analog: the "which uploads were largest" audit view
+    its Mongo log supports, `app/routers/analysis.py` counters.)
+
+    Shape — the HAVING filter runs BEFORE any fact-to-fact join, which is
+    the whole 100-TB story here:
+
+    1. per-batch partial quantity sums keyed by ``l_orderkey`` (combiner:
+       one row per order per batch crosses the wire), ONE orderkey-hash
+       groupby, HAVING ``sum_qty > min_qty`` — output shrinks from
+       order-cardinality to the qualifying tail (~0.3% at min_qty=200);
+    2. tagged-union coarse-hash cogroup on orderkey attaches
+       (o_custkey, o_orderdate, price_cents) to the qualifying keys;
+    3. second cogroup on custkey attaches ``c_name``;
+    4. ``topk_exact`` on (price_cents desc, o_orderdate, o_orderkey) — a
+       total order, so no all-to-all range sort.
+
+    Quantities are integral doubles → ``rint``/int64: ``sum_qty`` is exact
+    and the HAVING threshold agrees bit-for-bit with the SQL oracle;
+    ``price_cents = round(o_totalprice·100)`` keeps the sort key integer.
+    """
+    from ..common import topk_exact
+
+    EPOCH = np.datetime64(0, "us")
+
+    # ---- stage 1: qty sums per orderkey, HAVING > min_qty --------------
+    def _liq(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        qty = np.rint(
+            b.column("l_quantity").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        g = pd.DataFrame({"o_orderkey": ok, "qty": qty}).groupby(
+            "o_orderkey", as_index=False)["qty"].sum()
+        okg = g["o_orderkey"].to_numpy(np.int64)
+        return pa.table({
+            "part": pa.array((okg % parts).astype(np.int32)),
+            "o_orderkey": pa.array(okg),
+            "qty": pa.array(g["qty"].to_numpy(np.int64)),
+        })
+
+    def _having(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby("o_orderkey", as_index=False)["qty"].sum()
+        s = s[s["qty"] > min_qty]
+        ok = s["o_orderkey"].to_numpy(np.int64)
+        n = len(ok)
+        return pa.table({
+            "part": pa.array((ok % parts).astype(np.int32)),
+            "o_orderkey": pa.array(ok),
+            "sum_qty": pa.array(s["qty"].to_numpy(np.int64)),
+            "o_custkey": pa.array(np.full(n, -1, np.int64)),
+            "o_orderdate": pa.array(np.full(n, EPOCH), pa.timestamp("us")),
+            "price_cents": pa.array(np.zeros(n, np.int64)),
+            "is_q": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    qualifying = (
+        lineitem_ds.map_batches(_liq, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=65536)
+        .repartition(parts // 8)
+        .groupby("part")
+        .map_groups(_having, batch_format="pandas")
+    )
+
+    # ---- stage 2: attach order attributes on orderkey -------------------
+    def _ord(b: pa.Table) -> pa.Table:
+        ok = b.column("o_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = len(ok)
+        return pa.table({
+            "part": pa.array((ok % parts).astype(np.int32)),
+            "o_orderkey": pa.array(ok),
+            "sum_qty": pa.array(np.zeros(n, np.int64)),
+            "o_custkey": pa.array(
+                b.column("o_custkey").to_numpy(zero_copy_only=False)
+                .astype(np.int64)),
+            "o_orderdate": pa.array(
+                b.column("o_orderdate").to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]"), pa.timestamp("us")),
+            "price_cents": pa.array(np.rint(
+                b.column("o_totalprice").to_numpy(zero_copy_only=False)
+                * 100.0).astype(np.int64)),
+            "is_q": pa.array(np.zeros(n, np.int8), pa.int8()),
+        })
+
+    def _join_orders(g: pd.DataFrame) -> pa.Table:
+        q = g[g["is_q"] == 1]
+        o = g[g["is_q"] == 0]
+        if q.empty or o.empty:
+            return pa.table({
+                "part": pa.array([], pa.int32()),
+                "c_custkey": pa.array([], pa.int64()),
+                "c_name": pa.array([], pa.string()),
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "price_cents": pa.array([], pa.int64()),
+                "sum_qty": pa.array([], pa.int64()),
+                "is_o": pa.array([], pa.int8()),
+            })
+        m = q[["o_orderkey", "sum_qty"]].merge(
+            o[["o_orderkey", "o_custkey", "o_orderdate", "price_cents"]],
+            on="o_orderkey",
+        )
+        ck = m["o_custkey"].to_numpy(np.int64)
+        return pa.table({
+            "part": pa.array((ck % parts).astype(np.int32)),
+            "c_custkey": pa.array(ck),
+            "c_name": pa.array([""] * len(ck), pa.string()),
+            "o_orderkey": pa.array(m["o_orderkey"].to_numpy(np.int64)),
+            "o_orderdate": pa.array(
+                m["o_orderdate"].to_numpy("datetime64[us]"),
+                pa.timestamp("us")),
+            "price_cents": pa.array(m["price_cents"].to_numpy(np.int64)),
+            "sum_qty": pa.array(m["sum_qty"].to_numpy(np.int64)),
+            "is_o": pa.array(np.ones(len(ck), np.int8), pa.int8()),
+        })
+
+    with_orders = (
+        qualifying.union(
+            orders_ds.map_batches(_ord, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=65536))
+        .repartition(parts // 8)
+        .groupby("part")
+        .map_groups(_join_orders, batch_format="pandas")
+    )
+
+    # ---- stage 3: attach customer name on custkey -----------------------
+    def _cust(b: pa.Table) -> pa.Table:
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = len(ck)
+        return pa.table({
+            "part": pa.array((ck % parts).astype(np.int32)),
+            "c_custkey": pa.array(ck),
+            "c_name": b.column("c_name"),
+            "o_orderkey": pa.array(np.full(n, -1, np.int64)),
+            "o_orderdate": pa.array(np.full(n, EPOCH), pa.timestamp("us")),
+            "price_cents": pa.array(np.zeros(n, np.int64)),
+            "sum_qty": pa.array(np.zeros(n, np.int64)),
+            "is_o": pa.array(np.zeros(n, np.int8), pa.int8()),
+        })
+
+    def _join_cust(g: pd.DataFrame) -> pa.Table:
+        o = g[g["is_o"] == 1]
+        c = g[g["is_o"] == 0].drop_duplicates("c_custkey")
+        if o.empty or c.empty:
+            return pa.table({
+                "c_name": pa.array([], pa.string()),
+                "c_custkey": pa.array([], pa.int64()),
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "price_cents": pa.array([], pa.int64()),
+                "sum_qty": pa.array([], pa.int64()),
+            })
+        m = o.drop(columns=["c_name"]).merge(
+            c[["c_custkey", "c_name"]], on="c_custkey")
+        return pa.table({
+            "c_name": pa.array(m["c_name"].to_numpy(object), pa.string()),
+            "c_custkey": pa.array(m["c_custkey"].to_numpy(np.int64)),
+            "o_orderkey": pa.array(m["o_orderkey"].to_numpy(np.int64)),
+            "o_orderdate": pa.array(
+                m["o_orderdate"].to_numpy("datetime64[us]"),
+                pa.timestamp("us")),
+            "price_cents": pa.array(m["price_cents"].to_numpy(np.int64)),
+            "sum_qty": pa.array(m["sum_qty"].to_numpy(np.int64)),
+        })
+
+    joined = (
+        with_orders.union(
+            customer_ds.map_batches(_cust, batch_format="pyarrow",
+                                    zero_copy_batch=True, batch_size=65536))
+        .repartition(parts // 8)
+        .groupby("part")
+        .map_groups(_join_cust, batch_format="pandas")
+    )
+    return topk_exact(
+        joined,
+        [("price_cents", "descending"), ("o_orderdate", "ascending"),
+         ("o_orderkey", "ascending")],
+        k,
+    )
+
+
+def part_supplier_counts(lineitem_ds, part_ds, parts: int = 64):
+    """TPC-H Q16-style supplier breadth per part attribute: for every
+    (p_brand, p_type, p_size), how many DISTINCT suppliers have ever
+    shipped such a part (supply-diversity / vendor-risk view).
+
+    Shape — two shuffles, both over pre-shrunk rows, which is the Q16
+    floor (the count is distinct over a key that isn't the join key):
+
+    1. per-batch DISTINCT (l_partkey, l_suppkey) combiner — duplicate
+       shipments of the same part by the same supplier never leave the
+       batch — then ONE partkey-hash cogroup against the part dim (part
+       scales with SF at TPC-H, so this is a cogroup, not a broadcast);
+    2. deterministic re-key on hash(brand|type|size) (fixed-seed
+       ``pd.util.hash_pandas_object``, process-stable), second cogroup
+       drops cross-partition (attrs, suppkey) duplicates and counts.
+
+    Output (p_brand, p_type, p_size:int32, supplier_cnt:int64), sorted by
+    (supplier_cnt desc, p_brand, p_type, p_size)."""
+    SIZE_SENTINEL = np.int32(-1)
+
+    # ---- stage 1: distinct pairs ⋈ part dim, keyed on partkey -----------
+    def _pairs(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "p_partkey": b.column("l_partkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "l_suppkey": b.column("l_suppkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+        }).drop_duplicates()
+        pk = df["p_partkey"].to_numpy(np.int64)
+        n = len(pk)
+        return pa.table({
+            "part": pa.array((pk % parts).astype(np.int32)),
+            "p_partkey": pa.array(pk),
+            "l_suppkey": pa.array(df["l_suppkey"].to_numpy(np.int64)),
+            "p_brand": pa.array([""] * n, pa.string()),
+            "p_type": pa.array([""] * n, pa.string()),
+            "p_size": pa.array(np.full(n, SIZE_SENTINEL), pa.int32()),
+            "is_dim": pa.array(np.zeros(n, np.int8), pa.int8()),
+        })
+
+    def _dim(b: pa.Table) -> pa.Table:
+        pk = b.column("p_partkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = len(pk)
+        return pa.table({
+            "part": pa.array((pk % parts).astype(np.int32)),
+            "p_partkey": pa.array(pk),
+            "l_suppkey": pa.array(np.full(n, -1, np.int64)),
+            "p_brand": b.column("p_brand"),
+            "p_type": b.column("p_type"),
+            "p_size": b.column("p_size"),
+            "is_dim": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    def _attach(g: pd.DataFrame) -> pa.Table:
+        dim = g[g["is_dim"] == 1].drop_duplicates("p_partkey")
+        pairs_df = g[g["is_dim"] == 0].drop_duplicates(
+            ["p_partkey", "l_suppkey"])
+        if dim.empty or pairs_df.empty:
+            return pa.table({
+                "gpart": pa.array([], pa.int32()),
+                "p_brand": pa.array([], pa.string()),
+                "p_type": pa.array([], pa.string()),
+                "p_size": pa.array([], pa.int32()),
+                "l_suppkey": pa.array([], pa.int64()),
+            })
+        m = pairs_df[["p_partkey", "l_suppkey"]].merge(
+            dim[["p_partkey", "p_brand", "p_type", "p_size"]],
+            on="p_partkey",
+        )
+        key = (m["p_brand"].astype(str) + "|" + m["p_type"].astype(str)
+               + "|" + m["p_size"].astype(str))
+        gp = (pd.util.hash_pandas_object(key, index=False).to_numpy()
+              % np.uint64(parts)).astype(np.int32)
+        return pa.table({
+            "gpart": pa.array(gp),
+            "p_brand": pa.array(m["p_brand"].to_numpy(object), pa.string()),
+            "p_type": pa.array(m["p_type"].to_numpy(object), pa.string()),
+            "p_size": pa.array(
+                m["p_size"].to_numpy(np.int32), pa.int32()),
+            "l_suppkey": pa.array(m["l_suppkey"].to_numpy(np.int64)),
+        })
+
+    attached = (
+        lineitem_ds.map_batches(_pairs, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=65536)
+        .union(part_ds.map_batches(_dim, batch_format="pyarrow",
+                                   zero_copy_batch=True, batch_size=65536))
+        .repartition(parts // 8)
+        .groupby("part")
+        .map_groups(_attach, batch_format="pandas")
+    )
+
+    # ---- stage 2: distinct suppliers per attribute group ----------------
+    def _count(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["p_brand", "p_type", "p_size", "l_suppkey"])
+        c = d.groupby(["p_brand", "p_type", "p_size"], as_index=False)[
+            "l_suppkey"].nunique().rename(
+                columns={"l_suppkey": "supplier_cnt"})
+        return pa.table({
+            "p_brand": pa.array(c["p_brand"].to_numpy(object), pa.string()),
+            "p_type": pa.array(c["p_type"].to_numpy(object), pa.string()),
+            "p_size": pa.array(c["p_size"].to_numpy(np.int32), pa.int32()),
+            "supplier_cnt": pa.array(
+                c["supplier_cnt"].to_numpy(np.int64)),
+        })
+
+    def _sort(t: pa.Table) -> pa.Table:
+        return t.take(pc.sort_indices(t, sort_keys=[
+            ("supplier_cnt", "descending"), ("p_brand", "ascending"),
+            ("p_type", "ascending"), ("p_size", "ascending")]))
+
+    return (
+        attached.groupby("gpart")
+        .map_groups(_count, batch_format="pandas")
+        .repartition(1)
+        .map_batches(_sort, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+    )
+
+
+def small_qty_revenue(lineitem_ds, part_ds,
+                      frac_num: int = 1, frac_den: int = 5,
+                      parts: int = 64):
+    """TPC-H Q17-style small-quantity-order revenue per brand: lineitems
+    whose quantity is below ``frac_num/frac_den`` of their part's average
+    quantity, rolled up to (p_brand, n_items, rev_cents).
+
+    Shape — ONE partkey-hash shuffle total. The correlated per-part
+    average does NOT need a separate aggregate pass: the cogroup is
+    keyed on partkey, so every detail row of a part lands in the same
+    group and (sum_qty, cnt) is computed in-group, the threshold applied,
+    and the brand attached — all in the same map_groups. The wire carries
+    only (partkey, qty, price_cents), i.e. the narrow projection, once.
+
+    The threshold is the exact rational ``frac_den·qty·cnt <
+    frac_num·sum_qty`` (quantities are integral doubles → int64), so no
+    float division exists on either side and the SQL oracle agrees
+    bit-for-bit. Overflow headroom: qty ≤ 2^6, cnt per part ≤ 2^38 before
+    the product nears 2^63 — ample at 100 TB.
+
+    Final rollup crosses only brand-cardinality partials (one row per
+    brand per group). Output (p_brand, n_items, rev_cents) sorted by
+    p_brand."""
+
+    def _detail(b: pa.Table) -> pa.Table:
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = len(pk)
+        return pa.table({
+            "part": pa.array((pk % parts).astype(np.int32)),
+            "p_partkey": pa.array(pk),
+            "qty": pa.array(np.rint(
+                b.column("l_quantity").to_numpy(zero_copy_only=False)
+            ).astype(np.int64)),
+            "price_cents": pa.array(np.rint(
+                b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+                * 100.0).astype(np.int64)),
+            "p_brand": pa.array([""] * n, pa.string()),
+            "is_dim": pa.array(np.zeros(n, np.int8), pa.int8()),
+        })
+
+    def _dim(b: pa.Table) -> pa.Table:
+        pk = b.column("p_partkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = len(pk)
+        return pa.table({
+            "part": pa.array((pk % parts).astype(np.int32)),
+            "p_partkey": pa.array(pk),
+            "qty": pa.array(np.zeros(n, np.int64)),
+            "price_cents": pa.array(np.zeros(n, np.int64)),
+            "p_brand": b.column("p_brand"),
+            "is_dim": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    def _grp(g: pd.DataFrame) -> pa.Table:
+        d = g[g["is_dim"] == 0]
+        dim = g[g["is_dim"] == 1].drop_duplicates("p_partkey")
+        if d.empty or dim.empty:
+            return pa.table({
+                "p_brand": pa.array([], pa.string()),
+                "n_items": pa.array([], pa.int64()),
+                "rev_cents": pa.array([], pa.int64()),
+            })
+        per_part = d.groupby("p_partkey")["qty"].agg(["sum", "size"])
+        per_part.columns = ["sq", "cnt"]
+        m = d.merge(per_part, left_on="p_partkey", right_index=True)
+        m = m[frac_den * m["qty"] * m["cnt"] < frac_num * m["sq"]]
+        if m.empty:
+            return pa.table({
+                "p_brand": pa.array([], pa.string()),
+                "n_items": pa.array([], pa.int64()),
+                "rev_cents": pa.array([], pa.int64()),
+            })
+        m = m[["p_partkey", "price_cents"]].merge(
+            dim[["p_partkey", "p_brand"]], on="p_partkey")
+        c = m.groupby("p_brand", as_index=False).agg(
+            n_items=("price_cents", "size"),
+            rev_cents=("price_cents", "sum"))
+        return pa.table({
+            "p_brand": pa.array(c["p_brand"].to_numpy(object), pa.string()),
+            "n_items": pa.array(c["n_items"].to_numpy(np.int64)),
+            "rev_cents": pa.array(c["rev_cents"].to_numpy(np.int64)),
+        })
+
+    def _fold_sort(df: pd.DataFrame) -> pa.Table:
+        # brand cardinality is dimension-bounded (≤ groups × brands
+        # partial rows reach this single partition), so the final fold
+        # is NOT a shuffle — a second brand-keyed groupby would range-
+        # sort a handful of keys into mostly-empty partitions (schema-
+        # less empty blocks) for no scale benefit
+        c = df.groupby("p_brand", as_index=False)[
+            ["n_items", "rev_cents"]].sum().sort_values("p_brand")
+        return pa.table({
+            "p_brand": pa.array(c["p_brand"].to_numpy(object), pa.string()),
+            "n_items": pa.array(c["n_items"].to_numpy(np.int64)),
+            "rev_cents": pa.array(c["rev_cents"].to_numpy(np.int64)),
+        })
+
+    return (
+        lineitem_ds.map_batches(_detail, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=65536)
+        .union(part_ds.map_batches(_dim, batch_format="pyarrow",
+                                   zero_copy_batch=True, batch_size=65536))
+        .repartition(parts // 8)
+        .groupby("part")
+        .map_groups(_grp, batch_format="pandas")
+        .repartition(1)
+        .map_batches(_fold_sort, batch_format="pandas", batch_size=None)
+    )
+
+
+def global_rich_idle(customer_ds_factory, orders_ds, parts: int = 64,
+                     anti_priority: str = "1-URGENT"):
+    """TPC-H Q22-style: customers whose balance beats the GLOBAL average
+    positive balance and who have placed NO ``anti_priority`` orders,
+    rolled up per nation (high-value accounts idle on the priority lane).
+    The anti-join predicate is an order-priority match rather than Q22's
+    bare existence check because the synthetic corpus gives (almost)
+    every customer at least one order — bare NOT EXISTS returns the
+    empty set at every sf, an oracle that proves nothing; the priority
+    form keeps the anti-join doing real work (937 survivors at sf0.1).
+
+    Shape — the global scalar is a 2-int aggregate, not a shuffle:
+
+    1. pass 1 over customer emits one (sum_cents, n_pos) partial row per
+       batch; ``Dataset.sum`` folds them — two int64s on the driver,
+       broadcast into the pass-2 closure (no ray.put needed at this
+       size);
+    2. pass 2 re-reads customer (factory), keeps rows by the exact
+       rational ``bal_cents·n_pos > total_cents`` (no float division —
+       the SQL oracle states the same cross-multiply), and anti-joins
+       orders via a tagged-union custkey-hash cogroup (orders side is a
+       per-batch DISTINCT custkey combiner, so at most one row per
+       custkey per batch crosses the wire);
+    3. nation rollup crosses only nation-cardinality partials.
+
+    Overflow headroom: cents ≤ 2^20, so n_pos can reach 2^43 before the
+    cross-multiply nears 2^63. Output (c_nationkey:int32, n_cust,
+    total_bal_cents) sorted by c_nationkey."""
+
+    def _scalar_partial(b: pa.Table) -> pa.Table:
+        bal = b.column("c_acctbal").to_numpy(zero_copy_only=False)
+        pos = bal > 0.0
+        cents = np.rint(bal[pos] * 100.0).astype(np.int64)
+        return pa.table({
+            "s": pa.array([int(cents.sum())], pa.int64()),
+            "n": pa.array([int(pos.sum())], pa.int64()),
+        })
+
+    agg = (
+        customer_ds_factory()
+        .map_batches(_scalar_partial, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=65536)
+        .sum(["s", "n"])
+    )
+    total_cents, n_pos = int(agg["sum(s)"]), int(agg["sum(n)"])
+
+    def _cust(b: pa.Table) -> pa.Table:
+        bal = b.column("c_acctbal").to_numpy(zero_copy_only=False)
+        cents = np.rint(bal * 100.0).astype(np.int64)
+        keep = cents * n_pos > total_cents
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)[keep]
+        return pa.table({
+            "part": pa.array((ck % parts).astype(np.int32)),
+            "c_custkey": pa.array(ck),
+            "c_nationkey": pa.array(
+                b.column("c_nationkey").to_numpy(zero_copy_only=False)
+                .astype(np.int32)[keep], pa.int32()),
+            "bal_cents": pa.array(cents[keep]),
+            "is_c": pa.array(np.ones(int(keep.sum()), np.int8), pa.int8()),
+        })
+
+    def _ord(b: pa.Table) -> pa.Table:
+        mask = pc.equal(b.column("o_orderpriority"),
+                        pa.scalar(anti_priority))
+        ck = np.unique(
+            b.filter(mask).column("o_custkey")
+            .to_numpy(zero_copy_only=False).astype(np.int64))
+        n = len(ck)
+        return pa.table({
+            "part": pa.array((ck % parts).astype(np.int32)),
+            "c_custkey": pa.array(ck),
+            "c_nationkey": pa.array(np.full(n, -1, np.int32), pa.int32()),
+            "bal_cents": pa.array(np.zeros(n, np.int64)),
+            "is_c": pa.array(np.zeros(n, np.int8), pa.int8()),
+        })
+
+    def _anti(g: pd.DataFrame) -> pa.Table:
+        c = g[g["is_c"] == 1]
+        ordered = g.loc[g["is_c"] == 0, "c_custkey"]
+        c = c[~c["c_custkey"].isin(ordered)]
+        if c.empty:
+            return pa.table({
+                "c_nationkey": pa.array([], pa.int32()),
+                "n_cust": pa.array([], pa.int64()),
+                "total_bal_cents": pa.array([], pa.int64()),
+            })
+        r = c.groupby("c_nationkey", as_index=False).agg(
+            n_cust=("bal_cents", "size"),
+            total_bal_cents=("bal_cents", "sum"))
+        return pa.table({
+            "c_nationkey": pa.array(
+                r["c_nationkey"].to_numpy(np.int32), pa.int32()),
+            "n_cust": pa.array(r["n_cust"].to_numpy(np.int64)),
+            "total_bal_cents": pa.array(
+                r["total_bal_cents"].to_numpy(np.int64)),
+        })
+
+    def _fold_sort(df: pd.DataFrame) -> pa.Table:
+        # nation cardinality is dimension-bounded (≤ groups × nations
+        # partial rows reach this single partition) — fold here instead
+        # of a second nation-keyed shuffle, which would range-sort ~25
+        # keys into mostly-empty (schema-less) partitions
+        r = df.groupby("c_nationkey", as_index=False)[
+            ["n_cust", "total_bal_cents"]].sum().sort_values("c_nationkey")
+        return pa.table({
+            "c_nationkey": pa.array(
+                r["c_nationkey"].to_numpy(np.int32), pa.int32()),
+            "n_cust": pa.array(r["n_cust"].to_numpy(np.int64)),
+            "total_bal_cents": pa.array(
+                r["total_bal_cents"].to_numpy(np.int64)),
+        })
+
+    return (
+        customer_ds_factory()
+        .map_batches(_cust, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=65536)
+        .union(orders_ds.map_batches(_ord, batch_format="pyarrow",
+                                     zero_copy_batch=True,
+                                     batch_size=65536))
+        .repartition(parts // 8)
+        .groupby("part")
+        .map_groups(_anti, batch_format="pandas")
+        .repartition(1)
+        .map_batches(_fold_sort, batch_format="pandas", batch_size=None)
+    )

@@ -1424,6 +1424,52 @@ def q_unshipped_orders(sf_dir: str):
     )
 
 
+def q_big_orders(sf_dir: str):
+    """TPC-H Q18-style large-volume customers top-100 (HAVING sum(qty)
+    pushed BEFORE both joins; see ops.relational.big_orders_topk)."""
+    return R.big_orders_topk(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]),
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]),
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+    )
+
+
+def q_part_supplier_counts(sf_dir: str):
+    """TPC-H Q16-style distinct-supplier breadth per (brand, type, size)
+    (per-batch distinct-pair combiner; see
+    ops.relational.part_supplier_counts)."""
+    return R.part_supplier_counts(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]),
+        _read(sf_dir, "part",
+              ["p_partkey", "p_brand", "p_type", "p_size"]),
+    )
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17-style small-quantity revenue per brand (exact rational
+    threshold den*qty*cnt < num*sum_qty computed IN the partkey cogroup —
+    no separate average pass; see ops.relational.small_qty_revenue)."""
+    return R.small_qty_revenue(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice"]),
+        _read(sf_dir, "part", ["p_partkey", "p_brand"]),
+    )
+
+
+def q_global_rich_idle(sf_dir: str):
+    """TPC-H Q22-style: above-global-average-balance customers with no
+    URGENT orders, per nation (2-int scalar broadcast + anti-join
+    cogroup; see ops.relational.global_rich_idle — the priority
+    predicate replaces Q22's bare NOT EXISTS, which is empty on this
+    corpus)."""
+    return R.global_rich_idle(
+        lambda: _read(sf_dir, "customer",
+                      ["c_custkey", "c_nationkey", "c_acctbal"]),
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]),
+    )
+
+
 def q_length_outliers(sf_dir: str):
     """sigmas=1 HERE because the synthetic corpus draws n_chars
     near-uniform (max deviation < 2σ — the 3σ default returns the empty
@@ -1618,6 +1664,10 @@ def _all_queries() -> dict:
         "page_size_hist": q_page_size_hist,
         "weighted_sample_grouped": q_weighted_sample_grouped,
         "unshipped_orders": q_unshipped_orders,
+        "big_orders": q_big_orders,
+        "part_supplier_counts": q_part_supplier_counts,
+        "small_qty_revenue": q_small_qty_revenue,
+        "global_rich_idle": q_global_rich_idle,
         "token_rarity": q_token_rarity,
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
@@ -2189,6 +2239,62 @@ def oracle_sql() -> dict:
             "CAST(count(*) AS BIGINT) AS n_shared_grams "
             "FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source "
             "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "big_orders": (
+            # Q18-style: sum_qty is an exact int (quantities are integral
+            # doubles); price_cents keeps the sort key integer; (price
+            # desc, date, orderkey) is a total order
+            "SELECT c_name, c_custkey, o_orderkey, o_orderdate, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, "
+            "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) "
+            "AS sum_qty "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON o_orderkey = l_orderkey "
+            "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, "
+            "o_totalprice "
+            "HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 200 "
+            "ORDER BY price_cents DESC, o_orderdate, o_orderkey LIMIT 100"
+        ),
+        "part_supplier_counts": (
+            # Q16-style: distinct suppliers per part attribute triple;
+            # the 4-column ORDER BY is a total order
+            "SELECT p_brand, p_type, p_size, "
+            "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "GROUP BY p_brand, p_type, p_size "
+            "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+        ),
+        "small_qty_revenue": (
+            # Q17-style: the threshold is the exact rational
+            # den*qty*cnt < num*sq — no float division on either side
+            "WITH pp AS (SELECT l_partkey, "
+            "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq, "
+            "CAST(count(*) AS BIGINT) AS cnt "
+            "FROM lineitem GROUP BY l_partkey) "
+            "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS rev_cents "
+            "FROM lineitem JOIN pp USING (l_partkey) "
+            "JOIN part ON p_partkey = l_partkey "
+            "WHERE 5 * CAST(round(l_quantity) AS BIGINT) * cnt < sq "
+            "GROUP BY p_brand ORDER BY p_brand"
+        ),
+        "global_rich_idle": (
+            # Q22-style: global positive-average threshold stated as the
+            # same cross-multiply the Ray side uses (cents*n > total)
+            "WITH pos AS (SELECT CAST(round(c_acctbal * 100) AS BIGINT) "
+            "AS cents FROM customer WHERE c_acctbal > 0.0), "
+            "g AS (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) AS total, "
+            "CAST(count(*) AS BIGINT) AS n FROM pos) "
+            "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust, "
+            "CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) "
+            "AS total_bal_cents "
+            "FROM customer, g "
+            "WHERE CAST(round(c_acctbal * 100) AS BIGINT) * g.n > g.total "
+            "AND NOT EXISTS (SELECT 1 FROM orders "
+            "WHERE o_custkey = c_custkey "
+            "AND o_orderpriority = '1-URGENT') "
+            "GROUP BY c_nationkey ORDER BY c_nationkey"
         ),
         "unshipped_orders": (
             # Q3-style: integer rev_e4 = round(price*100)*round((1-disc)
