@@ -4124,8 +4124,7 @@ def part_supplier_counts(lineitem_ds, part_ds, parts: int = 64):
 
     # ---- stage 2: distinct suppliers per attribute group ----------------
     def _count(g: pd.DataFrame) -> pa.Table:
-        d = g.drop_duplicates(["p_brand", "p_type", "p_size", "l_suppkey"])
-        c = d.groupby(["p_brand", "p_type", "p_size"], as_index=False)[
+        c = g.groupby(["p_brand", "p_type", "p_size"], as_index=False)[
             "l_suppkey"].nunique().rename(
                 columns={"l_suppkey": "supplier_cnt"})
         return pa.table({

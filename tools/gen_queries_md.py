@@ -1,5 +1,6 @@
 """Regenerate QUERIES.md — the query-surface index table — from
-pipelines/registry.py docstrings. Run from the repo root:
+pipelines/registry.py docstrings. Paths are anchored on this file, so it
+works from any cwd:
 
     python tools/gen_queries_md.py
 
@@ -9,8 +10,10 @@ the counts it computes."""
 
 import re
 import sys
+from pathlib import Path
 
-sys.path.insert(0, ".")
+REPO_ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO_ROOT))
 
 from resume_ocr_ray.pipelines import registry as reg  # noqa: E402
 
@@ -42,7 +45,7 @@ def main() -> None:
     for name, fn in qs.items():
         mark = "✓" if name in oracles else "○"
         lines.append(f"| `{name}` | {mark} | {_desc(fn)} |")
-    with open("QUERIES.md", "w") as f:
+    with open(REPO_ROOT / "QUERIES.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"QUERIES.md: {len(qs)} queries, {len(oracles)} oracle lanes")
 
