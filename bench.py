@@ -368,8 +368,12 @@ def run_scaling(sf_dir: str, lo: int = None, hi: int = None) -> dict:
         "sec_hi": r_hi["value"],
         "scaling_efficiency": round(eff, 3),
         "ocr_cost_ms": float(SCALING_OCR_COST_MS),
-        "cpu_lo": {k: r_lo[k] for k in ("steal_pct", "idle_pct", "busy_cores")},
-        "cpu_hi": {k: r_hi[k] for k in ("steal_pct", "idle_pct", "busy_cores")},
+        # idle_pct left the bench stdout line in the 2000-byte-tail slim;
+        # keep the scaling report tolerant of whichever keys survive
+        "cpu_lo": {k: r_lo[k] for k in ("steal_pct", "idle_pct", "busy_cores")
+                   if k in r_lo},
+        "cpu_hi": {k: r_hi[k] for k in ("steal_pct", "idle_pct", "busy_cores")
+                   if k in r_hi},
     }
 
 
