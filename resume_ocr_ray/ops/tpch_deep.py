@@ -1,0 +1,604 @@
+"""Deep multi-join TPC-H-shaped pipelines (Q7/Q10/Q14/Q19 forms) —
+the round-5 breadth set, all built on the repo's tagged-union coarse-hash
+cogroup discipline (see ops/relational.py::nation_revenue for the pattern
+proof): facts shuffle pre-aggregated and at most once per key domain, dim
+filters are pushed below the first shuffle, and revenue is the EXACT
+integer ``rev_e4 = round(price·100) · round((1−discount)·100)`` so every
+pipeline carries a bit-exact DuckDB oracle (no float-sum order
+dependence).
+
+(Reference analog: these are the audit/rollup views the reference's Mongo
+log could serve — "largest uploads", "revenue by segment" — generalized
+to the multi-table corpus; app/routers/analysis.py keeps only counters.)
+
+Overflow discipline: per-ORDER and per-CUSTOMER revenue sums stay far
+inside int64 (≤ ~2^36 at any scale — an order has bounded lines). The
+small-cardinality GLOBAL/group totals in Q7/Q14/Q19 can outgrow int64 at
+100 TB (Σrev_e4 ≈ 10^9 per item × 10^10 items), so they cross the final
+engine aggregate as (hi, lo) int64 pairs and are reassembled in Python
+bigints — the group_corr/nation_revenue overflow discipline."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..common import topk_exact
+
+_SHIFT = 31
+_MASK = (1 << _SHIFT) - 1
+
+
+def _empty(**cols) -> pa.Table:
+    """Typed 0-row Arrow table for map_groups arms (the in-group twin of
+    common.typed_empty, which wraps a Dataset): a group where one side is
+    missing must still emit the output schema or the schema dedup sees a
+    schema-less block."""
+    return pa.table({c: pa.array([], t) for c, t in cols.items()})
+
+
+def _rev_e4(b: pa.Table) -> np.ndarray:
+    """Exact integer revenue: cents × (100 − discount%)."""
+    cents = np.rint(
+        b.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+    ).astype(np.int64)
+    pct = np.rint(
+        (1.0 - b.column("l_discount").to_numpy(zero_copy_only=False))
+        * 100.0
+    ).astype(np.int64)
+    return cents * pct
+
+
+def _mod_part(keys: np.ndarray, parts: int) -> pa.Array:
+    return pa.array((keys % parts).astype(np.int32))
+
+
+def _cogroup(fact_ds, dim_ds, fn, coalesce: int):
+    """ONE coarse-hash cogroup: tagged union of two same-schema sides,
+    coalesced, then a per-partition vectorized pandas join/aggregate.
+    Exact for any per-key computation (each key lands wholly in one
+    partition)."""
+    return (
+        fact_ds.union(dim_ds)
+        .repartition(coalesce)
+        .groupby("part")
+        .map_groups(fn, batch_format="pandas")
+    )
+
+
+def returned_item_revenue(lineitem_ds, orders_ds, customer_ds, nation_ds,
+                          date_lo: str = "1996-01-01",
+                          date_hi: str = "1996-04-01", k: int = 20,
+                          parts: int = 64, coalesce: int = 8):
+    """TPC-H Q10-style returned-item loss report: top-``k`` customers by
+    exact integer revenue of their RETURNED lineitems (``l_returnflag =
+    'R'``) on orders placed in ``[date_lo, date_hi)``, with customer
+    attributes and nation name.
+
+    Shape — returnflag filter below the first shuffle, date filter at the
+    orders read; orderkey → custkey cogroup chain with per-key
+    pre-aggregation; the 25-row nation dim is ONE driver fetch +
+    ``ray.put`` broadcast (dim-cardinality bound); ``topk_exact`` on
+    (rev desc, c_custkey) — a total order.
+
+    Output: (c_custkey, c_name, nation, c_acctbal, revenue_e4)."""
+    import ray
+
+    from ..common import cached_broadcast
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    def _li(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("l_returnflag"), pa.scalar("R")))
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"o_orderkey": ok, "rev": _rev_e4(b)}).groupby(
+            "o_orderkey", as_index=False)["rev"].sum()
+        okg = g["o_orderkey"].to_numpy(np.int64)
+        return pa.table({
+            "part": _mod_part(okg, parts),
+            "o_orderkey": pa.array(okg),
+            "rev": pa.array(g["rev"].to_numpy(np.int64)),
+            "o_custkey": pa.array(np.full(len(okg), -1, np.int64)),
+        })
+
+    def _ord(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate")
+        b = b.filter(pc.and_(
+            pc.greater_equal(d, pa.scalar(lo, pa.timestamp("us"))),
+            pc.less(d, pa.scalar(hi, pa.timestamp("us"))),
+        ))
+        ok = b.column("o_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return pa.table({
+            "part": _mod_part(ok, parts),
+            "o_orderkey": pa.array(ok),
+            "rev": pa.array(np.zeros(len(ok), np.int64)),
+            "o_custkey": pc.cast(b.column("o_custkey"), pa.int64()),
+        })
+
+    def _join_ok(g: pd.DataFrame) -> pa.Table:
+        li = g[g["o_custkey"] == -1]
+        od = g[g["o_custkey"] != -1]
+        m = li.merge(od[["o_orderkey", "o_custkey"]], on="o_orderkey",
+                     how="inner", suffixes=("", "_o"))
+        out = m.groupby("o_custkey_o", as_index=False)["rev"].sum()
+        ck = out["o_custkey_o"].to_numpy(np.int64)
+        n = len(ck)
+        return pa.table({
+            "part": _mod_part(ck, parts),
+            "c_custkey": pa.array(ck),
+            "rev": pa.array(out["rev"].to_numpy(np.int64)),
+            "c_name": pa.array([""] * n, pa.string()),
+            "c_acctbal": pa.array(np.zeros(n, np.float64)),
+            "c_nationkey": pa.array(np.full(n, -1, np.int64)),
+            "is_dim": pa.array(np.zeros(n, np.int8), pa.int8()),
+        })
+
+    def _cust(b: pa.Table) -> pa.Table:
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = len(ck)
+        return pa.table({
+            "part": _mod_part(ck, parts),
+            "c_custkey": pa.array(ck),
+            "rev": pa.array(np.zeros(n, np.int64)),
+            "c_name": b.column("c_name"),
+            "c_acctbal": pc.cast(b.column("c_acctbal"), pa.float64()),
+            "c_nationkey": pc.cast(b.column("c_nationkey"), pa.int64()),
+            "is_dim": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    def _join_ck(g: pd.DataFrame) -> pa.Table:
+        fact = g[g["is_dim"] == 0]
+        dim = g[g["is_dim"] == 1].drop_duplicates("c_custkey")
+        agg = fact.groupby("c_custkey", as_index=False)["rev"].sum()
+        m = agg.merge(
+            dim[["c_custkey", "c_name", "c_acctbal", "c_nationkey"]],
+            on="c_custkey", how="inner")
+        if m.empty:
+            return _empty(
+                c_custkey=pa.int64(), c_name=pa.string(),
+                c_acctbal=pa.float64(), c_nationkey=pa.int64(),
+                revenue_e4=pa.int64())
+        return pa.table({
+            "c_custkey": pa.array(m["c_custkey"].to_numpy(np.int64)),
+            "c_name": pa.array(m["c_name"].astype(str).tolist(),
+                               pa.string()),
+            "c_acctbal": pa.array(m["c_acctbal"].to_numpy(np.float64)),
+            "c_nationkey": pa.array(
+                m["c_nationkey"].to_numpy(np.int64)),
+            "revenue_e4": pa.array(m["rev"].to_numpy(np.int64)),
+        })
+
+    li_side = lineitem_ds.map_batches(
+        _li, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+    ord_side = orders_ds.map_batches(
+        _ord, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+    keyed_ck = _cogroup(li_side, ord_side, _join_ok, coalesce)
+    cust_side = customer_ds.map_batches(
+        _cust, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+    per_cust = _cogroup(keyed_ck, cust_side, _join_ck, coalesce)
+
+    # 25 rows — dim-cardinality bound justifying the driver fetch
+    ndf = nation_ds.select_columns(["n_nationkey", "n_name"]).to_pandas()
+    names_ref = ray.put({
+        int(k_): str(v) for k_, v in zip(ndf["n_nationkey"],
+                                         ndf["n_name"])
+    })
+
+    def _name(b: pa.Table) -> pa.Table:
+        nm = cached_broadcast(names_ref)
+        nk = b.column("c_nationkey").to_pylist()
+        return pa.table({
+            "c_custkey": b.column("c_custkey"),
+            "c_name": b.column("c_name"),
+            "nation": pa.array([nm[int(x)] for x in nk], pa.string()),
+            "c_acctbal": b.column("c_acctbal"),
+            "revenue_e4": b.column("revenue_e4"),
+        })
+
+    return topk_exact(
+        per_cust.map_batches(_name, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=65536),
+        [("revenue_e4", "descending"), ("c_custkey", "ascending")],
+        k,
+    )
+
+
+def volume_shipping(lineitem_ds, orders_ds, customer_ds, supplier_ds,
+                    nation_ds, nation_a: str = "NATION_1",
+                    nation_b: str = "NATION_2",
+                    parts: int = 64, coalesce: int = 8):
+    """TPC-H Q7-style volume shipping: exact integer revenue between two
+    nations per (supplier nation, customer nation, ship year) —
+    cross-border trade in BOTH directions.
+
+    Shape — the nation-pair filter is pushed to BOTH dim reads (the
+    25-row nation dim resolves names → keys in one driver fetch, then
+    supplier and customer sides filter to the two keys before their
+    shuffles); three key domains chain (suppkey → orderkey → custkey),
+    each a tagged-union cogroup with (orderkey, year) pre-aggregation;
+    final group cardinality is 2 directions × years, so per-group sums
+    cross the engine aggregate as (hi, lo) int64 pairs (Σrev_e4 outgrows
+    int64 past ~10^9 lineitems — nation_revenue discipline).
+
+    Output: (supp_nation, cust_nation, l_year, revenue_e4) sorted by the
+    three keys."""
+    import ray
+
+    from ..common import cached_broadcast
+
+    ndf = nation_ds.select_columns(["n_nationkey", "n_name"]).to_pandas()
+    key_of = {str(v): int(k_) for k_, v in zip(ndf["n_nationkey"],
+                                               ndf["n_name"])}
+    name_of = {v: k_ for k_, v in key_of.items()}
+    ka, kb = key_of[nation_a], key_of[nation_b]
+    pair_keys = np.array([ka, kb], dtype=np.int64)
+    names_ref = ray.put(name_of)
+
+    def _li(b: pa.Table) -> pa.Table:
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        year = b.column("l_shipdate").to_numpy(
+            zero_copy_only=False).astype("datetime64[Y]").astype(
+            np.int64) + 1970
+        g = pd.DataFrame({
+            "l_suppkey": sk,
+            "o_orderkey": b.column("l_orderkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "l_year": year,
+            "rev": _rev_e4(b),
+        }).groupby(["l_suppkey", "o_orderkey", "l_year"],
+                   as_index=False)["rev"].sum()
+        skg = g["l_suppkey"].to_numpy(np.int64)
+        return pa.table({
+            "part": _mod_part(skg, parts),
+            "l_suppkey": pa.array(skg),
+            "o_orderkey": pa.array(g["o_orderkey"].to_numpy(np.int64)),
+            "l_year": pa.array(g["l_year"].to_numpy(np.int64)),
+            "rev": pa.array(g["rev"].to_numpy(np.int64)),
+            "s_nat": pa.array(np.full(len(skg), -1, np.int64)),
+        })
+
+    def _supp(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b.column("s_nationkey"),
+                              value_set=pa.array(pair_keys)))
+        sk = b.column("s_suppkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = len(sk)
+        return pa.table({
+            "part": _mod_part(sk, parts),
+            "l_suppkey": pa.array(sk),
+            "o_orderkey": pa.array(np.zeros(n, np.int64)),
+            "l_year": pa.array(np.zeros(n, np.int64)),
+            "rev": pa.array(np.zeros(n, np.int64)),
+            "s_nat": pc.cast(b.column("s_nationkey"), pa.int64()),
+        })
+
+    def _join_sk(g: pd.DataFrame) -> pa.Table:
+        fact = g[g["s_nat"] == -1]
+        dim = g[g["s_nat"] != -1].drop_duplicates("l_suppkey")
+        m = fact.merge(dim[["l_suppkey", "s_nat"]], on="l_suppkey",
+                       how="inner", suffixes=("", "_d"))
+        out = m.groupby(["o_orderkey", "l_year", "s_nat_d"],
+                        as_index=False)["rev"].sum()
+        ok = out["o_orderkey"].to_numpy(np.int64)
+        n = len(ok)
+        return pa.table({
+            "part": _mod_part(ok, parts),
+            "o_orderkey": pa.array(ok),
+            "l_year": pa.array(out["l_year"].to_numpy(np.int64)),
+            "s_nat": pa.array(out["s_nat_d"].to_numpy(np.int64)),
+            "rev": pa.array(out["rev"].to_numpy(np.int64)),
+            "o_custkey": pa.array(np.full(n, -1, np.int64)),
+        })
+
+    def _ord(b: pa.Table) -> pa.Table:
+        ok = b.column("o_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = len(ok)
+        return pa.table({
+            "part": _mod_part(ok, parts),
+            "o_orderkey": pa.array(ok),
+            "l_year": pa.array(np.zeros(n, np.int64)),
+            "s_nat": pa.array(np.zeros(n, np.int64)),
+            "rev": pa.array(np.zeros(n, np.int64)),
+            "o_custkey": pc.cast(b.column("o_custkey"), pa.int64()),
+        })
+
+    def _join_ok(g: pd.DataFrame) -> pa.Table:
+        fact = g[g["o_custkey"] == -1]
+        od = g[g["o_custkey"] != -1].drop_duplicates("o_orderkey")
+        m = fact.merge(od[["o_orderkey", "o_custkey"]], on="o_orderkey",
+                       how="inner", suffixes=("", "_o"))
+        out = m.groupby(["o_custkey_o", "l_year", "s_nat"],
+                        as_index=False)["rev"].sum()
+        ck = out["o_custkey_o"].to_numpy(np.int64)
+        n = len(ck)
+        return pa.table({
+            "part": _mod_part(ck, parts),
+            "c_custkey": pa.array(ck),
+            "l_year": pa.array(out["l_year"].to_numpy(np.int64)),
+            "s_nat": pa.array(out["s_nat"].to_numpy(np.int64)),
+            "rev": pa.array(out["rev"].to_numpy(np.int64)),
+            "c_nat": pa.array(np.full(n, -1, np.int64)),
+        })
+
+    def _cust(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b.column("c_nationkey"),
+                              value_set=pa.array(pair_keys)))
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = len(ck)
+        return pa.table({
+            "part": _mod_part(ck, parts),
+            "c_custkey": pa.array(ck),
+            "l_year": pa.array(np.zeros(n, np.int64)),
+            "s_nat": pa.array(np.zeros(n, np.int64)),
+            "rev": pa.array(np.zeros(n, np.int64)),
+            "c_nat": pc.cast(b.column("c_nationkey"), pa.int64()),
+        })
+
+    def _join_ck(g: pd.DataFrame) -> pa.Table:
+        fact = g[g["c_nat"] == -1]
+        dim = g[g["c_nat"] != -1].drop_duplicates("c_custkey")
+        m = fact.merge(dim[["c_custkey", "c_nat"]], on="c_custkey",
+                       how="inner", suffixes=("", "_d"))
+        # cross-border only: (a→b) or (b→a), never domestic
+        m = m[m["s_nat"] != m["c_nat_d"]]
+        out = m.groupby(["s_nat", "c_nat_d", "l_year"],
+                        as_index=False)["rev"].sum()
+        if out.empty:
+            return _empty(s_nat=pa.int64(), c_nat=pa.int64(),
+                          l_year=pa.int64(), rev_hi=pa.int64(),
+                          rev_lo=pa.int64())
+        rev = out["rev"].to_numpy(np.int64)
+        return pa.table({
+            "s_nat": pa.array(out["s_nat"].to_numpy(np.int64)),
+            "c_nat": pa.array(out["c_nat_d"].to_numpy(np.int64)),
+            "l_year": pa.array(out["l_year"].to_numpy(np.int64)),
+            "rev_hi": pa.array(rev >> _SHIFT),
+            "rev_lo": pa.array(rev & _MASK),
+        })
+
+    li_side = lineitem_ds.map_batches(
+        _li, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+    supp_side = supplier_ds.map_batches(
+        _supp, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+    keyed_ok = _cogroup(li_side, supp_side, _join_sk, coalesce)
+    ord_side = orders_ds.map_batches(
+        _ord, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+    keyed_ck = _cogroup(keyed_ok, ord_side, _join_ok, coalesce)
+    cust_side = customer_ds.map_batches(
+        _cust, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+    # materialize is directions × years × partitions rows — sketch-sized;
+    # the count guard keeps a no-cross-border corpus TYPED (an engine
+    # aggregate over zero rows loses the schema)
+    pairs = _cogroup(keyed_ck, cust_side, _join_ck, coalesce).materialize()
+    if pairs.count() == 0:
+        from ..common import typed_empty
+
+        return typed_empty(supp_nation=pa.string(),
+                           cust_nation=pa.string(),
+                           l_year=pa.int64(), revenue_e4=pa.int64())
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        nm = cached_broadcast(names_ref)
+        rev = [(int(h) << _SHIFT) + int(lo)
+               for h, lo in zip(df["rev_hi"], df["rev_lo"])]
+        out = pd.DataFrame({
+            "supp_nation": [nm[int(x)] for x in df["s_nat"]],
+            "cust_nation": [nm[int(x)] for x in df["c_nat"]],
+            "l_year": df["l_year"].to_numpy(np.int64),
+            "revenue_e4": np.array(rev, dtype=np.int64),
+        })
+        return out.sort_values(
+            ["supp_nation", "cust_nation", "l_year"]).reset_index(
+            drop=True)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        # 2 directions × ~7 years of group keys — coalesce to 2 lanes so
+        # boundary sampling never manufactures schema-less empty ranges
+        pairs.repartition(2)
+        .groupby(["s_nat", "c_nat", "l_year"])
+        .aggregate(Sum("rev_hi", alias_name="rev_hi"),
+                   Sum("rev_lo", alias_name="rev_lo"))
+        .map_batches(_finish, batch_format="pandas", batch_size=None)
+    )
+
+
+def promo_revenue(lineitem_ds, part_ds, date_lo: str = "1996-09-01",
+                  date_hi: str = "1996-10-01",
+                  parts: int = 64, coalesce: int = 8):
+    """TPC-H Q14-style promotion effect: one row — the month's PROMO-part
+    revenue, total revenue, and promo share percent.
+
+    Shape — month filter at the lineitem read side, per-(partkey)
+    pre-aggregation before the ONE partkey-hash cogroup against the part
+    dim (scale-safe: part is NOT broadcast), per-group (hi, lo) partial
+    sums, and a single-row driver fold (two Python bigints → int64 +
+    one double division, the same IEEE shape the oracle evaluates).
+
+    Output: (promo_rev_e4, total_rev_e4, promo_pct)."""
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    def _li(b: pa.Table) -> pa.Table:
+        d = b.column("l_shipdate")
+        b = b.filter(pc.and_(
+            pc.greater_equal(d, pa.scalar(lo, pa.timestamp("us"))),
+            pc.less(d, pa.scalar(hi, pa.timestamp("us"))),
+        ))
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        g = pd.DataFrame({"p_partkey": pk, "rev": _rev_e4(b)}).groupby(
+            "p_partkey", as_index=False)["rev"].sum()
+        pkg = g["p_partkey"].to_numpy(np.int64)
+        return pa.table({
+            "part": _mod_part(pkg, parts),
+            "p_partkey": pa.array(pkg),
+            "rev": pa.array(g["rev"].to_numpy(np.int64)),
+            "is_promo": pa.array(np.full(len(pkg), -1, np.int8),
+                                 pa.int8()),
+        })
+
+    def _dim(b: pa.Table) -> pa.Table:
+        pk = b.column("p_partkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        promo = pc.equal(b.column("p_type"), pa.scalar("PROMO"))
+        return pa.table({
+            "part": _mod_part(pk, parts),
+            "p_partkey": pa.array(pk),
+            "rev": pa.array(np.zeros(len(pk), np.int64)),
+            "is_promo": pc.cast(promo, pa.int8()),
+        })
+
+    def _grp(g: pd.DataFrame) -> pa.Table:
+        fact = g[g["is_promo"] == -1]
+        dim = g[g["is_promo"] != -1].drop_duplicates("p_partkey")
+        m = fact.merge(dim[["p_partkey", "is_promo"]], on="p_partkey",
+                       how="inner", suffixes=("", "_d"))
+        rev = m["rev"].to_numpy(np.int64)
+        promo = rev[(m["is_promo_d"] == 1).to_numpy()]
+        p, t = int(promo.sum()), int(rev.sum())
+        return pa.table({
+            "p_hi": pa.array([p >> _SHIFT], pa.int64()),
+            "p_lo": pa.array([p & _MASK], pa.int64()),
+            "t_hi": pa.array([t >> _SHIFT], pa.int64()),
+            "t_lo": pa.array([t & _MASK], pa.int64()),
+        })
+
+    li_side = lineitem_ds.map_batches(
+        _li, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+    dim_side = part_ds.map_batches(
+        _dim, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+    partials = _cogroup(li_side, dim_side, _grp, coalesce).to_pandas()
+    # ≤ one row per cogroup partition — sketch-sized, never rows
+    p = (int(partials["p_hi"].sum()) << _SHIFT) + int(
+        partials["p_lo"].sum())
+    t = (int(partials["t_hi"].sum()) << _SHIFT) + int(
+        partials["t_lo"].sum())
+    pct = 100.0 * float(p) / float(t) if t else 0.0
+    out = pa.table({
+        "promo_rev_e4": pa.array([p], pa.int64()),
+        "total_rev_e4": pa.array([t], pa.int64()),
+        "promo_pct": pa.array([pct], pa.float64()),
+    })
+    import ray.data as rd
+
+    return rd.from_arrow(out)
+
+
+def disjunctive_revenue(lineitem_ds, part_ds,
+                        parts: int = 64, coalesce: int = 8):
+    """TPC-H Q19-style disjunctive-predicate revenue: one row — exact
+    integer revenue + item count over an OR of three (brand, size-range,
+    quantity-range) conjunctions (the classic "predicate needs BOTH
+    tables" join no filter can fully push down).
+
+    Branches (adapted to this corpus's dims):
+      Brand#12, 1 ≤ p_size ≤  5,  1 ≤ l_quantity ≤ 11
+      Brand#23, 1 ≤ p_size ≤ 10, 10 ≤ l_quantity ≤ 20
+      Brand#3,  1 ≤ p_size ≤ 15, 20 ≤ l_quantity ≤ 30
+
+    Shape — quantity is pre-filtered to the UNION of branch ranges below
+    the shuffle and collapsed to (partkey, qty) partials (quantities are
+    integral 1..50, so duplicates fold); ONE partkey-hash cogroup joins
+    the part dim, evaluates the disjunction vectorized, and emits (hi,
+    lo) partials; single-row driver fold. Output: (revenue_e4,
+    n_items)."""
+    BR = [("Brand#12", 1, 5, 1, 11),
+          ("Brand#23", 1, 10, 10, 20),
+          ("Brand#3", 1, 15, 20, 30)]
+    qty_lo = min(b[3] for b in BR)
+    qty_hi = max(b[4] for b in BR)
+
+    def _li(b: pa.Table) -> pa.Table:
+        qty = np.rint(
+            b.column("l_quantity").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        keep = (qty >= qty_lo) & (qty <= qty_hi)
+        pk = b.column("l_partkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)[keep]
+        g = pd.DataFrame({
+            "p_partkey": pk, "qty": qty[keep],
+            "rev": _rev_e4(b)[keep],
+            "cnt": np.ones(len(pk), np.int64),
+        }).groupby(["p_partkey", "qty"], as_index=False).agg(
+            rev=("rev", "sum"), cnt=("cnt", "sum"))
+        pkg = g["p_partkey"].to_numpy(np.int64)
+        n = len(pkg)
+        return pa.table({
+            "part": _mod_part(pkg, parts),
+            "p_partkey": pa.array(pkg),
+            "qty": pa.array(g["qty"].to_numpy(np.int64)),
+            "rev": pa.array(g["rev"].to_numpy(np.int64)),
+            "cnt": pa.array(g["cnt"].to_numpy(np.int64)),
+            "p_brand": pa.array([""] * n, pa.string()),
+            "p_size": pa.array(np.full(n, -1, np.int64)),
+        })
+
+    def _dim(b: pa.Table) -> pa.Table:
+        pk = b.column("p_partkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = len(pk)
+        return pa.table({
+            "part": _mod_part(pk, parts),
+            "p_partkey": pa.array(pk),
+            "qty": pa.array(np.zeros(n, np.int64)),
+            "rev": pa.array(np.zeros(n, np.int64)),
+            "cnt": pa.array(np.zeros(n, np.int64)),
+            "p_brand": b.column("p_brand"),
+            "p_size": pc.cast(b.column("p_size"), pa.int64()),
+        })
+
+    def _grp(g: pd.DataFrame) -> pa.Table:
+        fact = g[g["p_size"] == -1]
+        dim = g[g["p_size"] != -1].drop_duplicates("p_partkey")
+        m = fact.merge(dim[["p_partkey", "p_brand", "p_size"]],
+                       on="p_partkey", how="inner", suffixes=("", "_d"))
+        qty = m["qty"].to_numpy(np.int64)
+        size = m["p_size_d"].to_numpy(np.int64)
+        brand = m["p_brand_d"].to_numpy(object)
+        keep = np.zeros(len(m), dtype=bool)
+        for br, s_lo, s_hi, q_lo, q_hi in BR:
+            keep |= ((brand == br) & (size >= s_lo) & (size <= s_hi)
+                     & (qty >= q_lo) & (qty <= q_hi))
+        rev = int(m["rev"].to_numpy(np.int64)[keep].sum())
+        cnt = int(m["cnt"].to_numpy(np.int64)[keep].sum())
+        return pa.table({
+            "r_hi": pa.array([rev >> _SHIFT], pa.int64()),
+            "r_lo": pa.array([rev & _MASK], pa.int64()),
+            "cnt": pa.array([cnt], pa.int64()),
+        })
+
+    li_side = lineitem_ds.map_batches(
+        _li, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+    dim_side = part_ds.map_batches(
+        _dim, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+    partials = _cogroup(li_side, dim_side, _grp, coalesce).to_pandas()
+    rev = (int(partials["r_hi"].sum()) << _SHIFT) + int(
+        partials["r_lo"].sum())
+    out = pa.table({
+        "revenue_e4": pa.array([rev], pa.int64()),
+        "n_items": pa.array([int(partials["cnt"].sum())], pa.int64()),
+    })
+    import ray.data as rd
+
+    return rd.from_arrow(out)

@@ -28,6 +28,7 @@ from ..ops import relational as R
 from ..ops import sampling as S
 from ..ops import similarity as SIM
 from ..ops import text as T
+from ..ops import tpch_deep as TD
 
 DEFAULT_QUERY = "python spark backend docker dados"
 
@@ -1470,6 +1471,63 @@ def q_global_rich_idle(sf_dir: str):
     )
 
 
+def q_returned_revenue(sf_dir: str):
+    """TPC-H Q10-style top-20 customers by returned-item revenue in a
+    3-month order window, with nation name (orderkey → custkey cogroups,
+    25-row nation broadcast; see ops.tpch_deep.returned_item_revenue)."""
+    return TD.returned_item_revenue(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_extendedprice", "l_discount",
+               "l_returnflag"]),
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                 "o_orderdate"]),
+        _read(sf_dir, "customer",
+              ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]),
+        _read(sf_dir, "nation", ["n_nationkey", "n_name"]),
+    )
+
+
+def q_volume_shipping(sf_dir: str):
+    """TPC-H Q7-style cross-border revenue between NATION_1 and NATION_2
+    per (supplier nation, customer nation, ship year) — three chained
+    cogroups, nation-pair filter pushed to both dim reads; see
+    ops.tpch_deep.volume_shipping."""
+    return TD.volume_shipping(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_extendedprice",
+               "l_discount", "l_shipdate"]),
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        _read(sf_dir, "nation", ["n_nationkey", "n_name"]),
+    )
+
+
+def q_promo_revenue(sf_dir: str):
+    """TPC-H Q14-style September-1996 promo revenue share (one partkey
+    cogroup, (hi,lo) overflow-safe partials, single-row fold; see
+    ops.tpch_deep.promo_revenue)."""
+    return TD.promo_revenue(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_extendedprice", "l_discount",
+               "l_shipdate"]),
+        _read(sf_dir, "part", ["p_partkey", "p_type"]),
+    )
+
+
+def q_disjunct_revenue(sf_dir: str):
+    """TPC-H Q19-style disjunctive brand/size/quantity revenue (quantity
+    pre-filter to the branch-range union below the shuffle, (partkey,
+    qty) partial collapse, one partkey cogroup; see
+    ops.tpch_deep.disjunctive_revenue)."""
+    return TD.disjunctive_revenue(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice",
+               "l_discount"]),
+        _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]),
+    )
+
+
 def q_length_outliers(sf_dir: str):
     """sigmas=1 HERE because the synthetic corpus draws n_chars
     near-uniform (max deviation < 2σ — the 3σ default returns the empty
@@ -1668,6 +1726,11 @@ def _all_queries() -> dict:
         "part_supplier_counts": q_part_supplier_counts,
         "small_qty_revenue": q_small_qty_revenue,
         "global_rich_idle": q_global_rich_idle,
+        # round-5 deep multi-join forms (ops/tpch_deep.py)
+        "returned_revenue": q_returned_revenue,
+        "volume_shipping": q_volume_shipping,
+        "promo_revenue": q_promo_revenue,
+        "disjunct_revenue": q_disjunct_revenue,
         "token_rarity": q_token_rarity,
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
@@ -2295,6 +2358,79 @@ def oracle_sql() -> dict:
             "WHERE o_custkey = c_custkey "
             "AND o_orderpriority = '1-URGENT') "
             "GROUP BY c_nationkey ORDER BY c_nationkey"
+        ),
+        "returned_revenue": (
+            # Q10-style: exact integer revenue of returned lineitems per
+            # customer in a 3-month order window; (rev desc, custkey) is
+            # a total order — ops/tpch_deep.py::returned_item_revenue
+            "SELECT c.c_custkey, c.c_name, n.n_name AS nation, "
+            "c.c_acctbal, CAST(sum("
+            "CAST(round(l_extendedprice * 100) AS HUGEINT) * "
+            "CAST(round((1 - l_discount) * 100) AS HUGEINT)) AS BIGINT) "
+            "AS revenue_e4 "
+            "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "WHERE l.l_returnflag = 'R' "
+            "AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o.o_orderdate < TIMESTAMP '1996-04-01' "
+            "GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal "
+            "ORDER BY revenue_e4 DESC, c.c_custkey LIMIT 20"
+        ),
+        "volume_shipping": (
+            # Q7-style: cross-border revenue between the two nations per
+            # (supp nation, cust nation, ship year), exact integer rev_e4
+            # — ops/tpch_deep.py::volume_shipping
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "CAST(year(l.l_shipdate) AS BIGINT) AS l_year, "
+            "CAST(sum("
+            "CAST(round(l_extendedprice * 100) AS HUGEINT) * "
+            "CAST(round((1 - l_discount) * 100) AS HUGEINT)) AS BIGINT) "
+            "AS revenue_e4 "
+            "FROM lineitem l "
+            "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+            "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN nation n1 ON s.s_nationkey = n1.n_nationkey "
+            "JOIN nation n2 ON c.c_nationkey = n2.n_nationkey "
+            "WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+            "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1') "
+            "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+        ),
+        "promo_revenue": (
+            # Q14-style: promo share; the pct division is evaluated in
+            # the SAME IEEE shape the Ray finisher uses (100.0 * p / t,
+            # both nearest-rounded to DOUBLE from exact integers)
+            "WITH b AS (SELECT "
+            "CAST(round(l_extendedprice * 100) AS HUGEINT) * "
+            "CAST(round((1 - l_discount) * 100) AS HUGEINT) AS rev, "
+            "p_type FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-09-01' "
+            "AND l_shipdate < TIMESTAMP '1996-10-01'), "
+            "s AS (SELECT coalesce(sum(CASE WHEN p_type = 'PROMO' "
+            "THEN rev ELSE 0 END), 0) AS p, "
+            "coalesce(sum(rev), 0) AS t FROM b) "
+            "SELECT CAST(p AS BIGINT) AS promo_rev_e4, "
+            "CAST(t AS BIGINT) AS total_rev_e4, "
+            "CASE WHEN t = 0 THEN 0.0 ELSE "
+            "100.0 * CAST(p AS DOUBLE) / CAST(t AS DOUBLE) END "
+            "AS promo_pct FROM s"
+        ),
+        "disjunct_revenue": (
+            # Q19-style OR-of-ANDs predicate needing both tables;
+            # single-row exact integer total — ops/tpch_deep.py
+            "SELECT CAST(coalesce(sum("
+            "CAST(round(l_extendedprice * 100) AS HUGEINT) * "
+            "CAST(round((1 - l_discount) * 100) AS HUGEINT)), 0) "
+            "AS BIGINT) AS revenue_e4, "
+            "CAST(count(*) AS BIGINT) AS n_items "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 "
+            "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 11) "
+            "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 "
+            "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20) "
+            "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 "
+            "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)"
         ),
         "unshipped_orders": (
             # Q3-style: integer rev_e4 = round(price*100)*round((1-disc)

@@ -1,0 +1,159 @@
+"""Unit tests for ops/tpch_deep.py (Q7/Q10/Q14/Q19 forms): edge semantics
+the parametrized DuckDB gate (tests/test_queries_vs_duckdb.py) can't pin —
+hand-built inputs with known answers, empty-side groups, determinism across
+repartitionings, and the (hi, lo) overflow reassembly."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import resume_ocr_ray.ops.tpch_deep as TD
+
+
+def _rd(tbl: pa.Table, blocks: int = 1):
+    import ray.data as rd
+
+    ds = rd.from_arrow(tbl)
+    return ds.repartition(blocks) if blocks > 1 else ds
+
+
+def _li_tbl(rows):
+    df = pd.DataFrame(rows)
+    return pa.table({
+        "l_orderkey": pa.array(df["ok"].to_numpy(np.int64)),
+        "l_suppkey": pa.array(df.get(
+            "sk", pd.Series(np.zeros(len(df)))).to_numpy(np.int64)),
+        "l_partkey": pa.array(df.get(
+            "pk", pd.Series(np.zeros(len(df)))).to_numpy(np.int64)),
+        "l_quantity": pa.array(df.get(
+            "qty", pd.Series(np.ones(len(df)))).to_numpy(np.float64)),
+        "l_extendedprice": pa.array(df["price"].to_numpy(np.float64)),
+        "l_discount": pa.array(df.get(
+            "disc", pd.Series(np.zeros(len(df)))).to_numpy(np.float64)),
+        "l_returnflag": pa.array(df.get(
+            "flag", pd.Series(["N"] * len(df))).tolist(), pa.string()),
+        "l_shipdate": pa.array(
+            df.get("ship", pd.Series(["1996-06-15"] * len(df)))
+            .astype("datetime64[us]"), pa.timestamp("us")),
+    })
+
+
+def test_returned_revenue_hand_answer(ray_session):
+    # two customers; cust 1 returns 2 items (100.00 and 50.00 at 10% off),
+    # cust 2 returns nothing in-window → only cust 1 appears
+    li = _li_tbl([
+        {"ok": 1, "price": 100.0, "disc": 0.10, "flag": "R"},
+        {"ok": 1, "price": 50.0, "disc": 0.10, "flag": "R"},
+        {"ok": 1, "price": 999.0, "disc": 0.00, "flag": "N"},  # not returned
+        {"ok": 2, "price": 77.0, "disc": 0.00, "flag": "R"},   # out-of-window
+    ])
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([10, 20], pa.int64()),
+        "o_orderdate": pa.array(
+            pd.Series(["1996-02-01", "1995-02-01"]).astype(
+                "datetime64[us]"), pa.timestamp("us")),
+    })
+    cust = pa.table({
+        "c_custkey": pa.array([10, 20], pa.int64()),
+        "c_name": pa.array(["alice", "bob"], pa.string()),
+        "c_acctbal": pa.array([12.5, -1.0], pa.float64()),
+        "c_nationkey": pa.array([0, 1], pa.int64()),
+    })
+    nation = pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int64()),
+        "n_name": pa.array(["N0", "N1"], pa.string()),
+    })
+    out = TD.returned_item_revenue(
+        _rd(li, 3), _rd(orders), _rd(cust), _rd(nation)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    # rev_e4 = 10000*90 + 5000*90
+    assert int(r["revenue_e4"]) == 10000 * 90 + 5000 * 90
+    assert r["c_name"] == "alice" and r["nation"] == "N0"
+    assert r["c_acctbal"] == 12.5
+
+
+def test_volume_shipping_directions_and_empty(ray_session):
+    # supplier in N1 ships to customer in N2 and vice versa; domestic
+    # (N1→N1) is excluded; a third nation never appears
+    li = _li_tbl([
+        {"ok": 1, "sk": 100, "price": 10.0, "ship": "1996-03-01"},
+        {"ok": 2, "sk": 200, "price": 20.0, "ship": "1997-03-01"},
+        {"ok": 3, "sk": 100, "price": 40.0, "ship": "1996-05-01"},  # domestic
+    ])
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([11, 22, 33], pa.int64()),
+    })
+    cust = pa.table({
+        "c_custkey": pa.array([11, 22, 33], pa.int64()),
+        "c_nationkey": pa.array([2, 1, 1], pa.int64()),
+    })
+    supp = pa.table({
+        "s_suppkey": pa.array([100, 200], pa.int64()),
+        "s_nationkey": pa.array([1, 2], pa.int64()),
+    })
+    nation = pa.table({
+        "n_nationkey": pa.array([1, 2, 3], pa.int64()),
+        "n_name": pa.array(["NATION_1", "NATION_2", "NATION_3"],
+                           pa.string()),
+    })
+    out = TD.volume_shipping(
+        _rd(li, 2), _rd(orders), _rd(cust), _rd(supp), _rd(nation)
+    ).to_pandas()
+    assert len(out) == 2
+    got = {(r.supp_nation, r.cust_nation, int(r.l_year)):
+           int(r.revenue_e4) for r in out.itertuples()}
+    assert got[("NATION_1", "NATION_2", 1996)] == 1000 * 100
+    assert got[("NATION_2", "NATION_1", 1997)] == 2000 * 100
+
+    # nation pair with no cross-border rows → typed empty, not a crash.
+    # Schema is asserted at the DATASET level: Ray's to_pandas() of a
+    # 0-row dataset drops columns, but dataset composition (union, joins)
+    # sees the typed schema, which is what downstream consumers use.
+    empty = TD.volume_shipping(
+        _rd(li, 2), _rd(orders), _rd(cust), _rd(supp), _rd(nation),
+        nation_a="NATION_1", nation_b="NATION_3")
+    assert empty.schema().names == ["supp_nation", "cust_nation",
+                                    "l_year", "revenue_e4"]
+    assert empty.count() == 0
+
+
+def test_promo_revenue_hilo_reassembly(ray_session):
+    # large prices push per-partition partials through the (hi, lo)
+    # split; answer still exact
+    rows = [{"ok": i, "pk": i % 3, "price": 9.9e5, "disc": 0.0,
+             "ship": "1996-09-15"} for i in range(300)]
+    rows.append({"ok": 999, "pk": 0, "price": 100.0, "disc": 0.0,
+                 "ship": "1996-10-15"})  # out of window
+    li = _li_tbl(rows)
+    part = pa.table({
+        "p_partkey": pa.array([0, 1, 2], pa.int64()),
+        "p_type": pa.array(["PROMO", "ECONOMY", "PROMO"], pa.string()),
+    })
+    out = TD.promo_revenue(_rd(li, 4), _rd(part)).to_pandas()
+    per_item = 99000000 * 100  # round(9.9e5*100) * 100
+    assert int(out["total_rev_e4"].iloc[0]) == 300 * per_item
+    assert int(out["promo_rev_e4"].iloc[0]) == 200 * per_item
+    assert out["promo_pct"].iloc[0] == 100.0 * (200 * per_item) / (
+        300 * per_item)
+
+
+def test_disjunctive_revenue_branches(ray_session):
+    li = _li_tbl([
+        {"ok": 1, "pk": 1, "qty": 5, "price": 10.0},    # Brand#12 size 3 ✓
+        {"ok": 1, "pk": 1, "qty": 12, "price": 10.0},   # qty out for br1
+        {"ok": 2, "pk": 2, "qty": 15, "price": 20.0},   # Brand#23 size 9 ✓
+        {"ok": 3, "pk": 3, "qty": 25, "price": 40.0},   # Brand#3 size 15 ✓
+        {"ok": 3, "pk": 4, "qty": 25, "price": 80.0},   # Brand#9 — no branch
+    ])
+    part = pa.table({
+        "p_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "p_brand": pa.array(["Brand#12", "Brand#23", "Brand#3",
+                             "Brand#9"], pa.string()),
+        "p_size": pa.array([3, 9, 15, 1], pa.int64()),
+    })
+    out = TD.disjunctive_revenue(_rd(li, 2), _rd(part)).to_pandas()
+    assert int(out["n_items"].iloc[0]) == 3
+    assert int(out["revenue_e4"].iloc[0]) == (1000 + 2000 + 4000) * 100
