@@ -50,6 +50,8 @@ STDOUT_OMIT = frozenset({
     # cross-round-compared, so they don't spend stdout-window bytes
     "big_orders", "part_supplier_counts", "small_qty_revenue",
     "global_rich_idle",
+    "returned_revenue", "volume_shipping", "promo_revenue",
+    "disjunct_revenue", "product_profit", "market_share",
 })
 
 BENCH_QUERIES = [
@@ -156,6 +158,12 @@ BENCH_QUERIES = [
     "part_supplier_counts",
     "small_qty_revenue",
     "global_rich_idle",
+    "returned_revenue",
+    "volume_shipping",
+    "promo_revenue",
+    "disjunct_revenue",
+    "product_profit",
+    "market_share",
 ]
 
 

@@ -602,3 +602,355 @@ def disjunctive_revenue(lineitem_ds, part_ds,
     import ray.data as rd
 
     return rd.from_arrow(out)
+
+
+def product_line_profit(lineitem_ds, part_ds, supplier_ds, nation_ds,
+                        name_frag: str = "red",
+                        parts: int = 64, coalesce: int = 8):
+    """TPC-H Q9-style product-line profit: exact integer revenue of
+    lineitems whose part name contains ``name_frag``, per (supplier
+    nation, ship year). (The corpus has no partsupp/supplycost, so
+    "profit" is the revenue side of Q9's expression — the join/group
+    shape is the point.)
+
+    Shape — the name filter is pushed to the part read side so only
+    matching partkeys cross the first cogroup; partkey → suppkey key
+    domains chain with per-(suppkey, year) pre-aggregation between them;
+    the 25-row nation dim maps names in the finish; per-(nation, year)
+    sums cross as (hi, lo) pairs.
+
+    Output: (nation, o_year, revenue_e4) sorted by (nation, o_year)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..common import cached_broadcast
+
+    def _li(b: pa.Table) -> pa.Table:
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        year = b.column("l_shipdate").to_numpy(
+            zero_copy_only=False).astype("datetime64[Y]").astype(
+            np.int64) + 1970
+        g = pd.DataFrame({
+            "p_partkey": pk,
+            "l_suppkey": b.column("l_suppkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "o_year": year,
+            "rev": _rev_e4(b),
+        }).groupby(["p_partkey", "l_suppkey", "o_year"],
+                   as_index=False)["rev"].sum()
+        pkg = g["p_partkey"].to_numpy(np.int64)
+        return pa.table({
+            "part": _mod_part(pkg, parts),
+            "p_partkey": pa.array(pkg),
+            "l_suppkey": pa.array(g["l_suppkey"].to_numpy(np.int64)),
+            "o_year": pa.array(g["o_year"].to_numpy(np.int64)),
+            "rev": pa.array(g["rev"].to_numpy(np.int64)),
+            "is_dim": pa.array(np.zeros(len(pkg), np.int8), pa.int8()),
+        })
+
+    def _part_dim(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.match_substring(b.column("p_name"),
+                                        name_frag))
+        pk = b.column("p_partkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = len(pk)
+        return pa.table({
+            "part": _mod_part(pk, parts),
+            "p_partkey": pa.array(pk),
+            "l_suppkey": pa.array(np.zeros(n, np.int64)),
+            "o_year": pa.array(np.zeros(n, np.int64)),
+            "rev": pa.array(np.zeros(n, np.int64)),
+            "is_dim": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    def _join_pk(g: pd.DataFrame) -> pa.Table:
+        fact = g[g["is_dim"] == 0]
+        keep = g.loc[g["is_dim"] == 1, "p_partkey"].unique()
+        m = fact[fact["p_partkey"].isin(keep)]
+        out = m.groupby(["l_suppkey", "o_year"], as_index=False)[
+            "rev"].sum()
+        sk = out["l_suppkey"].to_numpy(np.int64)
+        return pa.table({
+            "part": _mod_part(sk, parts),
+            "l_suppkey": pa.array(sk),
+            "o_year": pa.array(out["o_year"].to_numpy(np.int64)),
+            "rev": pa.array(out["rev"].to_numpy(np.int64)),
+            "s_nat": pa.array(np.full(len(sk), -1, np.int64)),
+        })
+
+    def _supp(b: pa.Table) -> pa.Table:
+        sk = b.column("s_suppkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = len(sk)
+        return pa.table({
+            "part": _mod_part(sk, parts),
+            "l_suppkey": pa.array(sk),
+            "o_year": pa.array(np.zeros(n, np.int64)),
+            "rev": pa.array(np.zeros(n, np.int64)),
+            "s_nat": pc.cast(b.column("s_nationkey"), pa.int64()),
+        })
+
+    def _join_sk(g: pd.DataFrame) -> pa.Table:
+        fact = g[g["s_nat"] == -1]
+        dim = g[g["s_nat"] != -1].drop_duplicates("l_suppkey")
+        m = fact.merge(dim[["l_suppkey", "s_nat"]], on="l_suppkey",
+                       how="inner", suffixes=("", "_d"))
+        out = m.groupby(["s_nat_d", "o_year"], as_index=False)[
+            "rev"].sum()
+        if out.empty:
+            return _empty(s_nat=pa.int64(), o_year=pa.int64(),
+                          rev_hi=pa.int64(), rev_lo=pa.int64())
+        rev = out["rev"].to_numpy(np.int64)
+        return pa.table({
+            "s_nat": pa.array(out["s_nat_d"].to_numpy(np.int64)),
+            "o_year": pa.array(out["o_year"].to_numpy(np.int64)),
+            "rev_hi": pa.array(rev >> _SHIFT),
+            "rev_lo": pa.array(rev & _MASK),
+        })
+
+    ndf = nation_ds.select_columns(["n_nationkey", "n_name"]).to_pandas()
+    names_ref = ray.put({
+        int(k_): str(v) for k_, v in zip(ndf["n_nationkey"],
+                                         ndf["n_name"])
+    })
+
+    li_side = lineitem_ds.map_batches(
+        _li, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+    part_side = part_ds.map_batches(
+        _part_dim, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+    keyed_sk = _cogroup(li_side, part_side, _join_pk, coalesce)
+    supp_side = supplier_ds.map_batches(
+        _supp, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+    grouped = _cogroup(keyed_sk, supp_side, _join_sk,
+                       coalesce).materialize()
+    if grouped.count() == 0:
+        from ..common import typed_empty
+
+        return typed_empty(nation=pa.string(), o_year=pa.int64(),
+                           revenue_e4=pa.int64())
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        nm = cached_broadcast(names_ref)
+        rev = [(int(h) << _SHIFT) + int(lo)
+               for h, lo in zip(df["rev_hi"], df["rev_lo"])]
+        return pd.DataFrame({
+            "nation": [nm[int(x)] for x in df["s_nat"]],
+            "o_year": df["o_year"].to_numpy(np.int64),
+            "revenue_e4": np.array(rev, dtype=np.int64),
+        }).sort_values(["nation", "o_year"]).reset_index(drop=True)
+
+    return (
+        # nations × years of group keys — 2 lanes, same spacing rule as
+        # the other dimension-bounded sort-groupbys
+        grouped.repartition(2)
+        .groupby(["s_nat", "o_year"])
+        .aggregate(Sum("rev_hi", alias_name="rev_hi"),
+                   Sum("rev_lo", alias_name="rev_lo"))
+        .map_batches(_finish, batch_format="pandas", batch_size=None)
+    )
+
+
+def market_share(lineitem_ds, orders_ds, customer_ds, supplier_ds,
+                 nation_ds, region_name: str = "ASIA",
+                 share_nation: str = "NATION_12",
+                 parts: int = 64, coalesce: int = 8):
+    """TPC-H Q8-style market share: per ORDER year, the fraction of
+    ``region_name``-customer revenue supplied by ``share_nation`` —
+    a conditional aggregate over a four-table join.
+
+    Shape — suppkey → orderkey → custkey cogroup chain; the customer
+    side is pre-filtered to the region's 5 nationkeys via ONE 25-row
+    nation driver fetch (nothing region-external crosses the last
+    shuffle); per-year (total, share-nation) sums cross as two (hi, lo)
+    pairs; the share division is a single IEEE double op in the finish,
+    the same shape the oracle evaluates.
+
+    Output: (o_year, share_rev_e4, total_rev_e4, mkt_share)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ndf = nation_ds.select_columns(
+        ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    # region key from the name via the 5-row region table would add a
+    # read; nation carries n_regionkey, and region names are fixed TPC-H
+    # (AFRICA..MIDDLE EAST = 0..4) — resolve via the nation table alone
+    _REGIONS = {"AFRICA": 0, "AMERICA": 1, "ASIA": 2, "EUROPE": 3,
+                "MIDDLE EAST": 4}
+    rk = _REGIONS[region_name]
+    region_nats = ndf.loc[ndf["n_regionkey"] == rk,
+                          "n_nationkey"].astype(int).to_numpy(np.int64)
+    share_key = int(ndf.loc[ndf["n_name"] == share_nation,
+                            "n_nationkey"].iloc[0])
+
+    def _li(b: pa.Table) -> pa.Table:
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        g = pd.DataFrame({
+            "l_suppkey": sk,
+            "o_orderkey": b.column("l_orderkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "rev": _rev_e4(b),
+        }).groupby(["l_suppkey", "o_orderkey"], as_index=False)[
+            "rev"].sum()
+        skg = g["l_suppkey"].to_numpy(np.int64)
+        return pa.table({
+            "part": _mod_part(skg, parts),
+            "l_suppkey": pa.array(skg),
+            "o_orderkey": pa.array(g["o_orderkey"].to_numpy(np.int64)),
+            "rev": pa.array(g["rev"].to_numpy(np.int64)),
+            "s_nat": pa.array(np.full(len(skg), -1, np.int64)),
+        })
+
+    def _supp(b: pa.Table) -> pa.Table:
+        sk = b.column("s_suppkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = len(sk)
+        return pa.table({
+            "part": _mod_part(sk, parts),
+            "l_suppkey": pa.array(sk),
+            "o_orderkey": pa.array(np.zeros(n, np.int64)),
+            "rev": pa.array(np.zeros(n, np.int64)),
+            "s_nat": pc.cast(b.column("s_nationkey"), pa.int64()),
+        })
+
+    def _join_sk(g: pd.DataFrame) -> pa.Table:
+        fact = g[g["s_nat"] == -1]
+        dim = g[g["s_nat"] != -1].drop_duplicates("l_suppkey")
+        m = fact.merge(dim[["l_suppkey", "s_nat"]], on="l_suppkey",
+                       how="inner", suffixes=("", "_d"))
+        m["is_share"] = (m["s_nat_d"] == share_key).astype(np.int64)
+        out = m.groupby(["o_orderkey", "is_share"], as_index=False)[
+            "rev"].sum()
+        ok = out["o_orderkey"].to_numpy(np.int64)
+        n = len(ok)
+        return pa.table({
+            "part": _mod_part(ok, parts),
+            "o_orderkey": pa.array(ok),
+            "is_share": pa.array(out["is_share"].to_numpy(np.int64)),
+            "rev": pa.array(out["rev"].to_numpy(np.int64)),
+            "o_custkey": pa.array(np.full(n, -1, np.int64)),
+            "o_year": pa.array(np.zeros(n, np.int64)),
+        })
+
+    def _ord(b: pa.Table) -> pa.Table:
+        ok = b.column("o_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        year = b.column("o_orderdate").to_numpy(
+            zero_copy_only=False).astype("datetime64[Y]").astype(
+            np.int64) + 1970
+        n = len(ok)
+        return pa.table({
+            "part": _mod_part(ok, parts),
+            "o_orderkey": pa.array(ok),
+            "is_share": pa.array(np.zeros(n, np.int64)),
+            "rev": pa.array(np.zeros(n, np.int64)),
+            "o_custkey": pc.cast(b.column("o_custkey"), pa.int64()),
+            "o_year": pa.array(year),
+        })
+
+    def _join_ok(g: pd.DataFrame) -> pa.Table:
+        fact = g[g["o_custkey"] == -1]
+        od = g[g["o_custkey"] != -1].drop_duplicates("o_orderkey")
+        m = fact.merge(od[["o_orderkey", "o_custkey", "o_year"]],
+                       on="o_orderkey", how="inner", suffixes=("", "_o"))
+        out = m.groupby(["o_custkey_o", "o_year_o", "is_share"],
+                        as_index=False)["rev"].sum()
+        ck = out["o_custkey_o"].to_numpy(np.int64)
+        n = len(ck)
+        return pa.table({
+            "part": _mod_part(ck, parts),
+            "c_custkey": pa.array(ck),
+            "o_year": pa.array(out["o_year_o"].to_numpy(np.int64)),
+            "is_share": pa.array(out["is_share"].to_numpy(np.int64)),
+            "rev": pa.array(out["rev"].to_numpy(np.int64)),
+            "c_keep": pa.array(np.full(n, -1, np.int64)),
+        })
+
+    def _cust(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b.column("c_nationkey"),
+                              value_set=pa.array(region_nats)))
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = len(ck)
+        return pa.table({
+            "part": _mod_part(ck, parts),
+            "c_custkey": pa.array(ck),
+            "o_year": pa.array(np.zeros(n, np.int64)),
+            "is_share": pa.array(np.zeros(n, np.int64)),
+            "rev": pa.array(np.zeros(n, np.int64)),
+            "c_keep": pa.array(np.ones(n, np.int64)),
+        })
+
+    def _join_ck(g: pd.DataFrame) -> pa.Table:
+        fact = g[g["c_keep"] == -1]
+        keep = g.loc[g["c_keep"] == 1, "c_custkey"].unique()
+        m = fact[fact["c_custkey"].isin(keep)]
+        if m.empty:
+            return _empty(o_year=pa.int64(), s_hi=pa.int64(),
+                          s_lo=pa.int64(), t_hi=pa.int64(),
+                          t_lo=pa.int64())
+        rows = []
+        for year, sub in m.groupby("o_year"):
+            rev = sub["rev"].to_numpy(np.int64)
+            share = int(rev[(sub["is_share"] == 1).to_numpy()].sum())
+            total = int(rev.sum())
+            rows.append((int(year), share >> _SHIFT, share & _MASK,
+                         total >> _SHIFT, total & _MASK))
+        yr, sh, sl, th, tl = (np.array(c, dtype=np.int64)
+                              for c in zip(*rows))
+        return pa.table({
+            "o_year": pa.array(yr), "s_hi": pa.array(sh),
+            "s_lo": pa.array(sl), "t_hi": pa.array(th),
+            "t_lo": pa.array(tl),
+        })
+
+    li_side = lineitem_ds.map_batches(
+        _li, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+    supp_side = supplier_ds.map_batches(
+        _supp, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+    keyed_ok = _cogroup(li_side, supp_side, _join_sk, coalesce)
+    ord_side = orders_ds.map_batches(
+        _ord, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+    keyed_ck = _cogroup(keyed_ok, ord_side, _join_ok, coalesce)
+    cust_side = customer_ds.map_batches(
+        _cust, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+    per_year = _cogroup(keyed_ck, cust_side, _join_ck,
+                        coalesce).materialize()
+    if per_year.count() == 0:
+        from ..common import typed_empty
+
+        return typed_empty(o_year=pa.int64(), share_rev_e4=pa.int64(),
+                           total_rev_e4=pa.int64(),
+                           mkt_share=pa.float64())
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        s = [(int(h) << _SHIFT) + int(lo)
+             for h, lo in zip(df["s_hi"], df["s_lo"])]
+        t = [(int(h) << _SHIFT) + int(lo)
+             for h, lo in zip(df["t_hi"], df["t_lo"])]
+        return pd.DataFrame({
+            "o_year": df["o_year"].to_numpy(np.int64),
+            "share_rev_e4": np.array(s, dtype=np.int64),
+            "total_rev_e4": np.array(t, dtype=np.int64),
+            "mkt_share": np.array(
+                [float(a) / float(b) if b else 0.0
+                 for a, b in zip(s, t)], dtype=np.float64),
+        }).sort_values("o_year").reset_index(drop=True)
+
+    return (
+        per_year.repartition(2)
+        .groupby("o_year")
+        .aggregate(Sum("s_hi", alias_name="s_hi"),
+                   Sum("s_lo", alias_name="s_lo"),
+                   Sum("t_hi", alias_name="t_hi"),
+                   Sum("t_lo", alias_name="t_lo"))
+        .map_batches(_finish, batch_format="pandas", batch_size=None)
+    )

@@ -1515,6 +1515,38 @@ def q_promo_revenue(sf_dir: str):
     )
 
 
+def q_product_profit(sf_dir: str):
+    """TPC-H Q9-style product-line revenue per (supplier nation, ship
+    year) for parts named '%red%' (name filter pushed to the part read,
+    partkey → suppkey cogroup chain; see
+    ops.tpch_deep.product_line_profit)."""
+    return TD.product_line_profit(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_partkey", "l_suppkey",
+               "l_extendedprice", "l_discount", "l_shipdate"]),
+        _read(sf_dir, "part", ["p_partkey", "p_name"]),
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        _read(sf_dir, "nation", ["n_nationkey", "n_name"]),
+    )
+
+
+def q_market_share(sf_dir: str):
+    """TPC-H Q8-style NATION_12 share of the ASIA customer market per
+    order year (suppkey → orderkey → custkey cogroups, region filter via
+    one 25-row nation fetch; see ops.tpch_deep.market_share)."""
+    return TD.market_share(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_extendedprice",
+               "l_discount"]),
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                 "o_orderdate"]),
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        _read(sf_dir, "nation",
+              ["n_nationkey", "n_name", "n_regionkey"]),
+    )
+
+
 def q_disjunct_revenue(sf_dir: str):
     """TPC-H Q19-style disjunctive brand/size/quantity revenue (quantity
     pre-filter to the branch-range union below the shuffle, (partkey,
@@ -1731,6 +1763,8 @@ def _all_queries() -> dict:
         "volume_shipping": q_volume_shipping,
         "promo_revenue": q_promo_revenue,
         "disjunct_revenue": q_disjunct_revenue,
+        "product_profit": q_product_profit,
+        "market_share": q_market_share,
         "token_rarity": q_token_rarity,
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
@@ -2431,6 +2465,51 @@ def oracle_sql() -> dict:
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20) "
             "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 "
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)"
+        ),
+        "product_profit": (
+            # Q9-style: name-filtered part dim, revenue per (supplier
+            # nation, ship year) — ops/tpch_deep.py::product_line_profit
+            "SELECT n.n_name AS nation, "
+            "CAST(year(l.l_shipdate) AS BIGINT) AS o_year, "
+            "CAST(sum("
+            "CAST(round(l_extendedprice * 100) AS HUGEINT) * "
+            "CAST(round((1 - l_discount) * 100) AS HUGEINT)) AS BIGINT) "
+            "AS revenue_e4 "
+            "FROM lineitem l "
+            "JOIN part p ON p.p_partkey = l.l_partkey "
+            "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "WHERE p.p_name LIKE '%red%' "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "market_share": (
+            # Q8-style: NATION_12's share of ASIA-customer revenue per
+            # order year; the share division is ONE double op evaluated
+            # from exact integers on both sides —
+            # ops/tpch_deep.py::market_share
+            "WITH b AS (SELECT "
+            "CAST(year(o.o_orderdate) AS BIGINT) AS o_year, "
+            "CAST(round(l_extendedprice * 100) AS HUGEINT) * "
+            "CAST(round((1 - l_discount) * 100) AS HUGEINT) AS rev, "
+            "CASE WHEN n1.n_name = 'NATION_12' THEN 1 ELSE 0 END "
+            "AS is_share "
+            "FROM lineitem l "
+            "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+            "JOIN nation n1 ON s.s_nationkey = n1.n_nationkey "
+            "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN nation n2 ON c.c_nationkey = n2.n_nationkey "
+            "JOIN region r ON n2.n_regionkey = r.r_regionkey "
+            "WHERE r.r_name = 'ASIA'), "
+            "s AS (SELECT o_year, "
+            "coalesce(sum(CASE WHEN is_share = 1 THEN rev ELSE 0 END), "
+            "0) AS sh, coalesce(sum(rev), 0) AS tot "
+            "FROM b GROUP BY 1) "
+            "SELECT o_year, CAST(sh AS BIGINT) AS share_rev_e4, "
+            "CAST(tot AS BIGINT) AS total_rev_e4, "
+            "CASE WHEN tot = 0 THEN 0.0 ELSE "
+            "CAST(sh AS DOUBLE) / CAST(tot AS DOUBLE) END AS mkt_share "
+            "FROM s ORDER BY o_year"
         ),
         "unshipped_orders": (
             # Q3-style: integer rev_e4 = round(price*100)*round((1-disc)

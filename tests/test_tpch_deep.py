@@ -157,3 +157,75 @@ def test_disjunctive_revenue_branches(ray_session):
     out = TD.disjunctive_revenue(_rd(li, 2), _rd(part)).to_pandas()
     assert int(out["n_items"].iloc[0]) == 3
     assert int(out["revenue_e4"].iloc[0]) == (1000 + 2000 + 4000) * 100
+
+
+def test_product_line_profit_name_filter_and_chain(ray_session):
+    li = _li_tbl([
+        {"ok": 1, "pk": 1, "sk": 100, "price": 10.0, "ship": "1996-03-01"},
+        {"ok": 2, "pk": 2, "sk": 100, "price": 20.0, "ship": "1997-03-01"},
+        {"ok": 3, "pk": 1, "sk": 200, "price": 40.0, "ship": "1996-08-01"},
+    ])
+    part = pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_name": pa.array(["red widget", "blue bolt"], pa.string()),
+    })
+    supp = pa.table({
+        "s_suppkey": pa.array([100, 200], pa.int64()),
+        "s_nationkey": pa.array([0, 1], pa.int64()),
+    })
+    nation = pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int64()),
+        "n_name": pa.array(["N0", "N1"], pa.string()),
+    })
+    out = TD.product_line_profit(
+        _rd(li, 2), _rd(part), _rd(supp), _rd(nation)).to_pandas()
+    # only partkey 1 matches '%red%': rows 1 (N0, 1996) and 3 (N1, 1996)
+    got = {(r.nation, int(r.o_year)): int(r.revenue_e4)
+           for r in out.itertuples()}
+    assert got == {("N0", 1996): 1000 * 100, ("N1", 1996): 4000 * 100}
+
+    # no part matches → typed empty with the output schema
+    empty = TD.product_line_profit(
+        _rd(li, 2), _rd(part), _rd(supp), _rd(nation),
+        name_frag="nonexistent")
+    assert empty.schema().names == ["nation", "o_year", "revenue_e4"]
+    assert empty.count() == 0
+
+
+def test_market_share_conditional_fraction(ray_session):
+    # ASIA = region 2; nations 2 (ASIA) and 12 (ASIA, the share nation)
+    li = _li_tbl([
+        {"ok": 1, "sk": 100, "price": 10.0},   # share supplier
+        {"ok": 2, "sk": 200, "price": 30.0},   # other supplier
+        {"ok": 3, "sk": 100, "price": 99.0},   # non-ASIA customer
+    ])
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([11, 22, 33], pa.int64()),
+        "o_orderdate": pa.array(
+            pd.Series(["1996-02-01", "1996-07-01", "1996-09-01"]).astype(
+                "datetime64[us]"), pa.timestamp("us")),
+    })
+    cust = pa.table({
+        "c_custkey": pa.array([11, 22, 33], pa.int64()),
+        "c_nationkey": pa.array([2, 7, 0], pa.int64()),  # 0 = AFRICA
+    })
+    supp = pa.table({
+        "s_suppkey": pa.array([100, 200], pa.int64()),
+        "s_nationkey": pa.array([12, 0], pa.int64()),
+    })
+    nation = pa.table({
+        "n_nationkey": pa.array([0, 2, 7, 12], pa.int64()),
+        "n_name": pa.array(["NATION_0", "NATION_2", "NATION_7",
+                            "NATION_12"], pa.string()),
+        "n_regionkey": pa.array([0, 2, 2, 2], pa.int64()),
+    })
+    out = TD.market_share(
+        _rd(li, 2), _rd(orders), _rd(cust), _rd(supp), _rd(nation)
+    ).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert int(r["o_year"]) == 1996
+    assert int(r["share_rev_e4"]) == 1000 * 100
+    assert int(r["total_rev_e4"]) == (1000 + 3000) * 100
+    assert r["mkt_share"] == float(1000 * 100) / float(4000 * 100)
