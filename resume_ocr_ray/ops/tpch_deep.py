@@ -214,7 +214,8 @@ def returned_item_revenue(lineitem_ds, orders_ds, customer_ds, nation_ds,
 def volume_shipping(lineitem_ds, orders_ds, customer_ds, supplier_ds,
                     nation_ds, nation_a: str = "NATION_1",
                     nation_b: str = "NATION_2",
-                    parts: int = 64, coalesce: int = 8):
+                    parts: int = 64, coalesce: int = 8,
+                    supp_map=None):
     """TPC-H Q7-style volume shipping: exact integer revenue between two
     nations per (supplier nation, customer nation, ship year) —
     cross-border trade in BOTH directions.
@@ -227,6 +228,15 @@ def volume_shipping(lineitem_ds, orders_ds, customer_ds, supplier_ds,
     final group cardinality is 2 directions × years, so per-group sums
     cross the engine aggregate as (hi, lo) int64 pairs (Σrev_e4 outgrows
     int64 past ~10^9 lineitems — nation_revenue discipline).
+
+    ``supp_map`` (size-gated FAST PATH, same selector discipline as
+    q_orders_by_segment): a driver-read (s_suppkey, s_nationkey)
+    DataFrame, passed only when the supplier table fits the broadcast
+    budget. The suppkey→nation lookup then happens INSIDE the lineitem
+    map_batches (sorted-array broadcast + searchsorted) and the first
+    all-to-all — over order-level partials, the widest of the three —
+    disappears. Above the budget callers pass None and the shuffled
+    suppkey cogroup runs. Output identical on both paths (pytest-pinned).
 
     Output: (supp_nation, cust_nation, l_year, revenue_e4) sorted by the
     three keys."""
@@ -367,13 +377,53 @@ def volume_shipping(lineitem_ds, orders_ds, customer_ds, supplier_ds,
             "rev_lo": pa.array(rev & _MASK),
         })
 
-    li_side = lineitem_ds.map_batches(
-        _li, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=65536)
-    supp_side = supplier_ds.map_batches(
-        _supp, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=65536)
-    keyed_ok = _cogroup(li_side, supp_side, _join_sk, coalesce)
+    if supp_map is not None:
+        sdf = supp_map.sort_values("s_suppkey")
+        smap_ref = ray.put((
+            sdf["s_suppkey"].to_numpy(np.int64),
+            sdf["s_nationkey"].to_numpy(np.int64),
+        ))
+
+        def _li_bcast(b: pa.Table) -> pa.Table:
+            sk_sorted, nat = cached_broadcast(smap_ref)
+            sk = b.column("l_suppkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            idx = np.searchsorted(sk_sorted, sk)
+            idx = np.minimum(idx, len(sk_sorted) - 1)
+            s_nat = np.where(sk_sorted[idx] == sk, nat[idx], -1)
+            keep = np.isin(s_nat, pair_keys)
+            year = b.column("l_shipdate").to_numpy(
+                zero_copy_only=False).astype("datetime64[Y]").astype(
+                np.int64) + 1970
+            g = pd.DataFrame({
+                "o_orderkey": b.column("l_orderkey").to_numpy(
+                    zero_copy_only=False).astype(np.int64)[keep],
+                "l_year": year[keep],
+                "s_nat": s_nat[keep],
+                "rev": _rev_e4(b)[keep],
+            }).groupby(["o_orderkey", "l_year", "s_nat"],
+                       as_index=False)["rev"].sum()
+            ok = g["o_orderkey"].to_numpy(np.int64)
+            return pa.table({
+                "part": _mod_part(ok, parts),
+                "o_orderkey": pa.array(ok),
+                "l_year": pa.array(g["l_year"].to_numpy(np.int64)),
+                "s_nat": pa.array(g["s_nat"].to_numpy(np.int64)),
+                "rev": pa.array(g["rev"].to_numpy(np.int64)),
+                "o_custkey": pa.array(np.full(len(ok), -1, np.int64)),
+            })
+
+        keyed_ok = lineitem_ds.map_batches(
+            _li_bcast, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536)
+    else:
+        li_side = lineitem_ds.map_batches(
+            _li, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536)
+        supp_side = supplier_ds.map_batches(
+            _supp, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536)
+        keyed_ok = _cogroup(li_side, supp_side, _join_sk, coalesce)
     ord_side = orders_ds.map_batches(
         _ord, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=65536)
@@ -757,7 +807,8 @@ def product_line_profit(lineitem_ds, part_ds, supplier_ds, nation_ds,
 def market_share(lineitem_ds, orders_ds, customer_ds, supplier_ds,
                  nation_ds, region_name: str = "ASIA",
                  share_nation: str = "NATION_12",
-                 parts: int = 64, coalesce: int = 8):
+                 parts: int = 64, coalesce: int = 8,
+                 supp_map=None):
     """TPC-H Q8-style market share: per ORDER year, the fraction of
     ``region_name``-customer revenue supplied by ``share_nation`` —
     a conditional aggregate over a four-table join.
@@ -769,9 +820,18 @@ def market_share(lineitem_ds, orders_ds, customer_ds, supplier_ds,
     pairs; the share division is a single IEEE double op in the finish,
     the same shape the oracle evaluates.
 
+    ``supp_map`` (size-gated FAST PATH, q_orders_by_segment selector
+    discipline): a driver-read (s_suppkey, s_nationkey) DataFrame passed
+    only when supplier fits the broadcast budget — the is_share tag is
+    then computed INSIDE the lineitem map_batches and the first
+    all-to-all (order-level partials, the widest) disappears. Output
+    identical on both paths (pytest-pinned).
+
     Output: (o_year, share_rev_e4, total_rev_e4, mkt_share)."""
     import ray
     from ray.data.aggregate import Sum
+
+    from ..common import cached_broadcast
 
     ndf = nation_ds.select_columns(
         ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
@@ -908,13 +968,50 @@ def market_share(lineitem_ds, orders_ds, customer_ds, supplier_ds,
             "t_lo": pa.array(tl),
         })
 
-    li_side = lineitem_ds.map_batches(
-        _li, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=65536)
-    supp_side = supplier_ds.map_batches(
-        _supp, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=65536)
-    keyed_ok = _cogroup(li_side, supp_side, _join_sk, coalesce)
+    if supp_map is not None:
+        sdf = supp_map.sort_values("s_suppkey")
+        smap_ref = ray.put((
+            sdf["s_suppkey"].to_numpy(np.int64),
+            sdf["s_nationkey"].to_numpy(np.int64),
+        ))
+
+        def _li_bcast(b: pa.Table) -> pa.Table:
+            sk_sorted, nat = cached_broadcast(smap_ref)
+            sk = b.column("l_suppkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            idx = np.searchsorted(sk_sorted, sk)
+            idx = np.minimum(idx, len(sk_sorted) - 1)
+            found = sk_sorted[idx] == sk  # inner-join: unknown keys drop
+            s_nat = nat[idx]
+            g = pd.DataFrame({
+                "o_orderkey": b.column("l_orderkey").to_numpy(
+                    zero_copy_only=False).astype(np.int64)[found],
+                "is_share": (s_nat[found] == share_key).astype(np.int64),
+                "rev": _rev_e4(b)[found],
+            }).groupby(["o_orderkey", "is_share"], as_index=False)[
+                "rev"].sum()
+            ok = g["o_orderkey"].to_numpy(np.int64)
+            n = len(ok)
+            return pa.table({
+                "part": _mod_part(ok, parts),
+                "o_orderkey": pa.array(ok),
+                "is_share": pa.array(g["is_share"].to_numpy(np.int64)),
+                "rev": pa.array(g["rev"].to_numpy(np.int64)),
+                "o_custkey": pa.array(np.full(n, -1, np.int64)),
+                "o_year": pa.array(np.zeros(n, np.int64)),
+            })
+
+        keyed_ok = lineitem_ds.map_batches(
+            _li_bcast, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536)
+    else:
+        li_side = lineitem_ds.map_batches(
+            _li, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536)
+        supp_side = supplier_ds.map_batches(
+            _supp, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536)
+        keyed_ok = _cogroup(li_side, supp_side, _join_sk, coalesce)
     ord_side = orders_ds.map_batches(
         _ord, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=65536)

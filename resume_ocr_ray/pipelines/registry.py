@@ -1491,7 +1491,9 @@ def q_volume_shipping(sf_dir: str):
     """TPC-H Q7-style cross-border revenue between NATION_1 and NATION_2
     per (supplier nation, customer nation, ship year) — three chained
     cogroups, nation-pair filter pushed to both dim reads; see
-    ops.tpch_deep.volume_shipping."""
+    ops.tpch_deep.volume_shipping). When the supplier dim fits the
+    broadcast budget the suppkey lookup moves inside the lineitem
+    map_batches and the first all-to-all disappears."""
     return TD.volume_shipping(
         _read(sf_dir, "lineitem",
               ["l_orderkey", "l_suppkey", "l_extendedprice",
@@ -1500,7 +1502,24 @@ def q_volume_shipping(sf_dir: str):
         _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
         _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
         _read(sf_dir, "nation", ["n_nationkey", "n_name"]),
+        supp_map=_supplier_map(sf_dir),
     )
+
+
+def _supplier_map(sf_dir: str):
+    """Size-gated supplier dim broadcast (q_orders_by_segment selector
+    discipline): driver-read (s_suppkey, s_nationkey) when the footer
+    row count fits the broadcast budget, else None → the op's shuffled
+    suppkey cogroup runs."""
+    import pyarrow.parquet as pq
+
+    from .. import config as _cfg
+
+    if _footer_rows(sf_dir, "supplier") > _cfg.BROADCAST_BUDGET_ROWS:
+        return None
+    return pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"]).to_pandas()
 
 
 def q_promo_revenue(sf_dir: str):
@@ -1544,6 +1563,7 @@ def q_market_share(sf_dir: str):
         _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
         _read(sf_dir, "nation",
               ["n_nationkey", "n_name", "n_regionkey"]),
+        supp_map=_supplier_map(sf_dir),
     )
 
 

@@ -229,3 +229,60 @@ def test_market_share_conditional_fraction(ray_session):
     assert int(r["share_rev_e4"]) == 1000 * 100
     assert int(r["total_rev_e4"]) == (1000 + 3000) * 100
     assert r["mkt_share"] == float(1000 * 100) / float(4000 * 100)
+
+
+def test_supplier_broadcast_paths_bit_identical(ray_session):
+    """The size-gated supp_map fast path must emit EXACTLY the shuffled
+    cogroup's rows for both volume_shipping and market_share."""
+    li = _li_tbl([
+        {"ok": 1, "sk": 100, "price": 10.0, "ship": "1996-03-01"},
+        {"ok": 2, "sk": 200, "price": 20.0, "ship": "1997-03-01"},
+        {"ok": 2, "sk": 100, "price": 5.0, "ship": "1997-04-01"},
+        {"ok": 3, "sk": 100, "price": 40.0, "ship": "1996-05-01"},
+    ])
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([11, 22, 33], pa.int64()),
+        "o_orderdate": pa.array(
+            pd.Series(["1996-02-01", "1997-01-01", "1996-04-01"]).astype(
+                "datetime64[us]"), pa.timestamp("us")),
+    })
+    cust = pa.table({
+        "c_custkey": pa.array([11, 22, 33], pa.int64()),
+        "c_nationkey": pa.array([2, 1, 1], pa.int64()),
+    })
+    supp_tbl = pa.table({
+        "s_suppkey": pa.array([100, 200], pa.int64()),
+        "s_nationkey": pa.array([1, 2], pa.int64()),
+    })
+    smap = supp_tbl.to_pandas()
+
+    a = TD.volume_shipping(
+        _rd(li, 2), _rd(orders), _rd(cust), _rd(supp_tbl),
+        _rd(pa.table({
+            "n_nationkey": pa.array([1, 2], pa.int64()),
+            "n_name": pa.array(["NATION_1", "NATION_2"], pa.string()),
+        }))).to_pandas()
+    b = TD.volume_shipping(
+        _rd(li, 2), _rd(orders), _rd(cust), _rd(supp_tbl),
+        _rd(pa.table({
+            "n_nationkey": pa.array([1, 2], pa.int64()),
+            "n_name": pa.array(["NATION_1", "NATION_2"], pa.string()),
+        })), supp_map=smap).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+    nation = pa.table({
+        "n_nationkey": pa.array([1, 2, 12], pa.int64()),
+        "n_name": pa.array(["NATION_1", "NATION_2", "NATION_12"],
+                           pa.string()),
+        "n_regionkey": pa.array([2, 2, 2], pa.int64()),
+    })
+    c = TD.market_share(
+        _rd(li, 2), _rd(orders), _rd(cust), _rd(supp_tbl),
+        _rd(nation), share_nation="NATION_1").to_pandas()
+    d = TD.market_share(
+        _rd(li, 2), _rd(orders), _rd(cust), _rd(supp_tbl),
+        _rd(nation), share_nation="NATION_1",
+        supp_map=smap).to_pandas()
+    pd.testing.assert_frame_equal(c, d)
+    assert len(c) == 2  # 1996 and 1997 market years
