@@ -388,6 +388,10 @@ def volume_shipping(lineitem_ds, orders_ds, customer_ds, supplier_ds,
             sk_sorted, nat = cached_broadcast(smap_ref)
             sk = b.column("l_suppkey").to_numpy(
                 zero_copy_only=False).astype(np.int64)
+            if len(sk_sorted) == 0:  # empty dim: inner join drops all
+                return _empty(part=pa.int32(), o_orderkey=pa.int64(),
+                              l_year=pa.int64(), s_nat=pa.int64(),
+                              rev=pa.int64(), o_custkey=pa.int64())
             idx = np.searchsorted(sk_sorted, sk)
             idx = np.minimum(idx, len(sk_sorted) - 1)
             s_nat = np.where(sk_sorted[idx] == sk, nat[idx], -1)
@@ -471,7 +475,8 @@ def volume_shipping(lineitem_ds, orders_ds, customer_ds, supplier_ds,
 
 def promo_revenue(lineitem_ds, part_ds, date_lo: str = "1996-09-01",
                   date_hi: str = "1996-10-01",
-                  parts: int = 64, coalesce: int = 8):
+                  parts: int = 64, coalesce: int = 8,
+                  part_map=None):
     """TPC-H Q14-style promotion effect: one row — the month's PROMO-part
     revenue, total revenue, and promo share percent.
 
@@ -480,6 +485,15 @@ def promo_revenue(lineitem_ds, part_ds, date_lo: str = "1996-09-01",
     dim (scale-safe: part is NOT broadcast), per-group (hi, lo) partial
     sums, and a single-row driver fold (two Python bigints → int64 +
     one double division, the same IEEE shape the oracle evaluates).
+
+    ``part_map`` (size-gated FAST PATH): a driver-read (p_partkey,
+    p_type) DataFrame passed only when part fits the broadcast budget —
+    the promo flag is then probed INSIDE the lineitem map_batches
+    (sorted-array broadcast + searchsorted) and the query becomes a
+    ZERO-SHUFFLE plan: one map over lineitem emitting one (hi, lo)
+    partial row per batch + the same bounded driver fold. Above the
+    budget callers pass None and the partkey cogroup runs. Output
+    identical on both paths (pytest-pinned).
 
     Output: (promo_rev_e4, total_rev_e4, promo_pct)."""
     lo = np.datetime64(date_lo, "us")
@@ -530,14 +544,56 @@ def promo_revenue(lineitem_ds, part_ds, date_lo: str = "1996-09-01",
             "t_lo": pa.array([t & _MASK], pa.int64()),
         })
 
-    li_side = lineitem_ds.map_batches(
-        _li, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=65536)
-    dim_side = part_ds.map_batches(
-        _dim, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=65536)
-    partials = _cogroup(li_side, dim_side, _grp, coalesce).to_pandas()
-    # ≤ one row per cogroup partition — sketch-sized, never rows
+    if part_map is not None:
+        import ray
+
+        from ..common import cached_broadcast
+
+        pdf = part_map.sort_values("p_partkey")
+        pmap_ref = ray.put((
+            pdf["p_partkey"].to_numpy(np.int64),
+            (pdf["p_type"] == "PROMO").to_numpy().astype(np.int8),
+        ))
+
+        def _li_bcast(b: pa.Table) -> pa.Table:
+            pk_sorted, promo = cached_broadcast(pmap_ref)
+            if len(pk_sorted) == 0:  # empty dim: zero partial, no probe
+                z = pa.array([0], pa.int64())
+                return pa.table({"p_hi": z, "p_lo": z, "t_hi": z,
+                                 "t_lo": z})
+            d = b.column("l_shipdate")
+            b = b.filter(pc.and_(
+                pc.greater_equal(d, pa.scalar(lo, pa.timestamp("us"))),
+                pc.less(d, pa.scalar(hi, pa.timestamp("us"))),
+            ))
+            pk = b.column("l_partkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            idx = np.searchsorted(pk_sorted, pk)
+            idx = np.minimum(idx, max(0, len(pk_sorted) - 1))
+            found = pk_sorted[idx] == pk
+            rev = _rev_e4(b)[found]
+            is_p = promo[idx][found] == 1
+            p, t = int(rev[is_p].sum()), int(rev.sum())
+            return pa.table({
+                "p_hi": pa.array([p >> _SHIFT], pa.int64()),
+                "p_lo": pa.array([p & _MASK], pa.int64()),
+                "t_hi": pa.array([t >> _SHIFT], pa.int64()),
+                "t_lo": pa.array([t & _MASK], pa.int64()),
+            })
+
+        partials = lineitem_ds.map_batches(
+            _li_bcast, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536).to_pandas()  # one row per input batch
+    else:
+        li_side = lineitem_ds.map_batches(
+            _li, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536)
+        dim_side = part_ds.map_batches(
+            _dim, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536)
+        partials = _cogroup(li_side, dim_side, _grp,
+                            coalesce).to_pandas()
+    # ≤ one row per cogroup partition / input batch — sketch-sized
     p = (int(partials["p_hi"].sum()) << _SHIFT) + int(
         partials["p_lo"].sum())
     t = (int(partials["t_hi"].sum()) << _SHIFT) + int(
@@ -554,7 +610,8 @@ def promo_revenue(lineitem_ds, part_ds, date_lo: str = "1996-09-01",
 
 
 def disjunctive_revenue(lineitem_ds, part_ds,
-                        parts: int = 64, coalesce: int = 8):
+                        parts: int = 64, coalesce: int = 8,
+                        part_map=None):
     """TPC-H Q19-style disjunctive-predicate revenue: one row — exact
     integer revenue + item count over an OR of three (brand, size-range,
     quantity-range) conjunctions (the classic "predicate needs BOTH
@@ -570,7 +627,16 @@ def disjunctive_revenue(lineitem_ds, part_ds,
     integral 1..50, so duplicates fold); ONE partkey-hash cogroup joins
     the part dim, evaluates the disjunction vectorized, and emits (hi,
     lo) partials; single-row driver fold. Output: (revenue_e4,
-    n_items)."""
+    n_items).
+
+    ``part_map`` (size-gated FAST PATH): a driver-read (p_partkey,
+    p_brand, p_size) DataFrame passed only when part fits the broadcast
+    budget. Each branch's brand+size conjunction is resolved PER PARTKEY
+    on the driver into one (qty_lo, qty_hi) interval (brands are
+    disjoint, so a part matches at most one branch), broadcast as three
+    sorted arrays; the lineitem map then probes + range-checks in place
+    and the query becomes a ZERO-SHUFFLE plan. Output identical on both
+    paths (pytest-pinned)."""
     BR = [("Brand#12", 1, 5, 1, 11),
           ("Brand#23", 1, 10, 10, 20),
           ("Brand#3", 1, 15, 20, 30)]
@@ -636,13 +702,55 @@ def disjunctive_revenue(lineitem_ds, part_ds,
             "cnt": pa.array([cnt], pa.int64()),
         })
 
-    li_side = lineitem_ds.map_batches(
-        _li, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=65536)
-    dim_side = part_ds.map_batches(
-        _dim, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=65536)
-    partials = _cogroup(li_side, dim_side, _grp, coalesce).to_pandas()
+    if part_map is not None:
+        import ray
+
+        from ..common import cached_broadcast
+
+        pdf = part_map.sort_values("p_partkey")
+        pk_arr = pdf["p_partkey"].to_numpy(np.int64)
+        qlo = np.full(len(pdf), 1, np.int64)   # empty interval default
+        qhi = np.zeros(len(pdf), np.int64)
+        brand = pdf["p_brand"].to_numpy(object)
+        size = pdf["p_size"].to_numpy(np.int64)
+        for br, s_lo, s_hi, q_lo, q_hi in BR:
+            hit = (brand == br) & (size >= s_lo) & (size <= s_hi)
+            qlo[hit], qhi[hit] = q_lo, q_hi
+        pmap_ref = ray.put((pk_arr, qlo, qhi))
+
+        def _li_bcast(b: pa.Table) -> pa.Table:
+            pks, lo_a, hi_a = cached_broadcast(pmap_ref)
+            if len(pks) == 0:  # empty dim: zero partial, no probe
+                z = pa.array([0], pa.int64())
+                return pa.table({"r_hi": z, "r_lo": z, "cnt": z})
+            qty = np.rint(
+                b.column("l_quantity").to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
+            pk = b.column("l_partkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            idx = np.searchsorted(pks, pk)
+            idx = np.minimum(idx, max(0, len(pks) - 1))
+            found = pks[idx] == pk
+            keep = found & (qty >= lo_a[idx]) & (qty <= hi_a[idx])
+            rev = int(_rev_e4(b)[keep].sum())
+            return pa.table({
+                "r_hi": pa.array([rev >> _SHIFT], pa.int64()),
+                "r_lo": pa.array([rev & _MASK], pa.int64()),
+                "cnt": pa.array([int(keep.sum())], pa.int64()),
+            })
+
+        partials = lineitem_ds.map_batches(
+            _li_bcast, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536).to_pandas()  # one row per input batch
+    else:
+        li_side = lineitem_ds.map_batches(
+            _li, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536)
+        dim_side = part_ds.map_batches(
+            _dim, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536)
+        partials = _cogroup(li_side, dim_side, _grp,
+                            coalesce).to_pandas()
     rev = (int(partials["r_hi"].sum()) << _SHIFT) + int(
         partials["r_lo"].sum())
     out = pa.table({
@@ -656,7 +764,8 @@ def disjunctive_revenue(lineitem_ds, part_ds,
 
 def product_line_profit(lineitem_ds, part_ds, supplier_ds, nation_ds,
                         name_frag: str = "red",
-                        parts: int = 64, coalesce: int = 8):
+                        parts: int = 64, coalesce: int = 8,
+                        part_map=None, supp_map=None):
     """TPC-H Q9-style product-line profit: exact integer revenue of
     lineitems whose part name contains ``name_frag``, per (supplier
     nation, ship year). (The corpus has no partsupp/supplycost, so
@@ -668,6 +777,14 @@ def product_line_profit(lineitem_ds, part_ds, supplier_ds, nation_ds,
     domains chain with per-(suppkey, year) pre-aggregation between them;
     the 25-row nation dim maps names in the finish; per-(nation, year)
     sums cross as (hi, lo) pairs.
+
+    ``part_map``/``supp_map`` (size-gated FAST PATH, both required):
+    driver-read (p_partkey, p_name) and (s_suppkey, s_nationkey)
+    DataFrames passed only when BOTH dims fit the broadcast budget —
+    the name filter and the nation lookup then both happen INSIDE the
+    lineitem map_batches and the query becomes a ZERO-COGROUP plan
+    (map → dimension-bounded engine aggregate). If either is None the
+    fully shuffled cogroup chain runs. Output identical (pytest-pinned).
 
     Output: (nation, o_year, revenue_e4) sorted by (nation, o_year)."""
     import ray
@@ -765,18 +882,66 @@ def product_line_profit(lineitem_ds, part_ds, supplier_ds, nation_ds,
                                          ndf["n_name"])
     })
 
-    li_side = lineitem_ds.map_batches(
-        _li, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=65536)
-    part_side = part_ds.map_batches(
-        _part_dim, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=65536)
-    keyed_sk = _cogroup(li_side, part_side, _join_pk, coalesce)
-    supp_side = supplier_ds.map_batches(
-        _supp, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=65536)
-    grouped = _cogroup(keyed_sk, supp_side, _join_sk,
-                       coalesce).materialize()
+    if part_map is not None and supp_map is not None:
+        pdf = part_map
+        keep_pk = np.sort(pdf.loc[
+            pdf["p_name"].astype(str).str.contains(name_frag,
+                                                   regex=False),
+            "p_partkey"].to_numpy(np.int64))
+        sdf = supp_map.sort_values("s_suppkey")
+        maps_ref = ray.put((
+            keep_pk,
+            sdf["s_suppkey"].to_numpy(np.int64),
+            sdf["s_nationkey"].to_numpy(np.int64),
+        ))
+
+        def _li_bcast(b: pa.Table) -> pa.Table:
+            pks, sks, nat = cached_broadcast(maps_ref)
+            if len(pks) == 0 or len(sks) == 0:  # no matching dim rows
+                return _empty(s_nat=pa.int64(), o_year=pa.int64(),
+                              rev_hi=pa.int64(), rev_lo=pa.int64())
+            pk = b.column("l_partkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            sk = b.column("l_suppkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            pidx = np.searchsorted(pks, pk)
+            pidx = np.minimum(pidx, max(0, len(pks) - 1))
+            keep = pks[pidx] == pk
+            sidx = np.searchsorted(sks, sk)
+            sidx = np.minimum(sidx, max(0, len(sks) - 1))
+            keep &= sks[sidx] == sk
+            year = b.column("l_shipdate").to_numpy(
+                zero_copy_only=False).astype("datetime64[Y]").astype(
+                np.int64) + 1970
+            g = pd.DataFrame({
+                "s_nat": nat[sidx][keep],
+                "o_year": year[keep],
+                "rev": _rev_e4(b)[keep],
+            }).groupby(["s_nat", "o_year"], as_index=False)["rev"].sum()
+            rev = g["rev"].to_numpy(np.int64)
+            return pa.table({
+                "s_nat": pa.array(g["s_nat"].to_numpy(np.int64)),
+                "o_year": pa.array(g["o_year"].to_numpy(np.int64)),
+                "rev_hi": pa.array(rev >> _SHIFT),
+                "rev_lo": pa.array(rev & _MASK),
+            })
+
+        grouped = lineitem_ds.map_batches(
+            _li_bcast, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536).materialize()
+    else:
+        li_side = lineitem_ds.map_batches(
+            _li, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536)
+        part_side = part_ds.map_batches(
+            _part_dim, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536)
+        keyed_sk = _cogroup(li_side, part_side, _join_pk, coalesce)
+        supp_side = supplier_ds.map_batches(
+            _supp, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536)
+        grouped = _cogroup(keyed_sk, supp_side, _join_sk,
+                           coalesce).materialize()
     if grouped.count() == 0:
         from ..common import typed_empty
 
@@ -979,6 +1144,10 @@ def market_share(lineitem_ds, orders_ds, customer_ds, supplier_ds,
             sk_sorted, nat = cached_broadcast(smap_ref)
             sk = b.column("l_suppkey").to_numpy(
                 zero_copy_only=False).astype(np.int64)
+            if len(sk_sorted) == 0:  # empty dim: inner join drops all
+                return _empty(part=pa.int32(), o_orderkey=pa.int64(),
+                              is_share=pa.int64(), rev=pa.int64(),
+                              o_custkey=pa.int64(), o_year=pa.int64())
             idx = np.searchsorted(sk_sorted, sk)
             idx = np.minimum(idx, len(sk_sorted) - 1)
             found = sk_sorted[idx] == sk  # inner-join: unknown keys drop

@@ -1506,20 +1506,23 @@ def q_volume_shipping(sf_dir: str):
     )
 
 
-def _supplier_map(sf_dir: str):
-    """Size-gated supplier dim broadcast (q_orders_by_segment selector
-    discipline): driver-read (s_suppkey, s_nationkey) when the footer
-    row count fits the broadcast budget, else None → the op's shuffled
-    suppkey cogroup runs."""
+def _dim_map(sf_dir: str, table: str, columns):
+    """Size-gated dim broadcast source (q_orders_by_segment selector
+    discipline): driver-read the named columns when the footer row count
+    fits the broadcast budget, else None → the op's shuffled cogroup
+    runs. Used for the supplier/part sides of the tpch_deep chains."""
     import pyarrow.parquet as pq
 
     from .. import config as _cfg
 
-    if _footer_rows(sf_dir, "supplier") > _cfg.BROADCAST_BUDGET_ROWS:
+    if _footer_rows(sf_dir, table) > _cfg.BROADCAST_BUDGET_ROWS:
         return None
     return pq.read_table(
-        f"{sf_dir}/supplier.parquet",
-        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+        f"{sf_dir}/{table}.parquet", columns=columns).to_pandas()
+
+
+def _supplier_map(sf_dir: str):
+    return _dim_map(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
 
 
 def q_promo_revenue(sf_dir: str):
@@ -1531,6 +1534,7 @@ def q_promo_revenue(sf_dir: str):
               ["l_partkey", "l_extendedprice", "l_discount",
                "l_shipdate"]),
         _read(sf_dir, "part", ["p_partkey", "p_type"]),
+        part_map=_dim_map(sf_dir, "part", ["p_partkey", "p_type"]),
     )
 
 
@@ -1546,6 +1550,8 @@ def q_product_profit(sf_dir: str):
         _read(sf_dir, "part", ["p_partkey", "p_name"]),
         _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
         _read(sf_dir, "nation", ["n_nationkey", "n_name"]),
+        part_map=_dim_map(sf_dir, "part", ["p_partkey", "p_name"]),
+        supp_map=_supplier_map(sf_dir),
     )
 
 
@@ -1577,6 +1583,8 @@ def q_disjunct_revenue(sf_dir: str):
               ["l_partkey", "l_quantity", "l_extendedprice",
                "l_discount"]),
         _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]),
+        part_map=_dim_map(sf_dir, "part",
+                          ["p_partkey", "p_brand", "p_size"]),
     )
 
 

@@ -286,3 +286,56 @@ def test_supplier_broadcast_paths_bit_identical(ray_session):
         supp_map=smap).to_pandas()
     pd.testing.assert_frame_equal(c, d)
     assert len(c) == 2  # 1996 and 1997 market years
+
+
+def test_part_broadcast_paths_bit_identical(ray_session):
+    """The part_map (and part+supp for Q9) fast paths must emit EXACTLY
+    the shuffled cogroup's rows."""
+    li = _li_tbl([
+        {"ok": 1, "pk": 1, "sk": 100, "qty": 5, "price": 10.0,
+         "ship": "1996-09-15"},
+        {"ok": 2, "pk": 2, "sk": 200, "qty": 15, "price": 20.0,
+         "ship": "1996-09-20"},
+        {"ok": 3, "pk": 3, "sk": 100, "qty": 25, "price": 40.0,
+         "ship": "1996-10-02"},  # out of promo window, in disjunct
+    ])
+    part = pa.table({
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_type": pa.array(["PROMO", "ECONOMY", "PROMO"], pa.string()),
+        "p_brand": pa.array(["Brand#12", "Brand#23", "Brand#3"],
+                            pa.string()),
+        "p_size": pa.array([3, 9, 15], pa.int64()),
+        "p_name": pa.array(["red widget", "blue bolt", "red gear"],
+                           pa.string()),
+    })
+    pdf = part.to_pandas()
+    supp = pa.table({
+        "s_suppkey": pa.array([100, 200], pa.int64()),
+        "s_nationkey": pa.array([0, 1], pa.int64()),
+    })
+    nation = pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int64()),
+        "n_name": pa.array(["N0", "N1"], pa.string()),
+    })
+
+    a = TD.promo_revenue(_rd(li, 2), _rd(part)).to_pandas()
+    b = TD.promo_revenue(_rd(li, 2), _rd(part),
+                         part_map=pdf).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert int(a["promo_rev_e4"].iloc[0]) == 1000 * 100
+
+    c = TD.disjunctive_revenue(_rd(li, 2), _rd(part)).to_pandas()
+    d = TD.disjunctive_revenue(_rd(li, 2), _rd(part),
+                               part_map=pdf).to_pandas()
+    pd.testing.assert_frame_equal(c, d)
+    assert int(c["n_items"].iloc[0]) == 3
+
+    e = TD.product_line_profit(
+        _rd(li, 2), _rd(part), _rd(supp), _rd(nation)).to_pandas()
+    f = TD.product_line_profit(
+        _rd(li, 2), _rd(part), _rd(supp), _rd(nation),
+        part_map=pdf, supp_map=supp.to_pandas()).to_pandas()
+    pd.testing.assert_frame_equal(e, f)
+    # pk1 (1000·100) and pk3 (4000·100) both land in (N0, 1996)
+    assert len(e) == 1
+    assert int(e["revenue_e4"].iloc[0]) == 5000 * 100
