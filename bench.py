@@ -52,6 +52,7 @@ STDOUT_OMIT = frozenset({
     "global_rich_idle",
     "returned_revenue", "volume_shipping", "promo_revenue",
     "disjunct_revenue", "product_profit", "market_share",
+    "forecast_revenue", "top_supplier",
 })
 
 BENCH_QUERIES = [
@@ -164,6 +165,8 @@ BENCH_QUERIES = [
     "disjunct_revenue",
     "product_profit",
     "market_share",
+    "forecast_revenue",
+    "top_supplier",
 ]
 
 

@@ -1220,3 +1220,204 @@ def market_share(lineitem_ds, orders_ds, customer_ds, supplier_ds,
                    Sum("t_lo", alias_name="t_lo"))
         .map_batches(_finish, batch_format="pandas", batch_size=None)
     )
+
+
+def forecast_revenue(lineitem_ds, date_lo: str = "1996-01-01",
+                     date_hi: str = "1997-01-01",
+                     disc_lo: int = 5, disc_hi: int = 7,
+                     max_qty: int = 24):
+    """TPC-H Q6-style revenue-change forecast: one row — the exact
+    integer sum of ``price·discount`` over a ship-year window for
+    lineitems with discount in ``[disc_lo, disc_hi]`` percent and
+    quantity under ``max_qty``.
+
+    Shape — the simplest plan in the family and deliberately so: a pure
+    ZERO-SHUFFLE scan (filters vectorized per batch, one (hi, lo)
+    partial row per batch, bounded driver fold). Discounts compare as
+    ``round(disc·100)`` integers, so the boundary rows agree with the
+    SQL oracle exactly (a float BETWEEN would be ULP-fragile).
+
+    Output: (revenue_e4, n_items) — revenue_e4 = Σ cents·disc_pct."""
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    def _scan(b: pa.Table) -> pa.Table:
+        d = b.column("l_shipdate")
+        b = b.filter(pc.and_(
+            pc.greater_equal(d, pa.scalar(lo, pa.timestamp("us"))),
+            pc.less(d, pa.scalar(hi, pa.timestamp("us"))),
+        ))
+        disc = np.rint(
+            b.column("l_discount").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        qty = np.rint(
+            b.column("l_quantity").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        keep = (disc >= disc_lo) & (disc <= disc_hi) & (qty < max_qty)
+        cents = np.rint(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        rev = int((cents[keep] * disc[keep]).sum())
+        return pa.table({
+            "r_hi": pa.array([rev >> _SHIFT], pa.int64()),
+            "r_lo": pa.array([rev & _MASK], pa.int64()),
+            "cnt": pa.array([int(keep.sum())], pa.int64()),
+        })
+
+    partials = lineitem_ds.map_batches(
+        _scan, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536).to_pandas()  # one row per input batch
+    rev = (int(partials["r_hi"].sum()) << _SHIFT) + int(
+        partials["r_lo"].sum())
+    out = pa.table({
+        "revenue_e4": pa.array([rev], pa.int64()),
+        "n_items": pa.array([int(partials["cnt"].sum())], pa.int64()),
+    })
+    import ray.data as rd
+
+    return rd.from_arrow(out)
+
+
+def top_supplier(lineitem_ds, supplier_ds,
+                 date_lo: str = "1996-01-01", date_hi: str = "1996-04-01",
+                 parts: int = 64, coalesce: int = 8, supp_map=None):
+    """TPC-H Q15-style top supplier: the supplier(s) with MAX exact
+    integer revenue over a ship-date window — ties all kept (the Q15
+    view + equality semantics).
+
+    Shape — per-batch (suppkey, rev) partials collapse lineitem to
+    supplier cardinality before ONE suppkey-hash cogroup attaches the
+    name; the global max is a two-int driver fold over the
+    supplier-cardinality result (bounded by the dim, never rows).
+    Per-supplier Σrev_e4 stays in int64 (per-supplier lineitem count is
+    corpus-bounded ~600× regardless of SF — headroom ~10^9 items per
+    supplier).
+
+    ``supp_map`` (size-gated FAST PATH): driver-read (s_suppkey,
+    s_name); the name attach then happens in the partial map and the
+    plan needs only the tiny engine aggregate. Identical output
+    (pytest-pinned).
+
+    Output: (s_suppkey, s_name, total_rev_e4), one row per tied winner,
+    sorted by s_suppkey."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..common import cached_broadcast
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    def _rev_partial(b: pa.Table) -> pd.DataFrame:
+        d = b.column("l_shipdate")
+        b = b.filter(pc.and_(
+            pc.greater_equal(d, pa.scalar(lo, pa.timestamp("us"))),
+            pc.less(d, pa.scalar(hi, pa.timestamp("us"))),
+        ))
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return pd.DataFrame({"s_suppkey": sk, "rev": _rev_e4(b)}).groupby(
+            "s_suppkey", as_index=False)["rev"].sum()
+
+    if supp_map is not None:
+        sdf = supp_map.sort_values("s_suppkey")
+        smap_ref = ray.put((
+            sdf["s_suppkey"].to_numpy(np.int64),
+            sdf["s_name"].to_numpy(object),
+        ))
+
+        def _li_bcast(b: pa.Table) -> pa.Table:
+            sk_sorted, names = cached_broadcast(smap_ref)
+            g = _rev_partial(b)
+            sk = g["s_suppkey"].to_numpy(np.int64)
+            if len(sk_sorted) == 0:
+                return _empty(s_suppkey=pa.int64(), s_name=pa.string(),
+                              total_rev_e4=pa.int64())
+            idx = np.searchsorted(sk_sorted, sk)
+            idx = np.minimum(idx, len(sk_sorted) - 1)
+            found = sk_sorted[idx] == sk
+            return pa.table({
+                "s_suppkey": pa.array(sk[found]),
+                "s_name": pa.array(
+                    [str(x) for x in names[idx][found]], pa.string()),
+                "total_rev_e4": pa.array(
+                    g["rev"].to_numpy(np.int64)[found]),
+            })
+
+        per_supp = (
+            lineitem_ds.map_batches(
+                _li_bcast, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=65536)
+            # supplier-cardinality partials → 2 lanes (dim spacing rule)
+            .repartition(2)
+            .groupby(["s_suppkey", "s_name"])
+            .aggregate(Sum("total_rev_e4", alias_name="total_rev_e4"))
+        )
+    else:
+        def _li(b: pa.Table) -> pa.Table:
+            g = _rev_partial(b)
+            sk = g["s_suppkey"].to_numpy(np.int64)
+            return pa.table({
+                "part": _mod_part(sk, parts),
+                "s_suppkey": pa.array(sk),
+                "rev": pa.array(g["rev"].to_numpy(np.int64)),
+                "s_name": pa.array([""] * len(sk), pa.string()),
+                "is_dim": pa.array(np.zeros(len(sk), np.int8), pa.int8()),
+            })
+
+        def _dim(b: pa.Table) -> pa.Table:
+            sk = b.column("s_suppkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            n = len(sk)
+            return pa.table({
+                "part": _mod_part(sk, parts),
+                "s_suppkey": pa.array(sk),
+                "rev": pa.array(np.zeros(n, np.int64)),
+                "s_name": b.column("s_name"),
+                "is_dim": pa.array(np.ones(n, np.int8), pa.int8()),
+            })
+
+        def _grp(g: pd.DataFrame) -> pa.Table:
+            fact = g[g["is_dim"] == 0]
+            dim = g[g["is_dim"] == 1].drop_duplicates("s_suppkey")
+            agg = fact.groupby("s_suppkey", as_index=False)["rev"].sum()
+            m = agg.merge(dim[["s_suppkey", "s_name"]], on="s_suppkey",
+                          how="inner")
+            if m.empty:
+                return _empty(s_suppkey=pa.int64(), s_name=pa.string(),
+                              total_rev_e4=pa.int64())
+            return pa.table({
+                "s_suppkey": pa.array(m["s_suppkey"].to_numpy(np.int64)),
+                "s_name": pa.array(m["s_name"].astype(str).tolist(),
+                                   pa.string()),
+                "total_rev_e4": pa.array(m["rev"].to_numpy(np.int64)),
+            })
+
+        li_side = lineitem_ds.map_batches(
+            _li, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536)
+        dim_side = supplier_ds.map_batches(
+            _dim, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536)
+        per_supp = _cogroup(li_side, dim_side, _grp, coalesce)
+
+    # supplier-cardinality frame: the max + tie filter is a bounded
+    # driver fold (same bound the sketch finalizers use)
+    df = per_supp.to_pandas()
+    if df.empty:
+        from ..common import typed_empty
+
+        return typed_empty(s_suppkey=pa.int64(), s_name=pa.string(),
+                           total_rev_e4=pa.int64())
+    best = int(df["total_rev_e4"].max())
+    w = df[df["total_rev_e4"] == best].sort_values(
+        "s_suppkey").reset_index(drop=True)
+    out = pa.table({
+        "s_suppkey": pa.array(w["s_suppkey"].to_numpy(np.int64)),
+        "s_name": pa.array(w["s_name"].astype(str).tolist(), pa.string()),
+        "total_rev_e4": pa.array(w["total_rev_e4"].to_numpy(np.int64)),
+    })
+    import ray.data as rd
+
+    return rd.from_arrow(out)

@@ -1573,6 +1573,30 @@ def q_market_share(sf_dir: str):
     )
 
 
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6-style revenue forecast: zero-shuffle scan, integer
+    discount boundaries (round(disc*100) in [5,7]), one (hi,lo) partial
+    per batch; see ops.tpch_deep.forecast_revenue."""
+    return TD.forecast_revenue(
+        _read(sf_dir, "lineitem",
+              ["l_quantity", "l_extendedprice", "l_discount",
+               "l_shipdate"]),
+    )
+
+
+def q_top_supplier(sf_dir: str):
+    """TPC-H Q15-style top supplier(s) by windowed revenue, ties kept
+    (supplier-cardinality fold; size-gated name broadcast; see
+    ops.tpch_deep.top_supplier)."""
+    return TD.top_supplier(
+        _read(sf_dir, "lineitem",
+              ["l_suppkey", "l_extendedprice", "l_discount",
+               "l_shipdate"]),
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+        supp_map=_dim_map(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+    )
+
+
 def q_disjunct_revenue(sf_dir: str):
     """TPC-H Q19-style disjunctive brand/size/quantity revenue (quantity
     pre-filter to the branch-range union below the shuffle, (partkey,
@@ -1793,6 +1817,8 @@ def _all_queries() -> dict:
         "disjunct_revenue": q_disjunct_revenue,
         "product_profit": q_product_profit,
         "market_share": q_market_share,
+        "forecast_revenue": q_forecast_revenue,
+        "top_supplier": q_top_supplier,
         "token_rarity": q_token_rarity,
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
@@ -2493,6 +2519,35 @@ def oracle_sql() -> dict:
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20) "
             "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 "
             "AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)"
+        ),
+        "forecast_revenue": (
+            # Q6-style: integer discount boundaries — round(disc*100)
+            # BETWEEN 5 AND 7 matches the Ray side's exact integer
+            # compare where a float BETWEEN would be ULP-fragile
+            "SELECT CAST(coalesce(sum("
+            "CAST(round(l_extendedprice * 100) AS HUGEINT) * "
+            "CAST(round(l_discount * 100) AS HUGEINT)), 0) AS BIGINT) "
+            "AS revenue_e4, CAST(count(*) AS BIGINT) AS n_items "
+            "FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7 "
+            "AND CAST(round(l_quantity) AS BIGINT) < 24"
+        ),
+        "top_supplier": (
+            # Q15-style: max-revenue supplier(s) over the window, ties
+            # kept via the equality the view form implies
+            "WITH rev AS (SELECT l_suppkey AS s_suppkey, CAST(sum("
+            "CAST(round(l_extendedprice * 100) AS HUGEINT) * "
+            "CAST(round((1 - l_discount) * 100) AS HUGEINT)) AS BIGINT) "
+            "AS total_rev_e4 FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' "
+            "GROUP BY 1) "
+            "SELECT s.s_suppkey, s.s_name, r.total_rev_e4 "
+            "FROM rev r JOIN supplier s ON s.s_suppkey = r.s_suppkey "
+            "WHERE r.total_rev_e4 = (SELECT max(total_rev_e4) FROM rev) "
+            "ORDER BY s.s_suppkey"
         ),
         "product_profit": (
             # Q9-style: name-filtered part dim, revenue per (supplier

@@ -339,3 +339,42 @@ def test_part_broadcast_paths_bit_identical(ray_session):
     # pk1 (1000·100) and pk3 (4000·100) both land in (N0, 1996)
     assert len(e) == 1
     assert int(e["revenue_e4"].iloc[0]) == 5000 * 100
+
+
+def test_forecast_revenue_boundaries(ray_session):
+    li = _li_tbl([
+        {"ok": 1, "qty": 10, "price": 100.0, "disc": 0.05,
+         "ship": "1996-06-01"},   # in: disc 5, qty<24
+        {"ok": 2, "qty": 10, "price": 100.0, "disc": 0.07,
+         "ship": "1996-06-01"},   # in: boundary disc 7
+        {"ok": 3, "qty": 10, "price": 100.0, "disc": 0.08,
+         "ship": "1996-06-01"},   # out: disc 8
+        {"ok": 4, "qty": 24, "price": 100.0, "disc": 0.06,
+         "ship": "1996-06-01"},   # out: qty == 24
+        {"ok": 5, "qty": 10, "price": 100.0, "disc": 0.06,
+         "ship": "1997-01-01"},   # out: window end exclusive
+    ])
+    out = TD.forecast_revenue(_rd(li, 2)).to_pandas()
+    assert int(out["n_items"].iloc[0]) == 2
+    assert int(out["revenue_e4"].iloc[0]) == 10000 * 5 + 10000 * 7
+
+
+def test_top_supplier_ties_and_paths(ray_session):
+    li = _li_tbl([
+        {"ok": 1, "sk": 1, "price": 100.0, "ship": "1996-02-01"},
+        {"ok": 2, "sk": 2, "price": 60.0, "ship": "1996-02-01"},
+        {"ok": 3, "sk": 2, "price": 40.0, "ship": "1996-02-02"},  # tie: 100
+        {"ok": 4, "sk": 3, "price": 10.0, "ship": "1996-02-03"},
+        {"ok": 5, "sk": 1, "price": 999.0, "ship": "1996-05-01"},  # out
+    ])
+    supp = pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["sa", "sb", "sc"], pa.string()),
+    })
+    a = TD.top_supplier(_rd(li, 2), _rd(supp)).to_pandas()
+    b = TD.top_supplier(_rd(li, 2), _rd(supp),
+                        supp_map=supp.to_pandas()).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert list(a["s_suppkey"]) == [1, 2]  # both at 100.00 revenue
+    assert set(a["s_name"]) == {"sa", "sb"}
+    assert (a["total_rev_e4"] == 10000 * 100).all()
