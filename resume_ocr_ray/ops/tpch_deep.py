@@ -193,6 +193,8 @@ def returned_item_revenue(lineitem_ds, orders_ds, customer_ds, nation_ds,
     })
 
     def _name(b: pa.Table) -> pa.Table:
+        # runs on ≤ k rows (AFTER topk_exact): the name attach must not
+        # map over customer cardinality when only the top-k survive
         nm = cached_broadcast(names_ref)
         nk = b.column("c_nationkey").to_pylist()
         return pa.table({
@@ -203,12 +205,13 @@ def returned_item_revenue(lineitem_ds, orders_ds, customer_ds, nation_ds,
             "revenue_e4": b.column("revenue_e4"),
         })
 
-    return topk_exact(
-        per_cust.map_batches(_name, batch_format="pyarrow",
-                             zero_copy_batch=True, batch_size=65536),
+    top = topk_exact(
+        per_cust,
         [("revenue_e4", "descending"), ("c_custkey", "ascending")],
         k,
     )
+    return top.map_batches(_name, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
 
 
 def volume_shipping(lineitem_ds, orders_ds, customer_ds, supplier_ds,
@@ -1402,17 +1405,35 @@ def top_supplier(lineitem_ds, supplier_ds,
             batch_size=65536)
         per_supp = _cogroup(li_side, dim_side, _grp, coalesce)
 
-    # supplier-cardinality frame: the max + tie filter is a bounded
-    # driver fold (same bound the sketch finalizers use)
-    df = per_supp.to_pandas()
-    if df.empty:
+    # The max is an ENGINE aggregate and only the tied winners reach the
+    # driver: supplier cardinality grows with SF (10k/SF in TPC-H
+    # shape), so a full per-supplier driver fold would NOT be bounded —
+    # this is the distributed argmax shape (same as topk_exact's merge,
+    # k = tie count). materialize: per_supp is consumed twice (max probe
+    # + winner filter) and is already reduced to supplier cardinality.
+    from ray.data.aggregate import Max
+
+    per_supp = per_supp.materialize()
+    agg = per_supp.aggregate(Max("total_rev_e4"))
+    best = agg.get("max(total_rev_e4)") if agg else None
+    if best is None:
         from ..common import typed_empty
 
         return typed_empty(s_suppkey=pa.int64(), s_name=pa.string(),
                            total_rev_e4=pa.int64())
-    best = int(df["total_rev_e4"].max())
-    w = df[df["total_rev_e4"] == best].sort_values(
-        "s_suppkey").reset_index(drop=True)
+    best = int(best)
+
+    def _winners(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("total_rev_e4"),
+                              pa.scalar(best, pa.int64())))
+        return b.select(["s_suppkey", "s_name", "total_rev_e4"])
+
+    w = (
+        per_supp.map_batches(_winners, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+        .to_pandas()  # tie-count rows only
+        .sort_values("s_suppkey").reset_index(drop=True)
+    )
     out = pa.table({
         "s_suppkey": pa.array(w["s_suppkey"].to_numpy(np.int64)),
         "s_name": pa.array(w["s_name"].astype(str).tolist(), pa.string()),
