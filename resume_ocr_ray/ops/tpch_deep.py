@@ -1291,8 +1291,9 @@ def top_supplier(lineitem_ds, supplier_ds,
 
     Shape — per-batch (suppkey, rev) partials collapse lineitem to
     supplier cardinality before ONE suppkey-hash cogroup attaches the
-    name; the global max is a two-int driver fold over the
-    supplier-cardinality result (bounded by the dim, never rows).
+    name; the global max is an ENGINE ``Max`` aggregate and only the
+    tied winners are filtered out to the driver (supplier cardinality
+    grows with SF, so no per-supplier driver fold).
     Per-supplier Σrev_e4 stays in int64 (per-supplier lineitem count is
     corpus-bounded ~600× regardless of SF — headroom ~10^9 items per
     supplier).

@@ -1586,8 +1586,8 @@ def q_forecast_revenue(sf_dir: str):
 
 def q_top_supplier(sf_dir: str):
     """TPC-H Q15-style top supplier(s) by windowed revenue, ties kept
-    (supplier-cardinality fold; size-gated name broadcast; see
-    ops.tpch_deep.top_supplier)."""
+    (engine Max argmax — only tied winners reach the driver; size-gated
+    name broadcast; see ops.tpch_deep.top_supplier)."""
     return TD.top_supplier(
         _read(sf_dir, "lineitem",
               ["l_suppkey", "l_extendedprice", "l_discount",
