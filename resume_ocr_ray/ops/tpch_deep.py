@@ -1443,3 +1443,109 @@ def top_supplier(lineitem_ds, supplier_ds,
     import ray.data as rd
 
     return rd.from_arrow(out)
+
+
+def order_priority(orders_ds, lineitem_ds,
+                   date_lo: str = "1996-01-01",
+                   date_hi: str = "1997-01-01",
+                   late_days: int = 1200,
+                   parts: int = 64, coalesce: int = 8):
+    """TPC-H Q4-style order-priority check: count orders per
+    ``o_orderpriority`` whose order date falls in ``[date_lo, date_hi)``
+    and for which AT LEAST ONE lineitem shipped later than
+    ``o_orderdate + late_days`` (the synthetic lineitem carries only
+    ``l_shipdate``, so the Q4 commit-vs-receipt lateness predicate is
+    recast as ship-vs-order lateness; ~30% of window orders qualify at
+    the 1200-day default on the TPC-H-shaped corpus).
+
+    Shape — EXISTS(l_shipdate > o_orderdate + D) ⟺
+    max(l_shipdate) > o_orderdate + D, so the fact side collapses to ONE
+    (orderkey, max_ship) row per key per batch BEFORE the single
+    orderkey-hash cogroup; the orders window filter is pushed below the
+    shuffle; each cogroup partition emits ≤5 per-priority partial counts
+    and the final engine Sum runs over priority cardinality (5 rows).
+    No driver-side fold beyond the 5-row result.
+
+    (Reference analog: the per-request failure/success counters grouped
+    by a request attribute — app/routers/analysis.py's counter rollup —
+    generalized to a semi-join qualifier.)
+
+    Output: (o_orderpriority, order_count), sorted by priority."""
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+    late_us = np.int64(late_days) * 86_400_000_000
+
+    def _fact(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        ship = b.column("l_shipdate").to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        g = pd.DataFrame({"k": ok, "s": ship}).groupby(
+            "k", as_index=False)["s"].max()
+        k = g["k"].to_numpy(np.int64)
+        return pa.table({
+            "part": _mod_part(k, parts),
+            "o_orderkey": pa.array(k),
+            "ts_us": pa.array(g["s"].to_numpy(np.int64)),
+            "o_orderpriority": pa.array([""] * len(k), pa.string()),
+            "is_dim": pa.array(np.zeros(len(k), np.int8), pa.int8()),
+        })
+
+    def _dim(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate")
+        b = b.filter(pc.and_(
+            pc.greater_equal(d, pa.scalar(lo, pa.timestamp("us"))),
+            pc.less(d, pa.scalar(hi, pa.timestamp("us"))),
+        ))
+        k = b.column("o_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        od = b.column("o_orderdate").to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        return pa.table({
+            "part": _mod_part(k, parts),
+            "o_orderkey": pa.array(k),
+            "ts_us": pa.array(od),
+            "o_orderpriority": b.column("o_orderpriority"),
+            "is_dim": pa.array(np.ones(len(k), np.int8), pa.int8()),
+        })
+
+    def _grp(g: pd.DataFrame) -> pa.Table:
+        dim = g[g["is_dim"] == 1]
+        if dim.empty:
+            return _empty(o_orderpriority=pa.string(),
+                          order_count=pa.int64())
+        fact = g[g["is_dim"] == 0]
+        # per-key max over the per-batch partial maxima
+        ms = fact.groupby("o_orderkey", as_index=False)["ts_us"].max()
+        m = dim.merge(ms, on="o_orderkey", how="inner",
+                      suffixes=("_o", "_s"))
+        late = m[m["ts_us_s"].to_numpy(np.int64)
+                 > m["ts_us_o"].to_numpy(np.int64) + late_us]
+        if late.empty:
+            return _empty(o_orderpriority=pa.string(),
+                          order_count=pa.int64())
+        cnt = late.groupby("o_orderpriority", as_index=False).size()
+        return pa.table({
+            "o_orderpriority": pa.array(
+                cnt["o_orderpriority"].astype(str).tolist(), pa.string()),
+            "order_count": pa.array(cnt["size"].to_numpy(np.int64)),
+        })
+
+    fact_side = lineitem_ds.map_batches(
+        _fact, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+    dim_side = orders_ds.map_batches(
+        _dim, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+    return (
+        # ≤5 priority keys — 2 lanes so the sort-groupby's boundary
+        # sampling never manufactures schema-less empty ranges (the
+        # dimension-bounded spacing rule used across this module)
+        _cogroup(fact_side, dim_side, _grp, coalesce)
+        .repartition(2)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("order_count", alias_name="order_count"))
+        .sort("o_orderpriority")
+    )

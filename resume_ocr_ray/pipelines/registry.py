@@ -1597,6 +1597,18 @@ def q_top_supplier(sf_dir: str):
     )
 
 
+def q_order_priority(sf_dir: str):
+    """TPC-H Q4-style order-priority check: per-priority count of
+    window orders with a late-shipping lineitem (EXISTS recast as a
+    per-order max-shipdate partial + one orderkey cogroup; see
+    ops.tpch_deep.order_priority)."""
+    return TD.order_priority(
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_orderdate", "o_orderpriority"]),
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]),
+    )
+
+
 def q_disjunct_revenue(sf_dir: str):
     """TPC-H Q19-style disjunctive brand/size/quantity revenue (quantity
     pre-filter to the branch-range union below the shuffle, (partkey,
@@ -1819,6 +1831,7 @@ def _all_queries() -> dict:
         "market_share": q_market_share,
         "forecast_revenue": q_forecast_revenue,
         "top_supplier": q_top_supplier,
+        "order_priority": q_order_priority,
         "token_rarity": q_token_rarity,
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
@@ -2548,6 +2561,21 @@ def oracle_sql() -> dict:
             "FROM rev r JOIN supplier s ON s.s_suppkey = r.s_suppkey "
             "WHERE r.total_rev_e4 = (SELECT max(total_rev_e4) FROM rev) "
             "ORDER BY s.s_suppkey"
+        ),
+        "order_priority": (
+            # Q4-style: EXISTS(l_shipdate > o_orderdate + 1200 days)
+            # ⟺ max(l_shipdate) > o_orderdate + 1200 days — the Ray
+            # side's per-order max-shipdate partial is the same
+            # predicate; count(*) is BIGINT → int64 on both sides
+            "SELECT o_orderpriority, "
+            "CAST(count(*) AS BIGINT) AS order_count "
+            "FROM orders o "
+            "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey "
+            "AND l.l_shipdate > o.o_orderdate + INTERVAL 1200 DAY) "
+            "GROUP BY 1 ORDER BY 1"
         ),
         "product_profit": (
             # Q9-style: name-filtered part dim, revenue per (supplier
