@@ -1549,3 +1549,188 @@ def order_priority(orders_ds, lineitem_ds,
         .aggregate(Sum("order_count", alias_name="order_count"))
         .sort("o_orderpriority")
     )
+
+
+def customer_distribution(orders_ds, customer_ds,
+                          exclude_priority: str = "1-URGENT",
+                          parts: int = 64, coalesce: int = 8):
+    """TPC-H Q13-style customer order-count distribution: for every
+    customer, the number of their orders OUTSIDE ``exclude_priority``
+    (the synthetic orders table has no ``o_comment``, so Q13's
+    ``not like '%special%requests%'`` anti-predicate is recast onto
+    ``o_orderpriority``), then the histogram of customers per order
+    count — INCLUDING the zero-order customers the left join keeps.
+
+    Shape — per-batch (custkey, n) partials collapse orders to customer
+    cardinality before ONE custkey-hash cogroup; the left-join-with-zero
+    happens per partition (dim custkeys absent from the fact side emit
+    c_count=0); each partition then folds to ≤ max-orders-per-customer
+    histogram partials, so the engine Sum and the final sort run over
+    c_count cardinality (≲40 rows), never customer cardinality.
+
+    (Reference analog: the per-user upload-count rollup the Mongo audit
+    log supports — app/routers/analysis.py counters — extended with the
+    zero-activity users.)
+
+    Output: (c_count, custdist) sorted custdist DESC, c_count DESC
+    (total order: c_count is unique)."""
+    from ray.data.aggregate import Sum
+
+    def _fact(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.not_equal(b.column("o_orderpriority"),
+                                  pa.scalar(exclude_priority)))
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        g = pd.DataFrame({"k": ck}).groupby("k", as_index=False).size()
+        k = g["k"].to_numpy(np.int64)
+        return pa.table({
+            "part": _mod_part(k, parts),
+            "c_custkey": pa.array(k),
+            "n": pa.array(g["size"].to_numpy(np.int64)),
+            "is_dim": pa.array(np.zeros(len(k), np.int8), pa.int8()),
+        })
+
+    def _dim(b: pa.Table) -> pa.Table:
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = len(ck)
+        return pa.table({
+            "part": _mod_part(ck, parts),
+            "c_custkey": pa.array(ck),
+            "n": pa.array(np.zeros(n, np.int64)),
+            "is_dim": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    def _grp(g: pd.DataFrame) -> pa.Table:
+        dim = g[g["is_dim"] == 1]
+        if dim.empty:
+            return _empty(c_count=pa.int64(), custdist=pa.int64())
+        fact = g[g["is_dim"] == 0]
+        per_cust = fact.groupby("c_custkey", as_index=False)["n"].sum()
+        m = dim[["c_custkey"]].drop_duplicates().merge(
+            per_cust, on="c_custkey", how="left")
+        counts = m["n"].fillna(0).to_numpy(np.int64)
+        hist = pd.DataFrame({"c": counts}).groupby(
+            "c", as_index=False).size()
+        return pa.table({
+            "c_count": pa.array(hist["c"].to_numpy(np.int64)),
+            "custdist": pa.array(hist["size"].to_numpy(np.int64)),
+        })
+
+    fact_side = orders_ds.map_batches(
+        _fact, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+    dim_side = customer_ds.map_batches(
+        _dim, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+    return (
+        # ≲40 c_count keys — 2 lanes (the dimension-bounded spacing rule)
+        _cogroup(fact_side, dim_side, _grp, coalesce)
+        .repartition(2)
+        .groupby("c_count")
+        .aggregate(Sum("custdist", alias_name="custdist"))
+        .sort(["custdist", "c_count"], descending=[True, True])
+    )
+
+
+def priority_class_lines(lineitem_ds, orders_ds,
+                         date_lo: str = "1996-01-01",
+                         date_hi: str = "1997-01-01",
+                         parts: int = 64, coalesce: int = 8):
+    """TPC-H Q12-style line counts by class: per ``l_returnflag``
+    (standing in for Q12's absent ``l_shipmode``), how many
+    window-shipped lineitems belong to high-priority orders
+    ('1-URGENT'/'2-HIGH') vs the rest.
+
+    Shape — per-batch (orderkey, flag, cnt) partials collapse the
+    window-filtered lineitem before ONE orderkey-hash cogroup attaches
+    ``o_orderpriority``; each partition folds to ≤3 per-flag
+    (high, low) partials and the engine Sum runs over returnflag
+    cardinality. No driver fold beyond the ≤3-row result.
+
+    (Reference analog: the success/failure counter split per request
+    attribute — app/routers/analysis.py — as a two-way CASE aggregate.)
+
+    Output: (l_returnflag, high_line_count, low_line_count) sorted by
+    flag."""
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    def _fact(b: pa.Table) -> pa.Table:
+        d = b.column("l_shipdate")
+        b = b.filter(pc.and_(
+            pc.greater_equal(d, pa.scalar(lo, pa.timestamp("us"))),
+            pc.less(d, pa.scalar(hi, pa.timestamp("us"))),
+        ))
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        fl = b.column("l_returnflag").to_pandas()
+        g = pd.DataFrame({"k": ok, "f": fl}).groupby(
+            ["k", "f"], as_index=False).size()
+        k = g["k"].to_numpy(np.int64)
+        return pa.table({
+            "part": _mod_part(k, parts),
+            "o_orderkey": pa.array(k),
+            "flag": pa.array(g["f"].astype(str).tolist(), pa.string()),
+            "cnt": pa.array(g["size"].to_numpy(np.int64)),
+            "prio": pa.array([""] * len(k), pa.string()),
+            "is_dim": pa.array(np.zeros(len(k), np.int8), pa.int8()),
+        })
+
+    def _dim(b: pa.Table) -> pa.Table:
+        k = b.column("o_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = len(k)
+        return pa.table({
+            "part": _mod_part(k, parts),
+            "o_orderkey": pa.array(k),
+            "flag": pa.array([""] * n, pa.string()),
+            "cnt": pa.array(np.zeros(n, np.int64)),
+            "prio": b.column("o_orderpriority"),
+            "is_dim": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    def _grp(g: pd.DataFrame) -> pa.Table:
+        fact = g[g["is_dim"] == 0]
+        if fact.empty:
+            return _empty(l_returnflag=pa.string(),
+                          high_line_count=pa.int64(),
+                          low_line_count=pa.int64())
+        dim = g[g["is_dim"] == 1].drop_duplicates("o_orderkey")
+        m = fact.merge(dim[["o_orderkey", "prio"]], on="o_orderkey",
+                       how="inner", suffixes=("_f", "_d"))
+        if m.empty:
+            return _empty(l_returnflag=pa.string(),
+                          high_line_count=pa.int64(),
+                          low_line_count=pa.int64())
+        high = m["prio_d"].isin(["1-URGENT", "2-HIGH"]).to_numpy()
+        cnt = m["cnt"].to_numpy(np.int64)
+        agg = pd.DataFrame({
+            "flag": m["flag"].to_numpy(object),
+            "h": np.where(high, cnt, 0),
+            "l": np.where(high, 0, cnt),
+        }).groupby("flag", as_index=False).sum()
+        return pa.table({
+            "l_returnflag": pa.array(
+                agg["flag"].astype(str).tolist(), pa.string()),
+            "high_line_count": pa.array(agg["h"].to_numpy(np.int64)),
+            "low_line_count": pa.array(agg["l"].to_numpy(np.int64)),
+        })
+
+    fact_side = lineitem_ds.map_batches(
+        _fact, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+    dim_side = orders_ds.map_batches(
+        _dim, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+    return (
+        # ≤3 returnflag keys — 2 lanes (dimension-bounded spacing rule)
+        _cogroup(fact_side, dim_side, _grp, coalesce)
+        .repartition(2)
+        .groupby("l_returnflag")
+        .aggregate(Sum("high_line_count", alias_name="high_line_count"),
+                   Sum("low_line_count", alias_name="low_line_count"))
+        .sort("l_returnflag")
+    )

@@ -1609,6 +1609,28 @@ def q_order_priority(sf_dir: str):
     )
 
 
+def q_customer_distribution(sf_dir: str):
+    """TPC-H Q13-style customer order-count distribution: histogram of
+    customers per non-URGENT order count, zero-order customers included
+    via the per-partition left join (see
+    ops.tpch_deep.customer_distribution)."""
+    return TD.customer_distribution(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]),
+        _read(sf_dir, "customer", ["c_custkey"]),
+    )
+
+
+def q_priority_class_lines(sf_dir: str):
+    """TPC-H Q12-style line counts by class: per returnflag, 1996-shipped
+    lineitems split into high-priority-order vs low counts (one orderkey
+    cogroup; see ops.tpch_deep.priority_class_lines)."""
+    return TD.priority_class_lines(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_returnflag", "l_shipdate"]),
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]),
+    )
+
+
 def q_disjunct_revenue(sf_dir: str):
     """TPC-H Q19-style disjunctive brand/size/quantity revenue (quantity
     pre-filter to the branch-range union below the shuffle, (partkey,
@@ -1832,6 +1854,8 @@ def _all_queries() -> dict:
         "forecast_revenue": q_forecast_revenue,
         "top_supplier": q_top_supplier,
         "order_priority": q_order_priority,
+        "customer_distribution": q_customer_distribution,
+        "priority_class_lines": q_priority_class_lines,
         "token_rarity": q_token_rarity,
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
@@ -2575,6 +2599,34 @@ def oracle_sql() -> dict:
             "AND EXISTS (SELECT 1 FROM lineitem l "
             "WHERE l.l_orderkey = o.o_orderkey "
             "AND l.l_shipdate > o.o_orderdate + INTERVAL 1200 DAY) "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "customer_distribution": (
+            # Q13-style: left join keeps zero-order customers; counts
+            # are BIGINT-cast so both hist columns hash as int64
+            "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist "
+            "FROM (SELECT c.c_custkey, "
+            "CAST(count(o.o_orderkey) AS BIGINT) AS c_count "
+            "FROM customer c LEFT JOIN orders o "
+            "ON c.c_custkey = o.o_custkey "
+            "AND o.o_orderpriority <> '1-URGENT' "
+            "GROUP BY 1) GROUP BY 1 "
+            "ORDER BY custdist DESC, c_count DESC"
+        ),
+        "priority_class_lines": (
+            # Q12-style with l_returnflag standing in for the absent
+            # l_shipmode; CASE sums BIGINT-cast for int64 hash parity
+            "SELECT l_returnflag, "
+            "CAST(sum(CASE WHEN o.o_orderpriority IN "
+            "('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS high_line_count, "
+            "CAST(sum(CASE WHEN o.o_orderpriority NOT IN "
+            "('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS low_line_count "
+            "FROM lineitem l JOIN orders o "
+            "ON l.l_orderkey = o.o_orderkey "
+            "WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l.l_shipdate < TIMESTAMP '1997-01-01' "
             "GROUP BY 1 ORDER BY 1"
         ),
         "product_profit": (
