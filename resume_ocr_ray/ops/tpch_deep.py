@@ -1734,3 +1734,467 @@ def priority_class_lines(lineitem_ds, orders_ds,
                    Sum("low_line_count", alias_name="low_line_count"))
         .sort("l_returnflag")
     )
+
+
+def important_parts(lineitem_ds, parts: int = 64):
+    """TPC-H Q11-style important stock: parts whose total shipped value
+    (Σ ``round(l_extendedprice·100)`` cents — the synthetic corpus has
+    no partsupp, so Q11's ``ps_supplycost·ps_availqty`` is recast onto
+    lineitem value) exceeds the ALL-PARTS AVERAGE, i.e.
+    ``value_cents · n_parts > total_value`` — the same
+    fraction-of-global-sum shape as Q11's ``> sum(...)·fraction``.
+
+    Shape — per-batch (partkey, cents) partials collapse lineitem to
+    part cardinality before ONE engine groupby-Sum; the per-part table
+    is materialized ONCE (part cardinality, grows with SF but it is the
+    query's own output dimension) and re-consumed for (a) the 2-scalar
+    engine Sum/Count global probe and (b) the threshold filter — the
+    driver sees exactly 2 scalars, and the integer threshold
+    ``value > total // n`` is bit-equivalent to ``value·n > total``
+    (strict ``>`` with integer value), so no int64 overflow at any SF.
+
+    (Reference analog: 'which uploads dominate total bytes' over the
+    audit counters — app/routers/analysis.py — as a global-share
+    qualifier.)
+
+    Output: (l_partkey, value_cents) sorted value DESC, partkey ASC."""
+    from ray.data.aggregate import Count, Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        k = b.column("l_partkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        cents = np.rint(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100.0).astype(np.int64)
+        g = pd.DataFrame({"k": k, "v": cents}).groupby(
+            "k", as_index=False)["v"].sum()
+        return pa.table({
+            "l_partkey": pa.array(g["k"].to_numpy(np.int64)),
+            "value_cents": pa.array(g["v"].to_numpy(np.int64)),
+        })
+
+    per_part = (
+        lineitem_ds.map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536)
+        .groupby("l_partkey")
+        .aggregate(Sum("value_cents", alias_name="value_cents"))
+        .materialize()  # part cardinality; consumed twice (probe+filter)
+    )
+    agg = per_part.aggregate(Sum("value_cents"), Count())
+    if not agg or not agg.get("count()"):
+        from ..common import typed_empty
+
+        return typed_empty(l_partkey=pa.int64(), value_cents=pa.int64())
+    thr = int(agg["sum(value_cents)"]) // int(agg["count()"])
+
+    def _keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b.column("value_cents"),
+                                   pa.scalar(thr, pa.int64())))
+
+    return (
+        per_part.map_batches(_keep, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+        .sort(["value_cents", "l_partkey"], descending=[True, False])
+    )
+
+
+def min_cost_supplier(lineitem_ds, part_ds, supplier_ds,
+                      size: int = 5, k: int = 100,
+                      parts: int = 64, coalesce: int = 8):
+    """TPC-H Q2-style min-cost supplier: for every part of ``p_size ==
+    size``, the supplier offering the MINIMUM observed price
+    (``round(l_extendedprice·100)`` cents — the synthetic corpus has no
+    partsupp, so Q2's ``ps_supplycost`` argmin is recast onto lineitem
+    price), smallest ``l_suppkey`` breaking price ties; top-``k``
+    cheapest parts returned (Q2's LIMIT 100).
+
+    Shape — per-batch per-part argmin partials (ONE row per part per
+    batch: lexicographic (cents, suppkey) min is associative, so
+    partial argmins compose exactly) collapse lineitem before ONE
+    partkey-hash cogroup against the size-filtered part dim (filter
+    pushed below the shuffle); ``topk_exact`` picks the ``k`` cheapest
+    on the (price, partkey) total order with NO all-to-all range sort;
+    supplier names attach AFTER the top-k, touching only the ≤k winning
+    suppkeys (the Q10 name-attach-after-top-k shape).
+
+    (Reference analog: 'cheapest source per item' over the audit
+    counters — a per-key argmin with dim attach, app/routers/analysis.py
+    rollup family.)
+
+    Output: (p_partkey, p_name, s_suppkey, s_name, min_price_cents)
+    sorted price ASC, partkey ASC, ≤k rows."""
+    import ray.data as rd
+
+    from ..common import topk_exact, typed_empty
+
+    def _argmin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["k", "c", "s"]).drop_duplicates("k")
+
+    def _fact(b: pa.Table) -> pa.Table:
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        cents = np.rint(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100.0).astype(np.int64)
+        g = _argmin(pd.DataFrame({"k": pk, "c": cents, "s": sk}))
+        kk = g["k"].to_numpy(np.int64)
+        return pa.table({
+            "part": _mod_part(kk, parts),
+            "p_partkey": pa.array(kk),
+            "cents": pa.array(g["c"].to_numpy(np.int64)),
+            "s_suppkey": pa.array(g["s"].to_numpy(np.int64)),
+            "p_name": pa.array([""] * len(kk), pa.string()),
+            "is_dim": pa.array(np.zeros(len(kk), np.int8), pa.int8()),
+        })
+
+    def _dim(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("p_size"),
+                              pa.scalar(size, b.schema.field("p_size").type)))
+        kk = b.column("p_partkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = len(kk)
+        return pa.table({
+            "part": _mod_part(kk, parts),
+            "p_partkey": pa.array(kk),
+            "cents": pa.array(np.zeros(n, np.int64)),
+            "s_suppkey": pa.array(np.zeros(n, np.int64)),
+            "p_name": b.column("p_name"),
+            "is_dim": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    def _grp(g: pd.DataFrame) -> pa.Table:
+        dim = g[g["is_dim"] == 1]
+        fact = g[g["is_dim"] == 0]
+        if dim.empty or fact.empty:
+            return _empty(p_partkey=pa.int64(), p_name=pa.string(),
+                          s_suppkey=pa.int64(), min_price_cents=pa.int64())
+        best = _argmin(fact.rename(columns={
+            "p_partkey": "k", "cents": "c", "s_suppkey": "s"})
+            [["k", "c", "s"]])
+        m = best.merge(
+            dim[["p_partkey", "p_name"]].drop_duplicates("p_partkey"),
+            left_on="k", right_on="p_partkey", how="inner")
+        if m.empty:
+            return _empty(p_partkey=pa.int64(), p_name=pa.string(),
+                          s_suppkey=pa.int64(), min_price_cents=pa.int64())
+        return pa.table({
+            "p_partkey": pa.array(m["k"].to_numpy(np.int64)),
+            "p_name": pa.array(m["p_name"].astype(str).tolist(),
+                               pa.string()),
+            "s_suppkey": pa.array(m["s"].to_numpy(np.int64)),
+            "min_price_cents": pa.array(m["c"].to_numpy(np.int64)),
+        })
+
+    fact_side = lineitem_ds.map_batches(
+        _fact, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+    dim_side = part_ds.map_batches(
+        _dim, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+    winners = topk_exact(
+        _cogroup(fact_side, dim_side, _grp, coalesce),
+        [("min_price_cents", "ascending"), ("p_partkey", "ascending")],
+        k,
+    ).to_pandas()  # ≤k rows
+    if winners.empty:
+        return typed_empty(p_partkey=pa.int64(), p_name=pa.string(),
+                           s_suppkey=pa.int64(), s_name=pa.string(),
+                           min_price_cents=pa.int64())
+
+    # name attach AFTER the top-k: only the ≤k winning suppkeys leave
+    # the supplier scan (k-bounded closure set, no broadcast machinery)
+    need = pa.array(sorted(set(winners["s_suppkey"].tolist())), pa.int64())
+
+    def _names(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(
+            pc.cast(b.column("s_suppkey"), pa.int64()), value_set=need))
+        return pa.table({
+            "s_suppkey": pc.cast(b.column("s_suppkey"), pa.int64()),
+            "s_name": b.column("s_name"),
+        })
+
+    names = supplier_ds.map_batches(
+        _names, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536).to_pandas()  # ≤k rows
+    out = winners.merge(names, on="s_suppkey", how="left").sort_values(
+        ["min_price_cents", "p_partkey"])
+    return rd.from_arrow(pa.table({
+        "p_partkey": pa.array(out["p_partkey"].to_numpy(np.int64)),
+        "p_name": pa.array(out["p_name"].astype(str).tolist(),
+                           pa.string()),
+        "s_suppkey": pa.array(out["s_suppkey"].to_numpy(np.int64)),
+        "s_name": pa.array(out["s_name"].astype(str).tolist(),
+                           pa.string()),
+        "min_price_cents": pa.array(
+            out["min_price_cents"].to_numpy(np.int64)),
+    }))
+
+
+def excess_shipment_suppliers(lineitem_ds, part_ds, supplier_ds,
+                              name_like: str = "blue",
+                              date_lo: str = "1996-01-01",
+                              date_hi: str = "1997-01-01",
+                              min_qty: int = 250,
+                              parts: int = 64, coalesce: int = 8):
+    """TPC-H Q20-style excess-shipment suppliers: suppliers whose total
+    shipped quantity of ``%name_like%``-named parts inside the ship-date
+    window exceeds ``min_qty`` (the synthetic corpus has no partsupp, so
+    Q20's half-of-availqty predicate is recast as a fixed quantity
+    threshold over shipped volume), with names attached.
+
+    Shape — two chained cogroups, every filter below its shuffle:
+    (1) partkey cogroup semi-joins the window-filtered per-batch
+    (partkey, suppkey, qty) partials against the name-filtered part dim
+    and emits per-partition (suppkey, qty) partials; (2) suppkey cogroup
+    owns each supplier whole, so the global sum, the ``> min_qty``
+    HAVING and the name attach all happen inside the one partition —
+    no engine groupby, no driver fold beyond the qualifying rows.
+
+    (Reference analog: 'which sources exceeded their upload budget' —
+    the audit-counter threshold view, app/routers/analysis.py.)
+
+    Output: (s_suppkey, s_name, total_qty) sorted by s_suppkey."""
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    def _fact(b: pa.Table) -> pa.Table:
+        d = b.column("l_shipdate")
+        b = b.filter(pc.and_(
+            pc.greater_equal(d, pa.scalar(lo, pa.timestamp("us"))),
+            pc.less(d, pa.scalar(hi, pa.timestamp("us"))),
+        ))
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        q = np.rint(b.column("l_quantity").to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        g = pd.DataFrame({"p": pk, "s": sk, "q": q}).groupby(
+            ["p", "s"], as_index=False)["q"].sum()
+        kk = g["p"].to_numpy(np.int64)
+        return pa.table({
+            "part": _mod_part(kk, parts),
+            "key": pa.array(kk),
+            "s_suppkey": pa.array(g["s"].to_numpy(np.int64)),
+            "qty": pa.array(g["q"].to_numpy(np.int64)),
+            "is_dim": pa.array(np.zeros(len(kk), np.int8), pa.int8()),
+        })
+
+    def _pdim(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.match_substring(b.column("p_name"), name_like))
+        kk = b.column("p_partkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = len(kk)
+        return pa.table({
+            "part": _mod_part(kk, parts),
+            "key": pa.array(kk),
+            "s_suppkey": pa.array(np.zeros(n, np.int64)),
+            "qty": pa.array(np.zeros(n, np.int64)),
+            "is_dim": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    def _semi(g: pd.DataFrame) -> pa.Table:
+        dim = g[g["is_dim"] == 1]
+        fact = g[g["is_dim"] == 0]
+        if dim.empty or fact.empty:
+            return _empty(part=pa.int32(), key=pa.int64(),
+                          s_name=pa.string(), qty=pa.int64(),
+                          is_dim=pa.int8())
+        kept = fact[fact["key"].isin(set(dim["key"]))]
+        agg = kept.groupby("s_suppkey", as_index=False)["qty"].sum()
+        sk = agg["s_suppkey"].to_numpy(np.int64)
+        return pa.table({
+            "part": _mod_part(sk, parts),
+            "key": pa.array(sk),
+            "s_name": pa.array([""] * len(sk), pa.string()),
+            "qty": pa.array(agg["qty"].to_numpy(np.int64)),
+            "is_dim": pa.array(np.zeros(len(sk), np.int8), pa.int8()),
+        })
+
+    def _sdim(b: pa.Table) -> pa.Table:
+        sk = b.column("s_suppkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = len(sk)
+        return pa.table({
+            "part": _mod_part(sk, parts),
+            "key": pa.array(sk),
+            "s_name": b.column("s_name"),
+            "qty": pa.array(np.zeros(n, np.int64)),
+            "is_dim": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    def _having(g: pd.DataFrame) -> pa.Table:
+        dim = g[g["is_dim"] == 1].drop_duplicates("key")
+        fact = g[g["is_dim"] == 0]
+        if dim.empty or fact.empty:
+            return _empty(s_suppkey=pa.int64(), s_name=pa.string(),
+                          total_qty=pa.int64())
+        agg = fact.groupby("key", as_index=False)["qty"].sum()
+        agg = agg[agg["qty"].to_numpy(np.int64) > min_qty]
+        m = agg.merge(dim[["key", "s_name"]], on="key", how="inner")
+        if m.empty:
+            return _empty(s_suppkey=pa.int64(), s_name=pa.string(),
+                          total_qty=pa.int64())
+        return pa.table({
+            "s_suppkey": pa.array(m["key"].to_numpy(np.int64)),
+            "s_name": pa.array(m["s_name"].astype(str).tolist(),
+                               pa.string()),
+            "total_qty": pa.array(m["qty"].to_numpy(np.int64)),
+        })
+
+    fact_side = lineitem_ds.map_batches(
+        _fact, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+    pdim_side = part_ds.map_batches(
+        _pdim, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+    stage1 = _cogroup(fact_side, pdim_side, _semi, coalesce)
+    sdim_side = supplier_ds.map_batches(
+        _sdim, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+    return _cogroup(stage1, sdim_side, _having, coalesce).sort("s_suppkey")
+
+
+def sole_late_supplier(lineitem_ds, orders_ds, supplier_ds,
+                       late_days: int = 900, k: int = 100,
+                       parts: int = 64, coalesce: int = 8):
+    """TPC-H Q21-style suppliers who kept orders waiting: for finished
+    ('F') multi-supplier orders where EXACTLY ONE supplier's latest
+    lineitem shipped more than ``late_days`` after the order date (the
+    synthetic lineitem has no commit/receipt dates, so Q21's
+    receipt-vs-commit lateness is recast as ship-vs-order lateness),
+    count the orders each sole-blame supplier stalled; top-``k`` by
+    count.
+
+    Shape — per-batch (orderkey, suppkey, max_ship) partials collapse
+    lineitem before ONE orderkey-hash cogroup against the
+    status-filtered orders dim; each order is whole inside its
+    partition, so the EXISTS/NOT-EXISTS pair is just a per-order
+    late-count == 1 ∧ supplier-count ≥ 2 test there, and the partition
+    emits per-suppkey partial counts. The engine Sum runs over supplier
+    cardinality, ``topk_exact`` avoids the all-to-all sort, and names
+    attach AFTER the top-k (k-bounded supplier scan).
+
+    (Reference analog: 'which worker alone stalled a batch' — the
+    per-request failure attribution in app/routers/analysis.py's
+    counters, as an exactly-one qualifier.)
+
+    Output: (s_suppkey, s_name, numwait) sorted numwait DESC, suppkey
+    ASC, ≤k rows."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..common import topk_exact, typed_empty
+
+    late_us = np.int64(late_days) * 86_400_000_000
+
+    def _fact(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        ship = b.column("l_shipdate").to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        g = pd.DataFrame({"k": ok, "s": sk, "t": ship}).groupby(
+            ["k", "s"], as_index=False)["t"].max()
+        kk = g["k"].to_numpy(np.int64)
+        return pa.table({
+            "part": _mod_part(kk, parts),
+            "o_orderkey": pa.array(kk),
+            "s_suppkey": pa.array(g["s"].to_numpy(np.int64)),
+            "ts_us": pa.array(g["t"].to_numpy(np.int64)),
+            "is_dim": pa.array(np.zeros(len(kk), np.int8), pa.int8()),
+        })
+
+    def _dim(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("o_orderstatus"), pa.scalar("F")))
+        kk = b.column("o_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        od = b.column("o_orderdate").to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        n = len(kk)
+        return pa.table({
+            "part": _mod_part(kk, parts),
+            "o_orderkey": pa.array(kk),
+            "s_suppkey": pa.array(np.zeros(n, np.int64)),
+            "ts_us": pa.array(od),
+            "is_dim": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    def _grp(g: pd.DataFrame) -> pa.Table:
+        dim = g[g["is_dim"] == 1].drop_duplicates("o_orderkey")
+        fact = g[g["is_dim"] == 0]
+        if dim.empty or fact.empty:
+            return _empty(s_suppkey=pa.int64(), numwait=pa.int64())
+        # fold per-batch partial maxima to one row per (order, supplier)
+        ms = fact.groupby(["o_orderkey", "s_suppkey"],
+                          as_index=False)["ts_us"].max()
+        m = ms.merge(dim[["o_orderkey", "ts_us"]], on="o_orderkey",
+                     how="inner", suffixes=("_s", "_o"))
+        if m.empty:
+            return _empty(s_suppkey=pa.int64(), numwait=pa.int64())
+        late = (m["ts_us_s"].to_numpy(np.int64)
+                > m["ts_us_o"].to_numpy(np.int64) + late_us)
+        per = pd.DataFrame({
+            "k": m["o_orderkey"].to_numpy(np.int64),
+            "s": m["s_suppkey"].to_numpy(np.int64),
+            "late": late.astype(np.int64),
+            "late_sk": np.where(late, m["s_suppkey"].to_numpy(np.int64),
+                                np.int64(-1)),
+        }).groupby("k").agg(
+            nsupp=("s", "size"), nlate=("late", "sum"),
+            sk=("late_sk", "max"))
+        hit = per[(per["nsupp"] >= 2) & (per["nlate"] == 1)]
+        if hit.empty:
+            return _empty(s_suppkey=pa.int64(), numwait=pa.int64())
+        cnt = hit.groupby("sk", as_index=False).size()
+        return pa.table({
+            "s_suppkey": pa.array(cnt["sk"].to_numpy(np.int64)),
+            "numwait": pa.array(cnt["size"].to_numpy(np.int64)),
+        })
+
+    fact_side = lineitem_ds.map_batches(
+        _fact, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+    dim_side = orders_ds.map_batches(
+        _dim, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536)
+    per_supp = (
+        _cogroup(fact_side, dim_side, _grp, coalesce)
+        # supplier-cardinality partials — 2 lanes (dim spacing rule)
+        .repartition(2)
+        .groupby("s_suppkey")
+        .aggregate(Sum("numwait", alias_name="numwait"))
+    )
+    winners = topk_exact(
+        per_supp,
+        [("numwait", "descending"), ("s_suppkey", "ascending")], k,
+    ).to_pandas()  # ≤k rows
+    if winners.empty:
+        return typed_empty(s_suppkey=pa.int64(), s_name=pa.string(),
+                           numwait=pa.int64())
+
+    need = pa.array(sorted(set(winners["s_suppkey"].tolist())), pa.int64())
+
+    def _names(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(
+            pc.cast(b.column("s_suppkey"), pa.int64()), value_set=need))
+        return pa.table({
+            "s_suppkey": pc.cast(b.column("s_suppkey"), pa.int64()),
+            "s_name": b.column("s_name"),
+        })
+
+    names = supplier_ds.map_batches(
+        _names, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536).to_pandas()  # ≤k rows
+    out = winners.merge(names, on="s_suppkey", how="left").sort_values(
+        ["numwait", "s_suppkey"], ascending=[False, True])
+    return rd.from_arrow(pa.table({
+        "s_suppkey": pa.array(out["s_suppkey"].to_numpy(np.int64)),
+        "s_name": pa.array(out["s_name"].astype(str).tolist(),
+                           pa.string()),
+        "numwait": pa.array(out["numwait"].to_numpy(np.int64)),
+    }))

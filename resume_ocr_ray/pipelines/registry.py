@@ -1631,6 +1631,54 @@ def q_priority_class_lines(sf_dir: str):
     )
 
 
+def q_important_parts(sf_dir: str):
+    """TPC-H Q11-style important stock: parts whose total shipped value
+    exceeds the all-parts average (2-scalar global probe, integer
+    threshold value > total//n; see ops.tpch_deep.important_parts)."""
+    return TD.important_parts(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"]),
+    )
+
+
+def q_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2-style min-cost supplier per size-5 part (associative
+    per-batch argmin partials, one partkey cogroup, name attach after
+    the top-100; see ops.tpch_deep.min_cost_supplier)."""
+    return TD.min_cost_supplier(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_extendedprice"]),
+        _read(sf_dir, "part", ["p_partkey", "p_name", "p_size"]),
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+    )
+
+
+def q_excess_suppliers(sf_dir: str):
+    """TPC-H Q20-style excess-shipment suppliers: shipped >250 units of
+    blue parts in 1996 (partkey semi-join cogroup, then a suppkey
+    cogroup owning sum+HAVING+name attach; see
+    ops.tpch_deep.excess_shipment_suppliers)."""
+    return TD.excess_shipment_suppliers(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]),
+        _read(sf_dir, "part", ["p_partkey", "p_name"]),
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+    )
+
+
+def q_sole_late_supplier(sf_dir: str):
+    """TPC-H Q21-style sole-blame suppliers: finished multi-supplier
+    orders where exactly one supplier shipped >900 days late, counted
+    per supplier, top-100 (one orderkey cogroup, engine Sum, name attach
+    after top-k; see ops.tpch_deep.sole_late_supplier)."""
+    return TD.sole_late_supplier(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_shipdate"]),
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_orderdate", "o_orderstatus"]),
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+    )
+
+
 def q_disjunct_revenue(sf_dir: str):
     """TPC-H Q19-style disjunctive brand/size/quantity revenue (quantity
     pre-filter to the branch-range union below the shuffle, (partkey,
@@ -1856,6 +1904,10 @@ def _all_queries() -> dict:
         "order_priority": q_order_priority,
         "customer_distribution": q_customer_distribution,
         "priority_class_lines": q_priority_class_lines,
+        "important_parts": q_important_parts,
+        "min_cost_supplier": q_min_cost_supplier,
+        "excess_suppliers": q_excess_suppliers,
+        "sole_late_supplier": q_sole_late_supplier,
         "token_rarity": q_token_rarity,
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
@@ -2612,6 +2664,70 @@ def oracle_sql() -> dict:
             "AND o.o_orderpriority <> '1-URGENT' "
             "GROUP BY 1) GROUP BY 1 "
             "ORDER BY custdist DESC, c_count DESC"
+        ),
+        "important_parts": (
+            # Q11-style above-average share: value*n > total is the
+            # integer-exact form of the fraction-of-global-sum filter
+            "WITH v AS (SELECT l_partkey, "
+            "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) "
+            "AS BIGINT) AS value_cents FROM lineitem GROUP BY 1) "
+            "SELECT l_partkey, value_cents FROM v "
+            "WHERE value_cents * (SELECT count(*) FROM v) "
+            "> (SELECT sum(value_cents) FROM v) "
+            "ORDER BY value_cents DESC, l_partkey"
+        ),
+        "excess_suppliers": (
+            # Q20-style: name-filtered part semi-join, windowed qty sum
+            # per supplier, HAVING > 250; qty is integral double → BIGINT
+            "SELECT s.s_suppkey, s.s_name, "
+            "CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) "
+            "AS total_qty "
+            "FROM lineitem l "
+            "JOIN part p ON l.l_partkey = p.p_partkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "WHERE p.p_name LIKE '%blue%' "
+            "AND l.l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l.l_shipdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY 1, 2 HAVING total_qty > 250 "
+            "ORDER BY s.s_suppkey"
+        ),
+        "sole_late_supplier": (
+            # Q21-style exactly-one-late attribution: the max(CASE) is
+            # well-defined because nlate = 1 pins a single suppkey
+            "WITH ls AS (SELECT l_orderkey, l_suppkey, "
+            "max(l_shipdate) AS ms FROM lineitem GROUP BY 1, 2), "
+            "q AS (SELECT ls.l_orderkey, "
+            "sum(CASE WHEN ls.ms > o.o_orderdate + INTERVAL 900 DAY "
+            "THEN 1 ELSE 0 END) AS nlate, "
+            "count(*) AS nsupp, "
+            "max(CASE WHEN ls.ms > o.o_orderdate + INTERVAL 900 DAY "
+            "THEN ls.l_suppkey END) AS late_sk "
+            "FROM ls JOIN orders o ON ls.l_orderkey = o.o_orderkey "
+            "WHERE o.o_orderstatus = 'F' GROUP BY 1) "
+            "SELECT s.s_suppkey, s.s_name, "
+            "CAST(count(*) AS BIGINT) AS numwait "
+            "FROM q JOIN supplier s ON q.late_sk = s.s_suppkey "
+            "WHERE q.nsupp >= 2 AND q.nlate = 1 "
+            "GROUP BY 1, 2 ORDER BY numwait DESC, s.s_suppkey LIMIT 100"
+        ),
+        "min_cost_supplier": (
+            # Q2-style argmin with smallest-suppkey tie-break; LIMIT on
+            # the (price, partkey) total order matches topk_exact
+            "WITH f AS (SELECT l_partkey, l_suppkey, "
+            "CAST(round(l_extendedprice*100) AS BIGINT) AS cents "
+            "FROM lineitem), "
+            "w AS (SELECT l_partkey, min(cents) AS min_price_cents "
+            "FROM f GROUP BY 1), "
+            "a AS (SELECT f.l_partkey, w.min_price_cents, "
+            "min(f.l_suppkey) AS s_suppkey FROM f JOIN w "
+            "ON f.l_partkey = w.l_partkey "
+            "AND f.cents = w.min_price_cents GROUP BY 1, 2) "
+            "SELECT p.p_partkey, p.p_name, a.s_suppkey, s.s_name, "
+            "a.min_price_cents "
+            "FROM a JOIN part p ON a.l_partkey = p.p_partkey "
+            "JOIN supplier s ON a.s_suppkey = s.s_suppkey "
+            "WHERE p.p_size = 5 "
+            "ORDER BY a.min_price_cents, p.p_partkey LIMIT 100"
         ),
         "priority_class_lines": (
             # Q12-style with l_returnflag standing in for the absent
