@@ -378,3 +378,142 @@ def test_top_supplier_ties_and_paths(ray_session):
     assert list(a["s_suppkey"]) == [1, 2]  # both at 100.00 revenue
     assert set(a["s_name"]) == {"sa", "sb"}
     assert (a["total_rev_e4"] == 10000 * 100).all()
+
+
+def _orders_tbl(rows):
+    # per-row defaults (a plain df.get leaves NaN on rows that omit a
+    # key another row supplies)
+    rows = [{"ck": 0, "odate": "1996-01-15", "prio": "3-MEDIUM",
+             "status": "F", **r} for r in rows]
+    df = pd.DataFrame(rows)
+    return pa.table({
+        "o_orderkey": pa.array(df["ok"].to_numpy(np.int64)),
+        "o_custkey": pa.array(df["ck"].to_numpy(np.int64)),
+        "o_orderdate": pa.array(
+            df["odate"].astype("datetime64[us]"), pa.timestamp("us")),
+        "o_orderpriority": pa.array(df["prio"].tolist(), pa.string()),
+        "o_orderstatus": pa.array(df["status"].tolist(), pa.string()),
+    })
+
+
+def test_customer_distribution_keeps_zero_order_customers(ray_session):
+    # customers 1 (2 non-urgent orders), 2 (only an URGENT order → 0),
+    # 3 (no orders at all → 0)
+    orders = _orders_tbl([
+        {"ok": 10, "ck": 1}, {"ok": 11, "ck": 1},
+        {"ok": 12, "ck": 2, "prio": "1-URGENT"},
+    ])
+    cust = pa.table({"c_custkey": pa.array([1, 2, 3], pa.int64())})
+    out = TD.customer_distribution(
+        _rd(orders, 2), _rd(cust, 2)).to_pandas()
+    got = dict(zip(out["c_count"], out["custdist"]))
+    assert got == {0: 2, 2: 1}
+    # sorted custdist DESC then c_count DESC
+    assert out["custdist"].tolist() == sorted(
+        out["custdist"].tolist(), reverse=True)
+
+
+def test_priority_class_lines_splits_by_priority(ray_session):
+    orders = _orders_tbl([
+        {"ok": 1, "prio": "1-URGENT"}, {"ok": 2, "prio": "5-LOW"},
+    ])
+    li = _li_tbl([
+        {"ok": 1, "price": 1.0, "flag": "A", "ship": "1996-06-15"},
+        {"ok": 1, "price": 1.0, "flag": "A", "ship": "1996-06-15"},
+        {"ok": 2, "price": 1.0, "flag": "A", "ship": "1996-06-15"},
+        {"ok": 2, "price": 1.0, "flag": "R", "ship": "1996-06-15"},
+        # outside the ship window: must not count
+        {"ok": 1, "price": 1.0, "flag": "A", "ship": "1995-01-01"},
+    ])
+    out = TD.priority_class_lines(_rd(li, 3), _rd(orders, 2)).to_pandas()
+    a = out[out["l_returnflag"] == "A"].iloc[0]
+    r = out[out["l_returnflag"] == "R"].iloc[0]
+    assert (a["high_line_count"], a["low_line_count"]) == (2, 1)
+    assert (r["high_line_count"], r["low_line_count"]) == (0, 1)
+
+
+def test_important_parts_threshold_is_strict_above_average(ray_session):
+    # parts 1,2,3 with values 100, 200, 300 cents; average 200 —
+    # strict > keeps ONLY part 3 (200 is not above average)
+    li = _li_tbl([
+        {"ok": 1, "pk": 1, "price": 1.0},
+        {"ok": 1, "pk": 2, "price": 2.0},
+        {"ok": 1, "pk": 3, "price": 3.0},
+    ])
+    out = TD.important_parts(_rd(li, 2)).to_pandas()
+    assert out["l_partkey"].tolist() == [3]
+    assert out["value_cents"].tolist() == [300]
+
+
+def test_min_cost_supplier_ties_break_to_smallest_suppkey(ray_session):
+    # part 1: suppliers 7 and 3 both offer 100 cents → supplier 3 wins
+    li = _li_tbl([
+        {"ok": 1, "pk": 1, "sk": 7, "price": 1.0},
+        {"ok": 2, "pk": 1, "sk": 3, "price": 1.0},
+        {"ok": 3, "pk": 1, "sk": 2, "price": 9.0},
+        {"ok": 4, "pk": 2, "sk": 5, "price": 4.0},  # size-filtered out
+    ])
+    part = pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_name": pa.array(["blue rod", "red bolt"], pa.string()),
+        "p_size": pa.array([5, 9], pa.int32()),
+    })
+    supp = pa.table({
+        "s_suppkey": pa.array([2, 3, 5, 7], pa.int64()),
+        "s_name": pa.array([f"S{k}" for k in (2, 3, 5, 7)], pa.string()),
+    })
+    out = TD.min_cost_supplier(
+        _rd(li, 3), _rd(part), _rd(supp), size=5).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["p_partkey"], row["s_suppkey"], row["s_name"],
+            row["min_price_cents"]) == (1, 3, "S3", 100)
+
+
+def test_sole_late_supplier_requires_exactly_one_late(ray_session):
+    # order 1: suppliers 1 (late) + 2 (on time) → supplier 1 blamed
+    # order 2: suppliers 1 + 2 both late → nobody blamed
+    # order 3: single supplier 1 late → not multi-supplier, skipped
+    # order 4 ('O' status): excluded by the status filter
+    li = _li_tbl([
+        {"ok": 1, "sk": 1, "price": 1.0, "ship": "1999-06-01"},
+        {"ok": 1, "sk": 2, "price": 1.0, "ship": "1996-02-01"},
+        {"ok": 2, "sk": 1, "price": 1.0, "ship": "1999-06-01"},
+        {"ok": 2, "sk": 2, "price": 1.0, "ship": "1999-06-01"},
+        {"ok": 3, "sk": 1, "price": 1.0, "ship": "1999-06-01"},
+        {"ok": 4, "sk": 1, "price": 1.0, "ship": "1999-06-01"},
+        {"ok": 4, "sk": 2, "price": 1.0, "ship": "1996-02-01"},
+    ])
+    orders = _orders_tbl([
+        {"ok": 1}, {"ok": 2}, {"ok": 3},
+        {"ok": 4, "status": "O"},
+    ])
+    supp = pa.table({
+        "s_suppkey": pa.array([1, 2], pa.int64()),
+        "s_name": pa.array(["S1", "S2"], pa.string()),
+    })
+    out = TD.sole_late_supplier(
+        _rd(li, 3), _rd(orders, 2), _rd(supp), late_days=900).to_pandas()
+    assert out[["s_suppkey", "numwait"]].values.tolist() == [[1, 1]]
+    assert out["s_name"].tolist() == ["S1"]
+
+
+def test_excess_suppliers_having_and_name_filter(ray_session):
+    # supplier 1 ships 30 blue units, supplier 2 ships 10 blue + 100
+    # red (red must not count) — threshold 20 keeps only supplier 1
+    li = _li_tbl([
+        {"ok": 1, "pk": 1, "sk": 1, "qty": 30.0, "price": 1.0},
+        {"ok": 2, "pk": 1, "sk": 2, "qty": 10.0, "price": 1.0},
+        {"ok": 3, "pk": 2, "sk": 2, "qty": 100.0, "price": 1.0},
+    ])
+    part = pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_name": pa.array(["blue rod", "red bolt"], pa.string()),
+    })
+    supp = pa.table({
+        "s_suppkey": pa.array([1, 2], pa.int64()),
+        "s_name": pa.array(["S1", "S2"], pa.string()),
+    })
+    out = TD.excess_shipment_suppliers(
+        _rd(li, 2), _rd(part), _rd(supp), min_qty=20).to_pandas()
+    assert out[["s_suppkey", "total_qty"]].values.tolist() == [[1, 30]]
