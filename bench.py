@@ -53,6 +53,9 @@ STDOUT_OMIT = frozenset({
     "returned_revenue", "volume_shipping", "promo_revenue",
     "disjunct_revenue", "product_profit", "market_share",
     "forecast_revenue", "top_supplier",
+    "order_priority", "customer_distribution", "priority_class_lines",
+    "important_parts", "min_cost_supplier", "excess_suppliers",
+    "sole_late_supplier",
 })
 
 BENCH_QUERIES = [
@@ -167,6 +170,13 @@ BENCH_QUERIES = [
     "market_share",
     "forecast_revenue",
     "top_supplier",
+    "order_priority",
+    "customer_distribution",
+    "priority_class_lines",
+    "important_parts",
+    "min_cost_supplier",
+    "excess_suppliers",
+    "sole_late_supplier",
 ]
 
 

@@ -1745,8 +1745,10 @@ def important_parts(lineitem_ds, parts: int = 64):
     fraction-of-global-sum shape as Q11's ``> sum(...)·fraction``.
 
     Shape — per-batch (partkey, cents) partials collapse lineitem to
-    part cardinality before ONE engine groupby-Sum; the per-part table
-    is materialized ONCE (part cardinality, grows with SF but it is the
+    part cardinality before ONE coarse-hash ``cogroup_agg`` keyed sum
+    (the engine groupby pays per-KEY cost at part cardinality — measured
+    5.9 s vs 1.3 s at sf0.1's 20k parts); the per-part table is
+    materialized ONCE (part cardinality, grows with SF but it is the
     query's own output dimension) and re-consumed for (a) the 2-scalar
     engine Sum/Count global probe and (b) the threshold filter — the
     driver sees exactly 2 scalars, and the integer threshold
@@ -1759,6 +1761,8 @@ def important_parts(lineitem_ds, parts: int = 64):
 
     Output: (l_partkey, value_cents) sorted value DESC, partkey ASC."""
     from ray.data.aggregate import Count, Sum
+
+    from ..common import cogroup_agg
 
     def _partial(b: pa.Table) -> pa.Table:
         k = b.column("l_partkey").to_numpy(zero_copy_only=False).astype(
@@ -1773,14 +1777,13 @@ def important_parts(lineitem_ds, parts: int = 64):
             "value_cents": pa.array(g["v"].to_numpy(np.int64)),
         })
 
-    per_part = (
+    per_part = cogroup_agg(
         lineitem_ds.map_batches(
             _partial, batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=65536)
-        .groupby("l_partkey")
-        .aggregate(Sum("value_cents", alias_name="value_cents"))
-        .materialize()  # part cardinality; consumed twice (probe+filter)
-    )
+            batch_size=65536),
+        "l_partkey", {"value_cents": ("value_cents", "sum")},
+        parts=parts,
+    ).materialize()  # part cardinality; consumed twice (probe+filter)
     agg = per_part.aggregate(Sum("value_cents"), Count())
     if not agg or not agg.get("count()"):
         from ..common import typed_empty
