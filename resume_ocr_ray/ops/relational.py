@@ -4386,3 +4386,68 @@ def global_rich_idle(customer_ds_factory, orders_ds, parts: int = 64,
         .repartition(1)
         .map_batches(_fold_sort, batch_format="pandas", batch_size=None)
     )
+
+
+def spearman_rank_distance(events_ds, parts: int = 64, coalesce: int = 8):
+    """Per-user Spearman rank distance between event TIME ORDER and
+    VALUE ORDER: ``(n, Σd²)`` with d = time-rank − value-rank, the
+    integer-exact core of Spearman's rho (ρ = 1 − 6Σd²/(n(n²−1)) is one
+    IEEE division away and can't hash-match an oracle; the integer pair
+    can). Ranks are ROW-NUMBER ranks with a deterministic ``event_id``
+    tie-break on both orderings, so they are permutations and Σd² is
+    well-defined — the rank-correlation complement to
+    ``kendall_concordance`` (pair concordance) above.
+
+    Shape: events shuffle ONCE on a coarse user-hash; each partition
+    computes both rank vectors for all its users with two vectorized
+    (user, key) sorts + per-user cumcounts — O(n log n) per partition,
+    NO per-user loop and no pair blowup (contrast Kendall's O(n²) pair
+    semantics), then folds to one (user, n, Σd²) row per user. NaN
+    values sort last on both sides (pandas sort_values and DuckDB's
+    float total order agree), so the oracle parity holds even on dirty
+    value columns.
+
+    (Reference analog: 'does processing order track score order' over
+    the audit log — app/routers/analysis.py counters as a rank check.)
+
+    Output: (user_id, n, sum_d2) sorted by user_id."""
+
+    def _tag(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return pa.table({
+            "user_id": pa.array(uid),
+            "ts": b.column("ts").cast(pa.int64()),
+            "event_id": b.column("event_id"),
+            "value": b.column("value"),
+            "part": pa.array((uid % parts).astype(np.int32)),
+        })
+
+    def _grp(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "sum_d2": pa.array([], pa.int64())})
+        gt = g.sort_values(["user_id", "ts", "event_id"],
+                           kind="mergesort")
+        gt = gt.assign(
+            rt=gt.groupby("user_id").cumcount().to_numpy(np.int64) + 1)
+        gv = gt.sort_values(["user_id", "value", "event_id"],
+                            kind="mergesort")
+        rv = gv.groupby("user_id").cumcount().to_numpy(np.int64) + 1
+        d = gv["rt"].to_numpy(np.int64) - rv
+        agg = pd.DataFrame({
+            "user_id": gv["user_id"].to_numpy(np.int64),
+            "d2": d * d,
+        }).groupby("user_id", as_index=False).agg(
+            n=("d2", "size"), sum_d2=("d2", "sum"))
+        return _fpc(agg.astype({"n": np.int64, "sum_d2": np.int64}))
+
+    return (
+        events_ds.map_batches(_tag, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=65536)
+        .repartition(coalesce)
+        .groupby("part")
+        .map_groups(_grp, batch_format="pandas")
+        .sort("user_id")
+    )

@@ -1073,6 +1073,15 @@ def q_kendall(sf_dir: str):
     )
 
 
+def q_spearman(sf_dir: str):
+    """Per-user Spearman rank distance (n, sum_d2) between time order and
+    value order — integer-exact rho core, row-number ranks with event_id
+    tie-break (see ops.relational.spearman_rank_distance)."""
+    return R.spearman_rank_distance(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    )
+
+
 def q_mad_lang(sf_dir: str):
     """Per-lang median absolute deviation of n_chars (two composed exact-quantile passes)."""
     return R.mad_by_lang(
@@ -1980,6 +1989,7 @@ def _all_queries() -> dict:
         "cosupply_degree": q_cosupply_degree,
         "gap_fill": q_gap_fill,
         "kendall": q_kendall,
+        "spearman": q_spearman,
         "link_predict": q_link_predict,
         "profile_docs": q_profile_docs,
         "neardup_families": q_neardup_families,
@@ -3486,6 +3496,19 @@ def oracle_sql() -> dict:
             "SELECT g.user_id, g.day, "
             "CAST(coalesce(c.n, 0) AS BIGINT) AS n_events "
             "FROM g LEFT JOIN c USING (user_id, day)"
+        ),
+        "spearman": (
+            # row-number ranks with the deterministic event_id tie-break
+            # on BOTH orderings — permutation ranks, so (rt-rv)² is
+            # integer-exact; rank arithmetic never touches the doubles
+            "WITH r AS (SELECT user_id, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS rt, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY value, event_id) AS rv FROM events) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum((rt - rv) * (rt - rv)) AS BIGINT) AS sum_d2 "
+            "FROM r GROUP BY 1 ORDER BY 1"
         ),
         "kendall": (
             # pair order fixed by the unique (ts, event_id) key; value

@@ -2957,3 +2957,49 @@ def test_split_leakage_query_semantics(ray_session, tmp_path):
     # shared trigrams across the boundary: "alpha beta gamma",
     # "beta gamma one/two" differ → only the one fully-shared gram counts
     assert got == {("test", "train"): 1}
+
+
+def test_spearman_matches_bruteforce_random(ray_session):
+    """Seeded random corpora: spearman_rank_distance == per-user O(n log n)
+    brute force with the same (key, event_id) row-number tie-break —
+    ties, NaNs and single-event users present."""
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import relational as R
+
+    DAY = 86_400_000_000
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n = 200
+        uid = rng.integers(1, 12, n)
+        ts = rng.integers(0, 20 * DAY, n)
+        ts[rng.random(n) < 0.2] = 5 * DAY          # planted ts ties
+        val = np.round(rng.normal(size=n), 1)      # planted value ties
+        val[rng.random(n) < 0.05] = np.nan         # planted NaNs
+        tbl = pa.table({
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array(val, pa.float64()),
+        })
+        got = (
+            R.spearman_rank_distance(rd.from_arrow(tbl).repartition(4))
+            .to_pandas().sort_values("user_id").reset_index(drop=True)
+        )
+        df = tbl.to_pandas()
+        df["tsus"] = df["ts"].astype("int64")
+        rows = []
+        for u, sub in df.groupby("user_id"):
+            st = sub.sort_values(["tsus", "event_id"], kind="mergesort")
+            rt = {e: i + 1 for i, e in enumerate(st["event_id"])}
+            # NaN last: match pandas/DuckDB float total order
+            sv = sub.assign(k=sub["value"].fillna(np.inf)).sort_values(
+                ["k", "event_id"], kind="mergesort")
+            rv = {e: i + 1 for i, e in enumerate(sv["event_id"])}
+            d2 = sum((rt[e] - rv[e]) ** 2 for e in sub["event_id"])
+            rows.append({"user_id": u, "n": len(sub), "sum_d2": d2})
+        want = pd.DataFrame(rows).sort_values("user_id").reset_index(
+            drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype({"n": np.int64, "sum_d2": np.int64}), want.astype(
+                {"user_id": np.int64, "n": np.int64, "sum_d2": np.int64}))
