@@ -4451,3 +4451,75 @@ def spearman_rank_distance(events_ds, parts: int = 64, coalesce: int = 8):
         .map_groups(_grp, batch_format="pandas")
         .sort("user_id")
     )
+
+
+def rolling_distinct_users(events_ds, window_days: int = 7,
+                           parts: int = 64, coalesce: int = 8):
+    """Trailing-window distinct users per observed day — the rolling
+    WAU/MAU engagement curve: for every day that appears in the data,
+    ``count(DISTINCT user_id)`` over ``[day − (window_days−1), day]``.
+    Windowed DISTINCT is the one window aggregate that can't be folded
+    from per-day partials (distinct doesn't sum), so the shape is its
+    own:
+
+    Each batch emits its DEDUPED (active-day, user) pairs EXPANDED to
+    the ≤``window_days`` window days they contribute to (vectorized
+    repeat/ravel — pair volume is active-user-days × window, bounded
+    and pre-deduped per batch), plus one (day, −1) MARKER row per
+    observed day, so observedness travels with the shuffle and no
+    driver-side day collection exists. ONE day-hash cogroup then owns
+    each window day whole: drop_duplicates + size is globally exact,
+    and only observed (marker-present) days emit. Result cardinality =
+    observed-day count.
+
+    (Reference analog: 'active uploaders this week' over the audit
+    log's timestamps — app/routers/analysis.py counters as a trailing
+    window.)
+
+    Output: (day timestamp[us], n_users) sorted by day."""
+    DAY = 86_400_000_000
+
+    def _expand(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        uid = b.column("user_id").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        day = (ts // DAY) * DAY
+        pairs = pd.DataFrame({"d": day, "u": uid}).drop_duplicates()
+        d = pairs["d"].to_numpy(np.int64)
+        u = pairs["u"].to_numpy(np.int64)
+        k = np.arange(window_days, dtype=np.int64) * DAY
+        wd = (d[:, None] + k[None, :]).ravel()
+        uu = np.repeat(u, window_days)
+        days = np.unique(day)
+        wd = np.concatenate([wd, days])
+        uu = np.concatenate([uu, np.full(len(days), -1, np.int64)])
+        return pa.table({
+            "part": pa.array(((wd // DAY) % parts).astype(np.int32)),
+            "day_us": pa.array(wd),
+            "user_id": pa.array(uu),
+        })
+
+    def _grp(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return pa.table({
+                "day": pa.array([], pa.timestamp("us")),
+                "n_users": pa.array([], pa.int64())})
+        observed = set(g.loc[g["user_id"] == -1, "day_us"])
+        real = g[(g["user_id"] != -1) & g["day_us"].isin(observed)]
+        agg = real.drop_duplicates(["day_us", "user_id"]).groupby(
+            "day_us", as_index=False).size()
+        return pa.table({
+            "day": pa.array(agg["day_us"].to_numpy(np.int64)).cast(
+                pa.timestamp("us")),
+            "n_users": pa.array(agg["size"].to_numpy(np.int64)),
+        })
+
+    return (
+        events_ds.map_batches(_expand, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=65536)
+        .repartition(coalesce)
+        .groupby("part")
+        .map_groups(_grp, batch_format="pandas")
+        .sort("day")
+    )

@@ -1082,6 +1082,15 @@ def q_spearman(sf_dir: str):
     )
 
 
+def q_rolling_users(sf_dir: str):
+    """Trailing-7-day distinct users per observed day (rolling WAU;
+    marker-row observedness, one day-hash cogroup; see
+    ops.relational.rolling_distinct_users)."""
+    return R.rolling_distinct_users(
+        _read(sf_dir, "events", ["user_id", "ts"])
+    )
+
+
 def q_mad_lang(sf_dir: str):
     """Per-lang median absolute deviation of n_chars (two composed exact-quantile passes)."""
     return R.mad_by_lang(
@@ -1990,6 +1999,7 @@ def _all_queries() -> dict:
         "gap_fill": q_gap_fill,
         "kendall": q_kendall,
         "spearman": q_spearman,
+        "rolling_users": q_rolling_users,
         "link_predict": q_link_predict,
         "profile_docs": q_profile_docs,
         "neardup_families": q_neardup_families,
@@ -3496,6 +3506,18 @@ def oracle_sql() -> dict:
             "SELECT g.user_id, g.day, "
             "CAST(coalesce(c.n, 0) AS BIGINT) AS n_events "
             "FROM g LEFT JOIN c USING (user_id, day)"
+        ),
+        "rolling_users": (
+            # trailing 7-day distinct users per OBSERVED day; the range
+            # join enumerates exactly the pairs the Ray side expands
+            "WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS d "
+            "FROM events) "
+            "SELECT CAST(days.d AS TIMESTAMP) AS day, "
+            "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users "
+            "FROM days JOIN events e "
+            "ON e.ts >= days.d - INTERVAL 6 DAY "
+            "AND e.ts < days.d + INTERVAL 1 DAY "
+            "GROUP BY 1 ORDER BY 1"
         ),
         "spearman": (
             # row-number ranks with the deterministic event_id tie-break

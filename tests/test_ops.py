@@ -3003,3 +3003,27 @@ def test_spearman_matches_bruteforce_random(ray_session):
         pd.testing.assert_frame_equal(
             got.astype({"n": np.int64, "sum_d2": np.int64}), want.astype(
                 {"user_id": np.int64, "n": np.int64, "sum_d2": np.int64}))
+
+
+def test_rolling_distinct_users_gaps_and_window(ray_session):
+    """Unobserved days emit NO row even when a window covers them; a
+    user active once stays counted for the full trailing window."""
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import relational as R
+
+    DAY = 86_400_000_000
+    # user 1 active day 0; user 2 active day 0 and day 3; day 1-2 silent
+    rows = [(0, 1, 0), (1, 2, 0), (2, 2, 3 * DAY), (3, 1, 0)]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[2] for r in rows], np.int64)).cast(
+            pa.timestamp("us")),
+    })
+    out = R.rolling_distinct_users(
+        rd.from_arrow(tbl).repartition(2), window_days=7).to_pandas()
+    got = {int(d.value // 1000) // DAY: int(n)
+           for d, n in zip(out["day"], out["n_users"])}
+    # only observed days 0 and 3 appear; both users in day 3's window
+    assert got == {0: 2, 3: 2}
