@@ -55,7 +55,7 @@ STDOUT_OMIT = frozenset({
     "forecast_revenue", "top_supplier",
     "order_priority", "customer_distribution", "priority_class_lines",
     "important_parts", "min_cost_supplier", "excess_suppliers",
-    "sole_late_supplier",
+    "sole_late_supplier", "spearman", "rolling_users",
 })
 
 BENCH_QUERIES = [
@@ -177,6 +177,8 @@ BENCH_QUERIES = [
     "min_cost_supplier",
     "excess_suppliers",
     "sole_late_supplier",
+    "spearman",
+    "rolling_users",
 ]
 
 
