@@ -2077,9 +2077,11 @@ def sole_late_supplier(lineitem_ds, orders_ds, supplier_ds,
     status-filtered orders dim; each order is whole inside its
     partition, so the EXISTS/NOT-EXISTS pair is just a per-order
     late-count == 1 ∧ supplier-count ≥ 2 test there, and the partition
-    emits per-suppkey partial counts. The engine Sum runs over supplier
-    cardinality, ``topk_exact`` avoids the all-to-all sort, and names
-    attach AFTER the top-k (k-bounded supplier scan).
+    emits per-suppkey partial counts. The final keyed sum runs as a
+    coarse-hash ``cogroup_agg`` (supplier cardinality grows with SF —
+    the engine groupby's per-key cost is the important_parts lesson),
+    ``topk_exact`` avoids the all-to-all sort, and names attach AFTER
+    the top-k (k-bounded supplier scan).
 
     (Reference analog: 'which worker alone stalled a batch' — the
     per-request failure attribution in app/routers/analysis.py's
@@ -2088,9 +2090,8 @@ def sole_late_supplier(lineitem_ds, orders_ds, supplier_ds,
     Output: (s_suppkey, s_name, numwait) sorted numwait DESC, suppkey
     ASC, ≤k rows."""
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
-    from ..common import topk_exact, typed_empty
+    from ..common import cogroup_agg, topk_exact, typed_empty
 
     late_us = np.int64(late_days) * 86_400_000_000
 
@@ -2165,12 +2166,9 @@ def sole_late_supplier(lineitem_ds, orders_ds, supplier_ds,
     dim_side = orders_ds.map_batches(
         _dim, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=65536)
-    per_supp = (
-        _cogroup(fact_side, dim_side, _grp, coalesce)
-        # supplier-cardinality partials — 2 lanes (dim spacing rule)
-        .repartition(2)
-        .groupby("s_suppkey")
-        .aggregate(Sum("numwait", alias_name="numwait"))
+    per_supp = cogroup_agg(
+        _cogroup(fact_side, dim_side, _grp, coalesce),
+        "s_suppkey", {"numwait": ("numwait", "sum")}, parts=parts,
     )
     winners = topk_exact(
         per_supp,
