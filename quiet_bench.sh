@@ -37,14 +37,19 @@ PY
   done
   python bench.py > "$OUT" 2>"${OUT%.json}.err"
   st=$(python -c "import json; print(json.load(open('$OUT'))['steal_pct'])" 2>/dev/null)
-  if ! numeric "${st:-}"; then
-    echo "ERROR: bench output in $OUT unparseable (steal_pct missing);" \
+  bc=$(python -c "import json; print(json.load(open('$OUT'))['busy_cores'])" 2>/dev/null)
+  if ! numeric "${st:-}" || ! numeric "${bc:-}"; then
+    echo "ERROR: bench output in $OUT unparseable (steal_pct/busy_cores missing);" \
          "stderr in ${OUT%.json}.err — aborting" >&2
     exit 2
   fi
-  echo "attempt $attempt run steal_pct=$st%" >&2
-  if awk "BEGIN{exit !($st <= 0.3)}"; then
-    echo "ACCEPTED attempt $attempt steal=$st% -> $OUT"
+  echo "attempt $attempt run steal_pct=$st% busy_cores=$bc" >&2
+  # busy_cores gate: the hypervisor has a DEGRADED mode that is invisible
+  # to steal (steal 0.0-0.2% but only ~8 of 32 cores' cycles delivered,
+  # uniform wall inflation ~40%). A healthy headline run keeps >=9 busy
+  # cores; below that the window is degraded regardless of steal.
+  if awk "BEGIN{exit !($st <= 0.3 && $bc >= 9)}"; then
+    echo "ACCEPTED attempt $attempt steal=$st% busy=$bc -> $OUT"
     exit 0
   fi
 done
