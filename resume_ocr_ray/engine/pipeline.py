@@ -666,15 +666,22 @@ def extraction_pipeline(
     # Pool floor is a WORKLOAD HINT (GRAFT_OCR_MIN_ACTORS): long compute-
     # dense jobs want a pre-sized pool (the autoscaler's ramp averaged 6/12
     # actors over a 20 s burn run; min=max cut it 24.3 s → 13.4 s at 16
-    # CPUs — the scaling bench sets "max"), while short jobs want elastic
-    # (28 pre-started actors cost ~60+ core-s of import/init, doubling a
-    # 4 s headline). Deadlock margin comes from the sizing either way:
-    # max ≤ 0.9×(CPUs−1), so ≥1 CPU stays free for read/stitch/score tasks
-    # (the all-CPU static pool is what deadlocks). tif=2 below keeps tasks
-    # from piling onto one actor while the pool grows.
+    # CPUs — the scaling bench sets "max"), while short jobs want SOME
+    # elasticity: a full floor (28 pre-started actors) costs ~60+ core-s of
+    # import/init and doubles a short headline, but a floor of 1 makes the
+    # autoscaler's ramp the bottleneck on those same short runs (measured
+    # sf0.1 10k docs: floor 1 → 2.6 s, floor 12 → 1.77 s at 32 CPUs;
+    # 2.36 → 1.95 s at 8 CPUs; wash at 4 CPUs). Default floor is therefore
+    # 0.4× the CPU budget — large enough to skip most of the ramp, small
+    # enough that init cost stays ~15% of the full-pool price. Deadlock
+    # margin comes from the sizing either way: max ≤ 0.9×(CPUs−1), so ≥1
+    # CPU stays free for read/stitch/score tasks (the all-CPU static pool
+    # is what deadlocks). tif=2 below keeps tasks from piling onto one
+    # actor while the pool grows.
     import os as _os2
 
-    _min_env = _os2.environ.get("GRAFT_OCR_MIN_ACTORS", "1")
+    _default_floor = max(1, _math.ceil(budget * 0.4))
+    _min_env = _os2.environ.get("GRAFT_OCR_MIN_ACTORS", str(_default_floor))
     ocr_min = ocr_concurrency if _min_env == "max" else max(
         1, min(int(_min_env), ocr_concurrency)
     )
