@@ -97,3 +97,12 @@ DEFAULT_NUM_PARTITIONS = 8
 #: 2–4-column dimension frames involved; matches the dup-hash broadcast
 #: budget in ops/dedup.py.
 BROADCAST_BUDGET_ROWS = 4_000_000
+
+#: State-row budget under which connected-components label propagation
+#: folds ON THE DRIVER (one vectorized pandas min-propagation loop)
+#: instead of running the distributed pointer-jumping rounds. Each
+#: distributed iteration costs ~4 shuffle exchanges; at small state that
+#: is pure fixed overhead (measured 1.9 s for a 256-edge graph at sf0.1).
+#: 2M (key, doc_id, label) rows ≈ ~120 MB driver heap — comfortably
+#: bounded; above it the exchange rounds are the right shape.
+CC_DRIVER_FOLD_ROWS = 2_000_000

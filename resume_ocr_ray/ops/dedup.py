@@ -508,7 +508,8 @@ CC_PARTS = 64
 
 
 def connected_components_labels(docs_ds, max_iters: int = 10,
-                                to_state_fn=None, stats: dict | None = None):
+                                to_state_fn=None, stats: dict | None = None,
+                                driver_budget_rows: int | None = None):
     """Dedup-cluster labels via distributed min-label propagation with
     POINTER JUMPING (label doubling): each iteration does one key-hop min
     propagation, then follows ``label <- label[label]``, so convergence is
@@ -642,6 +643,69 @@ def connected_components_labels(docs_ds, max_iters: int = 10,
     state = docs_ds.map_batches(
         to_state_fn or to_state, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+
+    # --- driver fold fast path (size-gated) --------------------------------
+    # Each distributed iteration is ~4 shuffle exchanges; on a small state
+    # table that is pure fixed overhead (measured: 1.9 s for 256 edges).
+    # Below the budget the SAME min-propagation + pointer-jump loop runs as
+    # vectorized pandas on the driver — identical labels (min doc_id per
+    # component), identical loud-failure guard, stats["iters"] comparable.
+    # Pass driver_budget_rows=0 to force the distributed rounds (tests do).
+    if driver_budget_rows is None:
+        from .. import config as _cfg
+
+        driver_budget_rows = _cfg.CC_DRIVER_FOLD_ROWS
+    if state.count() <= driver_budget_rows:
+        import ray.data as _rd
+
+        df = state.to_pandas()
+        if df.empty:
+            from ..common import typed_empty
+
+            return typed_empty(doc_id=pa.int64(), component=pa.int64())
+        prev_sig = None
+        n_it = 0
+        converged_local = False
+        for _ in range(max_iters):
+            n_it += 1
+            df["label"] = df.groupby("key")["label"].transform("min")
+            df["label"] = df.groupby("doc_id")["label"].transform("min")
+            # pointer jump: label <- label(label). Every label IS a doc_id
+            # present in the table, so the reindex always hits.
+            doc_lab = df.groupby("doc_id")["label"].min()
+            lab = df["label"].to_numpy()
+            jumped = doc_lab.reindex(lab).to_numpy()
+            # belt-and-braces like merge_jump's fillna: labels are always
+            # doc_ids present in the table, so jumped should never be NaN
+            df["label"] = np.where(
+                np.isnan(jumped), lab, jumped
+            ).astype(np.int64)
+            sig = int(df["label"].sum())
+            if sig == prev_sig:
+                converged_local = True
+                break
+            prev_sig = sig
+        if stats is not None:
+            stats["iters"] = n_it
+        if not converged_local:
+            raise RuntimeError(
+                f"connected_components_labels did not converge in "
+                f"{max_iters} iterations; raise max_iters (component "
+                f"key-chain diameter exceeds ~2^{max_iters})"
+            )
+        out = (
+            df.groupby("doc_id", as_index=False)["label"]
+            .min()
+            .rename(columns={"label": "component"})
+        )
+        out["doc_id"] = out["doc_id"].astype(np.int64)
+        out["component"] = out["component"].astype(np.int64)
+        return _rd.from_arrow(
+            pa.Table.from_pandas(
+                out[["doc_id", "component"]], preserve_index=False
+            )
+        )
+
     prev = None
     from ..common import cogroup_agg
 
@@ -1821,7 +1885,8 @@ def neardup_families(docs_ds_factory, prefix_n: int = 32, gram: int = 3,
         docs_ds_factory(), prefix_n=prefix_n, gram=gram,
         threshold=threshold, max_block=max_block,
     ).materialize()  # CC reads it again via to_state; pair-cardinality
-    if pairs.count() == 0:  # no near-dups: typed empty, not a schema-less
+    n_pairs = pairs.count()
+    if n_pairs == 0:  # no near-dups: typed empty, not a schema-less
         from ..common import typed_empty
 
         return typed_empty(family=pa.int64(), keep_doc_id=pa.int64(),
@@ -1843,6 +1908,74 @@ def neardup_families(docs_ds_factory, prefix_n: int = 32, gram: int = 3,
         )
 
     labels = connected_components_labels(pairs, to_state_fn=_edge_state)
+
+    # --- broadcast fast path (size-gated) -----------------------------------
+    # Label cardinality is bounded by 2×n_pairs (only paired docs are
+    # labeled). When that fits the broadcast budget, ship the doc→component
+    # map to every worker once and stream the corpus through ONE filtering
+    # map_batches — no doc-side shuffle at all — then fold the
+    # pair-cardinality survivor set on the driver (the same bounded
+    # materialization this composition already performs on `pairs`).
+    # Above the budget, the tagged-union cogroups below co-locate labels
+    # and doc metadata without any driver-side or broadcast state.
+    from .. import config as _cfg
+
+    if 2 * n_pairs <= _cfg.BROADCAST_BUDGET_ROWS:
+        import ray as _ray
+
+        from ..common import cached_broadcast
+
+        lab_df = labels.to_pandas()  # ≤ 2×n_pairs rows
+        comp_ref = _ray.put(
+            pd.Series(
+                lab_df["component"].to_numpy(np.int64),
+                index=lab_df["doc_id"].to_numpy(np.int64),
+            )
+        )
+
+        def _attach(b: pa.Table) -> pa.Table:
+            comp = cached_broadcast(comp_ref)
+            d = b.column("doc_id").to_numpy(zero_copy_only=False)
+            hit = comp.reindex(d)
+            m = hit.notna().to_numpy()
+            if not m.any():
+                return pa.table(
+                    {"component": pa.array([], pa.int64()),
+                     "doc_id": pa.array([], pa.int64()),
+                     "n_chars": pa.array([], pa.int64())}
+                )
+            n = pc.utf8_length(
+                pc.coalesce(b.column("text"), pa.scalar(""))
+            ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "component": pa.array(
+                        hit.to_numpy()[m].astype(np.int64)
+                    ),
+                    "doc_id": pa.array(d[m].astype(np.int64)),
+                    "n_chars": pa.array(n[m].astype(np.int64)),
+                }
+            )
+
+        g = docs_ds_factory().map_batches(
+            _attach, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536,
+        ).to_pandas()  # label-cardinality ≤ 2×n_pairs
+        cnt = g.groupby("component", as_index=False).size().rename(
+            columns={"size": "n_docs"}
+        )
+        best = g.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).drop_duplicates("component")[["component", "doc_id"]]
+        out = best.merge(cnt, on="component").rename(
+            columns={"component": "family", "doc_id": "keep_doc_id"}
+        )
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            _fpc(out[["family", "keep_doc_id", "n_docs"]])
+        )
 
     def _lab_side(b: pa.Table) -> pa.Table:
         d = b.column("doc_id").to_numpy(zero_copy_only=False)

@@ -164,9 +164,27 @@ def test_connected_components_pointer_jumping_long_chain(ray_session):
         max_iters=8,
         to_state_fn=chain_state,
         stats=stats,
+        driver_budget_rows=0,  # force the distributed rounds under test
     ).to_pandas()
     assert (out["component"] == 0).all()
     assert stats["iters"] <= 6  # log-diameter, not one hop per pass
+
+    # driver-fold fast path (the size-gated default on small state) must
+    # produce IDENTICAL labels and the same log-diameter convergence
+    stats_local: dict = {}
+    out_local = D.connected_components_labels(
+        rd.range(n).map_batches(
+            lambda t: t.rename_columns(["doc_id"]), batch_format="pyarrow"
+        ),
+        max_iters=8,
+        to_state_fn=chain_state,
+        stats=stats_local,
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        out_local.sort_values("doc_id").reset_index(drop=True),
+    )
+    assert stats_local["iters"] <= 6
 
 
 def test_brute_force_vs_ivf_overlap(ray_session):
