@@ -352,13 +352,15 @@ def minhash_verified(docs_ds, *, threshold: float = 0.5, num_perm=64, bands=16,
     edges = _raw_band_pairs(docs_ds, num_perm=num_perm, bands=bands,
                             shingle=shingle, concurrency=concurrency,
                             explode_sides=True)
+    n_edge_rows = None
     if pair_lanes is None:
         # size the verify stage from the MEASURED candidate volume (LSH
         # candidates are a vanishing fraction of the corpus, so holding
         # them in the object store is cheap; the union consumer reuses the
         # materialized blocks, so the band pipeline still runs once)
         edges = edges.materialize()
-        pair_lanes = _derive_pair_lanes(edges.count())
+        n_edge_rows = edges.count()
+        pair_lanes = _derive_pair_lanes(n_edge_rows)
     if stats is not None:
         stats["pair_lanes"] = pair_lanes
 
@@ -378,8 +380,47 @@ def minhash_verified(docs_ds, *, threshold: float = 0.5, num_perm=64, bands=16,
         out["part"] = _cg_part(out["key"])
         return out
 
-    texts = docs_ds.map_batches(text_side, batch_format="pyarrow",
-                                zero_copy_batch=True)
+    # Semi-join gate on the text side: the cogroup below co-locates pair
+    # edges with their texts, but only CANDIDATE docs' texts are ever read
+    # off the merge — shuffling the whole corpus's text column to feed it
+    # is wasted exchange volume. When the measured edge count fits the
+    # broadcast budget, ship the candidate doc-id set once (ids only —
+    # texts never touch the driver) and pre-filter the corpus stream, so
+    # the text shuffle moves candidate texts only. Above the budget (or
+    # when the caller pinned pair_lanes and no count exists) the unfiltered
+    # two-sided shuffle remains the scale path.
+    text_src = docs_ds
+    if n_edge_rows is not None:
+        from .. import config as _cfg
+
+        # 0 edges short-circuits to the unfiltered path: a zero-candidate
+        # edge set yields schema-less empty blocks whose a/b columns can't
+        # be selected (the downstream machinery already handles empties)
+        if 0 < n_edge_rows <= _cfg.BROADCAST_BUDGET_ROWS:
+            import ray as _ray
+
+            from ..common import cached_broadcast
+
+            ed = edges.select_columns(["a", "b"]).to_pandas()
+            cand_ids = np.unique(
+                np.concatenate(
+                    [ed["a"].to_numpy(np.int64), ed["b"].to_numpy(np.int64)]
+                )
+            )
+            ids_ref = _ray.put(cand_ids)
+
+            def _cand_filter(b: pa.Table) -> pa.Table:
+                ids = cached_broadcast(ids_ref)
+                d = b.column("doc_id").to_numpy(zero_copy_only=False)
+                return b.filter(pa.array(np.isin(d, ids)))
+
+            text_src = docs_ds.map_batches(
+                _cand_filter, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=65536,
+            )
+
+    texts = text_src.map_batches(text_side, batch_format="pyarrow",
+                                 zero_copy_batch=True)
 
     def merge_part(g: pd.DataFrame) -> pd.DataFrame:
         t = g.loc[g["is_text"], ["key", "text"]]
