@@ -290,7 +290,12 @@ def _raw_band_pairs(docs_ds, *, num_perm=64, bands=16, shingle=5,
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    return salted.groupby(["band", "salt"]).map_groups(
+    # group by salt ALONE: a bucket (band, band_hash) maps wholly to one
+    # salt value (salt = band_hash & mask), and _pairs_from_salt_group
+    # re-groups by (band, band_hash) internally — so salt-only grouping is
+    # output-identical (verified pair-set equality at sf0.1) with 16×
+    # fewer group calls and a 1-column sort key
+    return salted.groupby("salt").map_groups(
         lambda g: _pairs_from_salt_group(g, explode_sides),
         batch_format="pandas",
     )
