@@ -665,6 +665,32 @@ def pagerank(lineitem_ds, lo, hi, damping_ppm: int = 850_000,
     rank = np.full(n, SCALE // n, dtype=np.int64)
     base = (SCALE * (10**6 - damping_ppm) // 10**6) // n
 
+    # Edge-budget driver loop: when the (already materialized, already
+    # counted) edge list itself fits the broadcast budget, run the SAME
+    # integer iteration in pure numpy on the driver — every operation is
+    # int64 (floor-div shares, add.at sums, ppm damping), so the result is
+    # bit-identical to the distributed rounds by associativity of integer
+    # addition, with zero per-iteration Ray rounds (20 map+fold rounds are
+    # pure fixed cost on a dimension-sized graph). Larger edge sets fall
+    # through to the per-iteration broadcast map below; node sets past
+    # node_budget already took the join successor above.
+    if edges.count() <= node_budget:
+        ed = edges.to_pandas()
+        s1 = ed["s1"].to_numpy(np.int64)
+        s2 = ed["s2"].to_numpy(np.int64)
+        src_idx = np.searchsorted(nodes, np.concatenate([s1, s2]))
+        dst_idx = np.searchsorted(nodes, np.concatenate([s2, s1]))
+        for _ in range(iters):
+            contrib = np.zeros(n, dtype=np.int64)
+            np.add.at(contrib, dst_idx, (rank // deg)[src_idx])
+            new_rank = base + (damping_ppm * contrib) // 10**6
+            if np.array_equal(new_rank, rank):
+                break
+            rank = new_rank
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array(nodes), "rank_e12": pa.array(rank)})
+        ).sort("node")
+
     for _ in range(iters):
         ref = ray.put({"node": nodes, "share": rank // deg})
 
