@@ -301,6 +301,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     cpu_report = _steal_pct(s0, _cpu_stat())
 
     queries = {"extract_interleaved": round(headline_sec, 3)}
+    # NOTE: minhash_pairs' in-sweep time carries ~1.4 s of Ray worker-churn
+    # cost (each actor-pool query displaces task workers; the next
+    # task-heavy query pays worker restarts). Measured warm in a quiet
+    # session it runs ~1.4 s; a pre-sweep warm-up can't help because the
+    # first sweep query (extract_rank) re-churns the worker set.
     qmap = registry.queries()
     for name in BENCH_QUERIES:
         t0 = time.monotonic()
