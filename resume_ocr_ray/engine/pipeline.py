@@ -680,7 +680,10 @@ def extraction_pipeline(
     # actor while the pool grows.
     import os as _os2
 
-    _default_floor = max(1, _math.ceil(budget * 0.4))
+    # budget < 4 (≤4-CPU session): floor 1 — the ramp win was a measured
+    # wash there, and a floor of 2+ triggers Ray's min-actors-vs-inputs
+    # warning on the one-block inputs tiny sessions typically process
+    _default_floor = max(1, _math.ceil(budget * 0.4)) if budget >= 4 else 1
     _min_env = _os2.environ.get("GRAFT_OCR_MIN_ACTORS", str(_default_floor))
     ocr_min = ocr_concurrency if _min_env == "max" else max(
         1, min(int(_min_env), ocr_concurrency)
