@@ -1144,6 +1144,16 @@ def exact_quantile(ds, col: str, ps=(0.5, 0.95, 0.99), bins: int = 8192):
     pruned values; there is no shuffle at all."""
     from ray.data.aggregate import Max, Min, Sum
 
+    # The three passes (domain, histogram, bin fetch) each re-execute a
+    # lazy source. Below the broadcast budget, materialize the (already
+    # column-pruned) input once and share the plasma blocks across passes —
+    # passes stay distributed; only the repeated source read is elided.
+    # count() on a parquet read is a metadata probe, not a data pass.
+    from .. import config as _cfg
+
+    if ds.count() <= _cfg.BROADCAST_BUDGET_ROWS:
+        ds = ds.materialize()
+
     mm = ds.aggregate(Min(col), Max(col))
     lo_raw, hi_raw = mm[f"min({col})"], mm[f"max({col})"]
     if lo_raw is None or hi_raw is None:  # empty input (or all-null column)
