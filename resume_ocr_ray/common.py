@@ -59,6 +59,26 @@ def cached_broadcast(obj_ref):
     return _CACHE[key]
 
 
+def cache_if_small(factory, budget_rows: int | None = None):
+    """Wrap a multi-pass dataset factory: when the source's row count fits
+    the broadcast budget, materialize ONCE and serve the cached
+    MaterializedDataset on every call — each pass stays a distributed
+    operation, only the repeated source read is elided. Above the budget,
+    delegate to the original factory (the memory-light re-read shape for
+    unbounded inputs, where pinning the whole source in the object store
+    is the wrong trade). ``count()`` on a parquet read is a metadata
+    probe, not a data pass."""
+    if budget_rows is None:
+        from . import config as _cfg
+
+        budget_rows = _cfg.BROADCAST_BUDGET_ROWS
+    ds = factory()
+    if ds.count() <= budget_rows:
+        cached = ds.materialize()
+        return lambda: cached
+    return factory
+
+
 def horner_shingles(crcs, window: int, base) -> "np.ndarray":
     """Rolling word-shingle hashes: a numpy Horner scheme over a token-crc
     array — ``window`` vectorized passes instead of one string join + hash

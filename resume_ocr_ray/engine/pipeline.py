@@ -627,6 +627,7 @@ def extraction_pipeline(
         else 8
     )
     budget = max(1, _ncpu - 1)
+    _ocr_pool_pinned = ocr_concurrency is not None
     # Pool sizes scale WITH the session so both stages parallelize
     # proportionally at every cluster size (a fixed scorer pool made the
     # scorer the serial bottleneck at low parallelism: 1.6/4 cores busy).
@@ -680,10 +681,16 @@ def extraction_pipeline(
     # actor while the pool grows.
     import os as _os2
 
-    # budget < 4 (≤4-CPU session): floor 1 — the ramp win was a measured
-    # wash there, and a floor of 2+ triggers Ray's min-actors-vs-inputs
-    # warning on the one-block inputs tiny sessions typically process
-    _default_floor = max(1, _math.ceil(budget * 0.4)) if budget >= 4 else 1
+    # The scaled floor applies only to DERIVED pool sizes: a caller pinning
+    # ocr_concurrency wants a small elastic pool (floor 2 on a pinned pool
+    # of 2 is min==max and trips Ray's min-actors-vs-inputs warning on
+    # one-block inputs). budget < 4 (≤4-CPU session) also stays at floor 1 —
+    # the ramp win was a measured wash there.
+    _default_floor = (
+        max(1, _math.ceil(budget * 0.4))
+        if budget >= 4 and not _ocr_pool_pinned
+        else 1
+    )
     _min_env = _os2.environ.get("GRAFT_OCR_MIN_ACTORS", str(_default_floor))
     ocr_min = ocr_concurrency if _min_env == "max" else max(
         1, min(int(_min_env), ocr_concurrency)

@@ -1517,6 +1517,10 @@ def substring_dup_docs(docs_ds_factory, w: int = 64,
          STRING and keep docs of windows with ≥2 distinct docs — hash
          collisions die here (either path), so the result is exactly the
          oracle's."""
+    from ..common import cache_if_small
+
+    # multi-pass source: one shared materialization below the budget
+    docs_ds_factory = cache_if_small(docs_ds_factory)
     import ray
 
     from ..common import cached_broadcast, cogroup_agg
@@ -1926,6 +1930,10 @@ def neardup_families(docs_ds_factory, prefix_n: int = 32, gram: int = 3,
     normal case after exact dedup) oracle parity is exact; raise
     ``max_block`` to restore parity on a known-hot-prefix corpus at the
     cost of the quadratic block."""
+    from ..common import cache_if_small
+
+    # multi-pass source: one shared materialization below the budget
+    docs_ds_factory = cache_if_small(docs_ds_factory)
 
     pairs = ngram_jaccard_pairs(
         docs_ds_factory(), prefix_n=prefix_n, gram=gram,

@@ -1347,6 +1347,10 @@ def length_gate(docs_ds_factory, p: float = 0.95):
     no sort, no shuffle beyond a bins-sized aggregate) to find the
     threshold, then ONE streamed filter pass. The factory re-reads the
     (columns-pruned) input per pass; passes never coexist in memory."""
+    from ..common import cache_if_small
+
+    # multi-pass source: one shared materialization below the budget
+    docs_ds_factory = cache_if_small(docs_ds_factory)
     q = exact_quantile(docs_ds_factory(), "n_chars", ps=(p,))
     thr = float(q["value"].iloc[0])
     ds = docs_ds_factory()
@@ -1598,6 +1602,10 @@ def winsorize(docs_ds_factory, sf_dir: str, p_lo: float = 0.05,
     values are the same percentile_cont interpolation DuckDB computes
     (hash-verified by group_median/grouped_p95), and unclipped rows pass
     the exact cast of their integer n_chars."""
+    from ..common import cache_if_small
+
+    # multi-pass source: one shared materialization below the budget
+    docs_ds_factory = cache_if_small(docs_ds_factory)
     import ray
 
     from ..common import cached_broadcast
@@ -2860,6 +2868,10 @@ def length_outliers(docs_ds_factory, sigmas: int = 3, parts: int = 4):
     ONE streaming filter scan. Σx² per batch: n_chars < 2²⁰ ⇒ x² < 2⁴⁰,
     ×65536 rows < 2⁵⁶ — inside int64; the GLOBAL sums are reassembled as
     Python bigints, so corpus size never overflows them."""
+    from ..common import cache_if_small
+
+    # multi-pass source: one shared materialization below the budget
+    docs_ds_factory = cache_if_small(docs_ds_factory)
     import ray
 
     from ..common import cached_broadcast
@@ -3200,6 +3212,10 @@ def dense_rank_by_lang(docs_ds_factory):
     pair-cardinality groupby → per-lang sorted value arrays broadcast once
     (bounded by the VALUE DOMAIN × n_langs, not corpus size) → one
     streaming searchsorted pass. The corpus itself never shuffles."""
+    from ..common import cache_if_small
+
+    # multi-pass source: one shared materialization below the budget
+    docs_ds_factory = cache_if_small(docs_ds_factory)
     import ray
 
     from ..common import cached_broadcast
@@ -3265,6 +3281,10 @@ def mad_by_lang(docs_ds_factory):
     value domain, so the shuffle stays n_groups × n_distinct). n_chars
     is int and med is at worst a .5 midpoint, so x − med is EXACT in
     doubles and the oracle hash-matches."""
+    from ..common import cache_if_small
+
+    # multi-pass source: one shared materialization below the budget
+    docs_ds_factory = cache_if_small(docs_ds_factory)
     import ray
 
     from ..common import cached_broadcast
@@ -4298,6 +4318,10 @@ def global_rich_idle(customer_ds_factory, orders_ds, parts: int = 64,
     Overflow headroom: cents ≤ 2^20, so n_pos can reach 2^43 before the
     cross-multiply nears 2^63. Output (c_nationkey:int32, n_cust,
     total_bal_cents) sorted by c_nationkey."""
+    from ..common import cache_if_small
+
+    # multi-pass source: one shared materialization below the budget
+    customer_ds_factory = cache_if_small(customer_ds_factory)
 
     def _scalar_partial(b: pa.Table) -> pa.Table:
         bal = b.column("c_acctbal").to_numpy(zero_copy_only=False)

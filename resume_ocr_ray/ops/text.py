@@ -222,6 +222,10 @@ def stopword_filter(docs_ds_factory, k: int = 20):
     bigger lookup sides). Tokenization is single-space split with empties
     dropped — exactly DuckDB ``string_split(text, ' ')`` semantics, so
     the op is oracle-checkable value-for-value."""
+    from ..common import cache_if_small
+
+    # multi-pass source: one shared materialization below the budget
+    docs_ds_factory = cache_if_small(docs_ds_factory)
 
     def _term_counts(b: pa.Table) -> pa.Table:
         toks = pc.split_pattern(b.column("text"), " ")
@@ -1018,6 +1022,10 @@ def tfidf_topk(docs_ds_factory, k: int = 3,
       identical output columns.
     Tokenization is single-space split with empties dropped == DuckDB
     ``string_split(text, ' ')``."""
+    from ..common import cache_if_small
+
+    # multi-pass source: one shared materialization below the budget
+    docs_ds_factory = cache_if_small(docs_ds_factory)
 
     def _df_partial(b: pa.Table) -> pa.Table:
         toks = pc.split_pattern(b.column("text"), " ")
@@ -1344,6 +1352,10 @@ def token_rarity(docs_ds_factory, broadcast_max: int = GRAM_BROADCAST_MAX):
     doc-keyed cogroups with no driver vocabulary map. int64 bound:
     ``total·10⁶`` must stay < 2⁶³ (total < 9.2e12 tokens); past that,
     drop the scale constant to 10³ — documented, not silent."""
+    from ..common import cache_if_small
+
+    # multi-pass source: one shared materialization below the budget
+    docs_ds_factory = cache_if_small(docs_ds_factory)
     from ..common import cogroup_agg
 
     def _cnt_partial(b: pa.Table) -> pa.Table:
