@@ -2944,7 +2944,7 @@ def length_outliers(docs_ds_factory, sigmas: int = 3, parts: int = 4):
 
 
 def nation_revenue(lineitem_ds, orders_ds, customer_ds, nation_ds,
-                   parts: int = 64):
+                   parts: int = 64, order_map=None, cust_map=None):
     """TPC-H Q5-style THREE-table join pipeline: lineitem ⋈ orders ⋈
     customer ⋈ nation → revenue per nation. Revenue is an EXACT integer —
     rev_e4 = round(price·100) · round((1−discount)·100), price×percent
@@ -2961,7 +2961,16 @@ def nation_revenue(lineitem_ds, orders_ds, customer_ds, nation_ds,
     Facts shuffle at most twice, pre-aggregated both times; per-nation
     sums cross the final engine aggregate as (hi, lo) int64 pairs and are
     reassembled in Python bigints (the group_corr overflow discipline —
-    Σrev_e4 outgrows int64 past ~10⁹ lineitems)."""
+    Σrev_e4 outgrows int64 past ~10⁹ lineitems).
+
+    ``order_map``/``cust_map`` (size-gated FAST PATH, both required —
+    q_orders_by_segment selector discipline): driver-read (o_orderkey,
+    o_custkey) and (c_custkey, c_nationkey) DataFrames passed only when
+    BOTH sides fit the broadcast budget — both key hops then happen
+    INSIDE the lineitem map_batches and the query becomes a ZERO-COGROUP
+    plan (map → 25-key engine aggregate). Integer sums are associative,
+    so the output is bit-identical to the cogroup chain
+    (pytest-pinned)."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -3081,27 +3090,86 @@ def nation_revenue(lineitem_ds, orders_ds, customer_ds, nation_ds,
             }
         )
 
-    li_part = lineitem_ds.map_batches(
-        _li, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536,
-    )
-    ord_side = orders_ds.map_batches(
-        _ord, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=65536,
-    )
-    stage_a = (
-        li_part.union(ord_side)
-        .groupby("part")
-        .map_groups(_join_a, batch_format="pandas")
-    )
-    cust_side = customer_ds.map_batches(
-        _cust, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=65536,
-    )
-    stage_b = (
-        stage_a.union(cust_side)
-        .groupby("part")
-        .map_groups(_join_b, batch_format="pandas")
-    )
+    if order_map is not None and cust_map is not None:
+        odf = order_map.sort_values("o_orderkey")
+        cdf = cust_map.sort_values("c_custkey")
+        maps_ref = ray.put((
+            odf["o_orderkey"].to_numpy(np.int64),
+            odf["o_custkey"].to_numpy(np.int64),
+            cdf["c_custkey"].to_numpy(np.int64),
+            cdf["c_nationkey"].to_numpy(np.int64),
+        ))
+
+        def _li_bcast(b: pa.Table) -> pa.Table:
+            ok, oc, ck, cn = cached_broadcast(maps_ref)
+            empty = pa.table(
+                {"c_nationkey": pa.array([], pa.int64()),
+                 "rev_hi": pa.array([], pa.int64()),
+                 "rev_lo": pa.array([], pa.int64()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+            if len(ok) == 0 or len(ck) == 0:
+                return empty
+            lk = b.column("l_orderkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            cents = np.rint(
+                b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+                * 100.0
+            ).astype(np.int64)
+            pct = np.rint(
+                (1.0 - b.column("l_discount").to_numpy(
+                    zero_copy_only=False)) * 100.0
+            ).astype(np.int64)
+            rev = cents * pct
+            oidx = np.minimum(np.searchsorted(ok, lk), len(ok) - 1)
+            keep = ok[oidx] == lk  # inner-join semantics, like _join_a
+            cust = oc[oidx][keep]
+            rev = rev[keep]
+            cidx = np.minimum(np.searchsorted(ck, cust), len(ck) - 1)
+            keep2 = ck[cidx] == cust
+            nat = cn[cidx][keep2]
+            rev = rev[keep2]
+            if len(rev) == 0:
+                return empty
+            g = pd.DataFrame({"c_nationkey": nat, "rev": rev}).groupby(
+                "c_nationkey", as_index=False
+            ).agg(rev=("rev", "sum"), cnt=("rev", "size"))
+            r = g["rev"].to_numpy(np.int64)
+            return pa.table(
+                {"c_nationkey": pa.array(
+                    g["c_nationkey"].to_numpy(np.int64)),
+                 "rev_hi": pa.array(r >> _SHIFT),
+                 "rev_lo": pa.array(r & ((1 << _SHIFT) - 1)),
+                 "cnt": pa.array(g["cnt"].to_numpy(np.int64))}
+            )
+
+        stage_b = lineitem_ds.map_batches(
+            _li_bcast, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536,
+        )
+    else:
+        li_part = lineitem_ds.map_batches(
+            _li, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536,
+        )
+        ord_side = orders_ds.map_batches(
+            _ord, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536,
+        )
+        stage_a = (
+            li_part.union(ord_side)
+            .groupby("part")
+            .map_groups(_join_a, batch_format="pandas")
+        )
+        cust_side = customer_ds.map_batches(
+            _cust, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536,
+        )
+        stage_b = (
+            stage_a.union(cust_side)
+            .groupby("part")
+            .map_groups(_join_b, batch_format="pandas")
+        )
     return (
         # coalesce to 4 lanes: 25 nation keys — empty sort ranges would
         # emit schema-less blocks (executor warnings) at high CPU counts

@@ -1419,13 +1419,19 @@ def q_emb_argmax(sf_dir: str):
 
 
 def q_nation_revenue(sf_dir: str):
-    """TPC-H Q5-style lineitem x orders x customer x nation revenue (two chained cogroups, integer rev_e4)."""
+    """TPC-H Q5-style lineitem x orders x customer x nation revenue
+    (integer rev_e4; size-gated zero-cogroup broadcast plan when both the
+    order and customer key maps fit the budget, else two chained
+    cogroups — bit-identical either way)."""
     return R.nation_revenue(
         _read(sf_dir, "lineitem",
               ["l_orderkey", "l_extendedprice", "l_discount"]),
         _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
         _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
         _read(sf_dir, "nation", ["n_nationkey", "n_name"]),
+        order_map=_dim_map(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        cust_map=_dim_map(sf_dir, "customer",
+                          ["c_custkey", "c_nationkey"]),
     )
 
 

@@ -1951,6 +1951,21 @@ def test_nation_revenue_inner_join_drops_dangling(ray_session):
     assert out.loc["BETA", "n_items"] == 1
     assert len(out) == 2
 
+    # the size-gated zero-cogroup broadcast plan (order_map + cust_map)
+    # must emit EXACTLY the cogroup chain's rows, dangling keys included
+    fast = nation_revenue(
+        rd.from_pandas(li).repartition(2),
+        rd.from_pandas(orders),
+        rd.from_pandas(cust),
+        rd.from_pandas(nation),
+        parts=4,
+        order_map=orders,
+        cust_map=cust,
+    ).to_pandas().set_index("nation")
+    pd.testing.assert_frame_equal(
+        out.sort_index(), fast.sort_index()
+    )
+
 
 def test_event_ops_partitioning_invariant(ray_session):
     """The distributive event ops must be invariant to block boundaries:
