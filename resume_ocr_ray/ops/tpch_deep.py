@@ -71,7 +71,8 @@ def _cogroup(fact_ds, dim_ds, fn, coalesce: int):
 def returned_item_revenue(lineitem_ds, orders_ds, customer_ds, nation_ds,
                           date_lo: str = "1996-01-01",
                           date_hi: str = "1996-04-01", k: int = 20,
-                          parts: int = 64, coalesce: int = 8):
+                          parts: int = 64, coalesce: int = 8,
+                          order_map=None, cust_map=None):
     """TPC-H Q10-style returned-item loss report: top-``k`` customers by
     exact integer revenue of their RETURNED lineitems (``l_returnflag =
     'R'``) on orders placed in ``[date_lo, date_hi)``, with customer
@@ -82,6 +83,16 @@ def returned_item_revenue(lineitem_ds, orders_ds, customer_ds, nation_ds,
     pre-aggregation; the 25-row nation dim is ONE driver fetch +
     ``ray.put`` broadcast (dim-cardinality bound); ``topk_exact`` on
     (rev desc, c_custkey) — a total order.
+
+    ``order_map``/``cust_map`` (size-gated FAST PATH, both required —
+    q_orders_by_segment selector discipline): driver-read (o_orderkey,
+    o_custkey, o_orderdate) and (c_custkey, c_name, c_acctbal,
+    c_nationkey) DataFrames passed only when BOTH fit the broadcast
+    budget. The date filter and both key hops then happen inside the
+    lineitem map_batches; one coarse custkey cogroup_agg replaces the
+    two tagged-union cogroups, and customer attributes attach AFTER the
+    top-k from the broadcast map (<= k rows). Integer sums + the total
+    order make the paths bit-identical (pytest-pinned).
 
     Output: (c_custkey, c_name, nation, c_acctbal, revenue_e4)."""
     import ray
@@ -173,17 +184,98 @@ def returned_item_revenue(lineitem_ds, orders_ds, customer_ds, nation_ds,
             "revenue_e4": pa.array(m["rev"].to_numpy(np.int64)),
         })
 
-    li_side = lineitem_ds.map_batches(
-        _li, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=65536)
-    ord_side = orders_ds.map_batches(
-        _ord, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=65536)
-    keyed_ck = _cogroup(li_side, ord_side, _join_ok, coalesce)
-    cust_side = customer_ds.map_batches(
-        _cust, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=65536)
-    per_cust = _cogroup(keyed_ck, cust_side, _join_ck, coalesce)
+    if order_map is not None and cust_map is not None:
+        from ..common import cogroup_agg
+
+        od = order_map
+        win = od[(od["o_orderdate"].to_numpy("datetime64[us]") >= lo)
+                 & (od["o_orderdate"].to_numpy("datetime64[us]") < hi)]
+        win = win.sort_values("o_orderkey")
+        cd = cust_map.sort_values("c_custkey")
+        maps_ref = ray.put((
+            win["o_orderkey"].to_numpy(np.int64),
+            win["o_custkey"].to_numpy(np.int64),
+            cd["c_custkey"].to_numpy(np.int64),
+        ))
+
+        def _li_bcast(b: pa.Table) -> pa.Table:
+            ok, oc, ck = cached_broadcast(maps_ref)
+            empty = pa.table({"c_custkey": pa.array([], pa.int64()),
+                              "rev": pa.array([], pa.int64())})
+            if len(ok) == 0 or len(ck) == 0:
+                return empty
+            b = b.filter(pc.equal(b.column("l_returnflag"),
+                                  pa.scalar("R")))
+            lk = b.column("l_orderkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            rev = _rev_e4(b)
+            oidx = np.minimum(np.searchsorted(ok, lk), len(ok) - 1)
+            keep = ok[oidx] == lk  # window + inner semantics, like _ord
+            cust = oc[oidx][keep]
+            rev = rev[keep]
+            cidx = np.minimum(np.searchsorted(ck, cust), len(ck) - 1)
+            keep2 = ck[cidx] == cust  # inner vs customer, like _join_ck
+            if not keep2.any():
+                return empty
+            g = pd.DataFrame(
+                {"c_custkey": cust[keep2], "rev": rev[keep2]}
+            ).groupby("c_custkey", as_index=False)["rev"].sum()
+            return pa.table({
+                "c_custkey": pa.array(g["c_custkey"].to_numpy(np.int64)),
+                "rev": pa.array(g["rev"].to_numpy(np.int64)),
+            })
+
+        per_cust_rev = cogroup_agg(
+            lineitem_ds.map_batches(
+                _li_bcast, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=65536),
+            "c_custkey", {"revenue_e4": ("rev", "sum")},
+        )
+        attrs_ref = ray.put({
+            int(r.c_custkey): (str(r.c_name), float(r.c_acctbal),
+                               int(r.c_nationkey))
+            for r in cd.itertuples(index=False)
+        })
+
+        def _attach(b: pa.Table) -> pa.Table:
+            # runs on <= k rows (after topk_exact)
+            am = cached_broadcast(attrs_ref)
+            cks = b.column("c_custkey").to_pylist()
+            rows = [am[int(c)] for c in cks]
+            return pa.table({
+                "c_custkey": b.column("c_custkey"),
+                "c_name": pa.array([r[0] for r in rows], pa.string()),
+                "c_acctbal": pa.array(
+                    np.array([r[1] for r in rows], np.float64)),
+                "c_nationkey": pa.array(
+                    np.array([r[2] for r in rows], np.int64)),
+                "revenue_e4": b.column("revenue_e4"),
+            })
+
+        per_cust = topk_exact(
+            per_cust_rev,
+            [("revenue_e4", "descending"), ("c_custkey", "ascending")],
+            k,
+        ).map_batches(_attach, batch_format="pyarrow",
+                      zero_copy_batch=True, batch_size=None)
+        # re-order to the cogroup path's column layout for the shared tail
+        per_cust = per_cust.map_batches(
+            lambda t: t.select(["c_custkey", "c_name", "c_acctbal",
+                                "c_nationkey", "revenue_e4"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    else:
+        li_side = lineitem_ds.map_batches(
+            _li, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536)
+        ord_side = orders_ds.map_batches(
+            _ord, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536)
+        keyed_ck = _cogroup(li_side, ord_side, _join_ok, coalesce)
+        cust_side = customer_ds.map_batches(
+            _cust, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536)
+        per_cust = _cogroup(keyed_ck, cust_side, _join_ck, coalesce)
 
     # 25 rows — dim-cardinality bound justifying the driver fetch
     ndf = nation_ds.select_columns(["n_nationkey", "n_name"]).to_pandas()

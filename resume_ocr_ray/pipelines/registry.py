@@ -1508,6 +1508,11 @@ def q_returned_revenue(sf_dir: str):
         _read(sf_dir, "customer",
               ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]),
         _read(sf_dir, "nation", ["n_nationkey", "n_name"]),
+        order_map=_dim_map(sf_dir, "orders",
+                           ["o_orderkey", "o_custkey", "o_orderdate"]),
+        cust_map=_dim_map(sf_dir, "customer",
+                          ["c_custkey", "c_name", "c_acctbal",
+                           "c_nationkey"]),
     )
 
 

@@ -73,6 +73,14 @@ def test_returned_revenue_hand_answer(ray_session):
     assert r["c_name"] == "alice" and r["nation"] == "N0"
     assert r["c_acctbal"] == 12.5
 
+    # the size-gated order_map+cust_map broadcast plan must emit EXACTLY
+    # the cogroup chain's rows (window filter + inner semantics included)
+    fast = TD.returned_item_revenue(
+        _rd(li, 3), _rd(orders), _rd(cust), _rd(nation),
+        order_map=orders.to_pandas(), cust_map=cust.to_pandas(),
+    ).to_pandas()
+    pd.testing.assert_frame_equal(out, fast)
+
 
 def test_volume_shipping_directions_and_empty(ray_session):
     # supplier in N1 ships to customer in N2 and vice versa; domestic
