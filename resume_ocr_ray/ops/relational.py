@@ -3765,7 +3765,8 @@ def debounce_events(events_ds, parts: int = 64, coalesce: int = 8):
 
 def unshipped_orders_topk(lineitem_ds, orders_ds, customer_ds,
                           segment: str = "BUILDING",
-                          cutoff=None, k: int = 10, parts: int = 64):
+                          cutoff=None, k: int = 10, parts: int = 64,
+                          order_map=None, cust_map=None):
     """TPC-H Q3-style shipping-priority query: top-``k`` orders by
     outstanding revenue — ``segment`` customers, orders placed before
     ``cutoff``, revenue from lineitems shipped after it. Revenue uses
@@ -3778,7 +3779,17 @@ def unshipped_orders_topk(lineitem_ds, orders_ds, customer_ds,
     — per-block partial top-k, never a global range sort. Facts shuffle
     at most twice, pre-aggregated; per-order Σrev_e4 is bounded by the
     ~7-lineitem order width, far inside int64. Output
-    (o_orderkey, rev_e4, o_orderdate, o_orderpriority)."""
+    (o_orderkey, rev_e4, o_orderdate, o_orderpriority).
+
+    ``order_map``/``cust_map`` (size-gated FAST PATH, both required —
+    q_orders_by_segment selector discipline): driver-read (o_orderkey,
+    o_custkey, o_orderdate, o_orderpriority) and (c_custkey,
+    c_mktsegment) DataFrames passed only when BOTH fit the broadcast
+    budget. The segment semi-join and date window fold to one sorted
+    qualifying-orderkey array broadcast into the lineitem map_batches;
+    one coarse orderkey cogroup_agg replaces both tagged-union cogroups,
+    and order attributes attach AFTER the top-k (≤ k rows). Integer sums
+    + the total order make the paths bit-identical (pytest-pinned)."""
     import datetime as _dt
 
     from ..common import topk_exact
@@ -3923,6 +3934,91 @@ def unshipped_orders_topk(lineitem_ds, orders_ds, customer_ds,
                 "o_orderpriority": pa.array(
                     m["o_orderpriority"].to_numpy(object), pa.string()),
             }
+        )
+
+    if order_map is not None and cust_map is not None:
+        import ray
+
+        from ..common import cached_broadcast, cogroup_agg
+
+        seg_ck = np.sort(cust_map.loc[
+            cust_map["c_mktsegment"].astype(str) == segment, "c_custkey"
+        ].to_numpy(np.int64))
+        od = order_map
+        win = od[od["o_orderdate"].to_numpy("datetime64[us]") < cutoff64]
+        oc = win["o_custkey"].to_numpy(np.int64)
+        cidx = np.minimum(np.searchsorted(seg_ck, oc),
+                          max(0, len(seg_ck) - 1))
+        qual = win[seg_ck[cidx] == oc] if len(seg_ck) else win.iloc[:0]
+        qual = qual.sort_values("o_orderkey")
+        ok_ref = ray.put(qual["o_orderkey"].to_numpy(np.int64))
+        attrs_ref = ray.put({
+            int(r.o_orderkey): (r.o_orderdate, str(r.o_orderpriority))
+            for r in qual.itertuples(index=False)
+        })
+
+        def _li_bcast(b: pa.Table) -> pa.Table:
+            qok = cached_broadcast(ok_ref)
+            empty = pa.table({"o_orderkey": pa.array([], pa.int64()),
+                              "rev": pa.array([], pa.int64())})
+            if len(qok) == 0:
+                return empty
+            sd = b.column("l_shipdate").to_numpy(
+                zero_copy_only=False).astype("datetime64[us]")
+            keep = sd > cutoff64
+            lk = b.column("l_orderkey").to_numpy(
+                zero_copy_only=False)[keep].astype(np.int64)
+            oidx = np.minimum(np.searchsorted(qok, lk), len(qok) - 1)
+            hit = qok[oidx] == lk
+            if not hit.any():
+                return empty
+            cents = np.rint(
+                b.column("l_extendedprice").to_numpy(
+                    zero_copy_only=False)[keep][hit] * 100.0
+            ).astype(np.int64)
+            pct = np.rint(
+                (1.0 - b.column("l_discount").to_numpy(
+                    zero_copy_only=False)[keep][hit]) * 100.0
+            ).astype(np.int64)
+            g = pd.DataFrame(
+                {"o_orderkey": lk[hit], "rev": cents * pct}
+            ).groupby("o_orderkey", as_index=False)["rev"].sum()
+            return pa.table({
+                "o_orderkey": pa.array(g["o_orderkey"].to_numpy(np.int64)),
+                "rev": pa.array(g["rev"].to_numpy(np.int64)),
+            })
+
+        per_order = cogroup_agg(
+            lineitem_ds.map_batches(
+                _li_bcast, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=65536),
+            "o_orderkey", {"rev_e4": ("rev", "sum")},
+        )
+
+        def _attach(b: pa.Table) -> pa.Table:
+            # runs over qualifying-order-cardinality rows (broadcast-
+            # bounded) BEFORE the top-k: the date participates in the
+            # cogroup path's tiebreak, so it must be attached pre-sort
+            am = cached_broadcast(attrs_ref)
+            oks = b.column("o_orderkey").to_pylist()
+            rows = [am[int(o)] for o in oks]
+            return pa.table({
+                "o_orderkey": b.column("o_orderkey"),
+                "rev_e4": b.column("rev_e4"),
+                "o_orderdate": pa.array(
+                    np.array([r[0] for r in rows], "datetime64[us]"),
+                    pa.timestamp("us")),
+                "o_orderpriority": pa.array(
+                    [r[1] for r in rows], pa.string()),
+            })
+
+        return topk_exact(
+            per_order.map_batches(_attach, batch_format="pyarrow",
+                                  zero_copy_batch=True,
+                                  batch_size=65536),
+            [("rev_e4", "descending"), ("o_orderdate", "ascending"),
+             ("o_orderkey", "ascending")],
+            k,
         )
 
     joined = (

@@ -1446,6 +1446,11 @@ def q_unshipped_orders(sf_dir: str):
               ["o_orderkey", "o_custkey", "o_orderdate",
                "o_orderpriority"]),
         _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        order_map=_dim_map(sf_dir, "orders",
+                           ["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_orderpriority"]),
+        cust_map=_dim_map(sf_dir, "customer",
+                          ["c_custkey", "c_mktsegment"]),
     )
 
 

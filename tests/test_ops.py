@@ -2933,6 +2933,15 @@ def test_unshipped_orders_boundary_semantics(ray_session):
     # 100.00*0.90 → 10000*90; 200.00*1.00 → 20000*100
     assert int(out["rev_e4"][0]) == 10000 * 90 + 20000 * 100
 
+    # the size-gated order_map+cust_map broadcast plan must emit EXACTLY
+    # the cogroup chain's rows (segment/date/ship boundaries included)
+    fast = R.unshipped_orders_topk(
+        rd.from_arrow(li), rd.from_arrow(orders), rd.from_arrow(cust),
+        cutoff=C, k=10, parts=8,
+        order_map=orders.to_pandas(), cust_map=cust.to_pandas(),
+    ).to_pandas()
+    pd.testing.assert_frame_equal(out, fast)
+
 
 def test_weighted_sample_grouped_all_filtered_batch(ray_session):
     """A batch whose every row has weight <= 0 must emit a TYPED empty
