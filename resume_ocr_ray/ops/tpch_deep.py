@@ -310,7 +310,7 @@ def volume_shipping(lineitem_ds, orders_ds, customer_ds, supplier_ds,
                     nation_ds, nation_a: str = "NATION_1",
                     nation_b: str = "NATION_2",
                     parts: int = 64, coalesce: int = 8,
-                    supp_map=None):
+                    supp_map=None, order_map=None, cust_map=None):
     """TPC-H Q7-style volume shipping: exact integer revenue between two
     nations per (supplier nation, customer nation, ship year) —
     cross-border trade in BOTH directions.
@@ -332,6 +332,11 @@ def volume_shipping(lineitem_ds, orders_ds, customer_ds, supplier_ds,
     all-to-all — over order-level partials, the widest of the three —
     disappears. Above the budget callers pass None and the shuffled
     suppkey cogroup runs. Output identical on both paths (pytest-pinned).
+
+    ``order_map``/``cust_map``: when BOTH are also given (all three sides
+    fit the broadcast budget), every key hop happens inside the lineitem
+    map_batches and the query becomes a ZERO-COGROUP plan (map →
+    directions×years engine aggregate), still bit-identical.
 
     Output: (supp_nation, cust_nation, l_year, revenue_e4) sorted by the
     three keys."""
@@ -472,6 +477,69 @@ def volume_shipping(lineitem_ds, orders_ds, customer_ds, supplier_ds,
             "rev_lo": pa.array(rev & _MASK),
         })
 
+    if (supp_map is not None and order_map is not None
+            and cust_map is not None):
+        sdf = supp_map.sort_values("s_suppkey")
+        odf = order_map.sort_values("o_orderkey")
+        cdf = cust_map.sort_values("c_custkey")
+        all_ref = ray.put((
+            sdf["s_suppkey"].to_numpy(np.int64),
+            sdf["s_nationkey"].to_numpy(np.int64),
+            odf["o_orderkey"].to_numpy(np.int64),
+            odf["o_custkey"].to_numpy(np.int64),
+            cdf["c_custkey"].to_numpy(np.int64),
+            cdf["c_nationkey"].to_numpy(np.int64),
+        ))
+
+        def _li_full(b: pa.Table) -> pa.Table:
+            sks, snat, oks, ocs, cks, cnat = cached_broadcast(all_ref)
+            empty = _empty(s_nat=pa.int64(), c_nat=pa.int64(),
+                           l_year=pa.int64(), rev_hi=pa.int64(),
+                           rev_lo=pa.int64())
+            if len(sks) == 0 or len(oks) == 0 or len(cks) == 0:
+                return empty
+            sk = b.column("l_suppkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            sidx = np.minimum(np.searchsorted(sks, sk), len(sks) - 1)
+            s_nat = np.where(sks[sidx] == sk, snat[sidx], -1)
+            keep = np.isin(s_nat, pair_keys)
+            lk = b.column("l_orderkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            oidx = np.minimum(np.searchsorted(oks, lk), len(oks) - 1)
+            cust = np.where(oks[oidx] == lk, ocs[oidx], np.int64(-1))
+            keep &= cust >= 0
+            cidx = np.minimum(np.searchsorted(cks, cust), len(cks) - 1)
+            c_nat = np.where(cks[cidx] == cust, cnat[cidx], np.int64(-1))
+            keep &= np.isin(c_nat, pair_keys)
+            keep &= s_nat != c_nat  # cross-border only, like _join_ck
+            if not keep.any():
+                return empty
+            year = b.column("l_shipdate").to_numpy(
+                zero_copy_only=False).astype("datetime64[Y]").astype(
+                np.int64) + 1970
+            g = pd.DataFrame({
+                "s_nat": s_nat[keep],
+                "c_nat": c_nat[keep],
+                "l_year": year[keep],
+                "rev": _rev_e4(b)[keep],
+            }).groupby(["s_nat", "c_nat", "l_year"],
+                       as_index=False)["rev"].sum()
+            rev = g["rev"].to_numpy(np.int64)
+            return pa.table({
+                "s_nat": pa.array(g["s_nat"].to_numpy(np.int64)),
+                "c_nat": pa.array(g["c_nat"].to_numpy(np.int64)),
+                "l_year": pa.array(g["l_year"].to_numpy(np.int64)),
+                "rev_hi": pa.array(rev >> _SHIFT),
+                "rev_lo": pa.array(rev & _MASK),
+            })
+
+        pairs = lineitem_ds.map_batches(
+            _li_full, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536).materialize()
+        # fall through to the shared typed-empty guard + finish below
+        keyed_full = pairs
+    else:
+        keyed_full = None
     if supp_map is not None:
         sdf = supp_map.sort_values("s_suppkey")
         smap_ref = ray.put((
@@ -533,7 +601,10 @@ def volume_shipping(lineitem_ds, orders_ds, customer_ds, supplier_ds,
     # materialize is directions × years × partitions rows — sketch-sized;
     # the count guard keeps a no-cross-border corpus TYPED (an engine
     # aggregate over zero rows loses the schema)
-    pairs = _cogroup(keyed_ck, cust_side, _join_ck, coalesce).materialize()
+    if keyed_full is None:
+        keyed_full = _cogroup(
+            keyed_ck, cust_side, _join_ck, coalesce).materialize()
+    pairs = keyed_full
     if pairs.count() == 0:
         from ..common import typed_empty
 

@@ -1537,6 +1537,10 @@ def q_volume_shipping(sf_dir: str):
         _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
         _read(sf_dir, "nation", ["n_nationkey", "n_name"]),
         supp_map=_supplier_map(sf_dir),
+        order_map=_dim_map(sf_dir, "orders",
+                           ["o_orderkey", "o_custkey"]),
+        cust_map=_dim_map(sf_dir, "customer",
+                          ["c_custkey", "c_nationkey"]),
     )
 
 

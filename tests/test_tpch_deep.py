@@ -279,6 +279,16 @@ def test_supplier_broadcast_paths_bit_identical(ray_session):
         })), supp_map=smap).to_pandas()
     pd.testing.assert_frame_equal(a, b)
 
+    # full three-map zero-cogroup plan must also be bit-identical
+    b3 = TD.volume_shipping(
+        _rd(li, 2), _rd(orders), _rd(cust), _rd(supp_tbl),
+        _rd(pa.table({
+            "n_nationkey": pa.array([1, 2], pa.int64()),
+            "n_name": pa.array(["NATION_1", "NATION_2"], pa.string()),
+        })), supp_map=smap, order_map=orders.to_pandas(),
+        cust_map=cust.to_pandas()).to_pandas()
+    pd.testing.assert_frame_equal(a, b3)
+
     nation = pa.table({
         "n_nationkey": pa.array([1, 2, 12], pa.int64()),
         "n_name": pa.array(["NATION_1", "NATION_2", "NATION_12"],
