@@ -1139,7 +1139,7 @@ def market_share(lineitem_ds, orders_ds, customer_ds, supplier_ds,
                  nation_ds, region_name: str = "ASIA",
                  share_nation: str = "NATION_12",
                  parts: int = 64, coalesce: int = 8,
-                 supp_map=None):
+                 supp_map=None, order_map=None, cust_map=None):
     """TPC-H Q8-style market share: per ORDER year, the fraction of
     ``region_name``-customer revenue supplied by ``share_nation`` —
     a conditional aggregate over a four-table join.
@@ -1157,6 +1157,11 @@ def market_share(lineitem_ds, orders_ds, customer_ds, supplier_ds,
     then computed INSIDE the lineitem map_batches and the first
     all-to-all (order-level partials, the widest) disappears. Output
     identical on both paths (pytest-pinned).
+
+    ``order_map``/``cust_map``: when BOTH are also given (all three
+    sides fit the broadcast budget), every hop — share tag, order year,
+    region-customer semi-join — happens inside the lineitem map_batches
+    and the query becomes a ZERO-COGROUP plan, still bit-identical.
 
     Output: (o_year, share_rev_e4, total_rev_e4, mkt_share)."""
     import ray
@@ -1299,6 +1304,73 @@ def market_share(lineitem_ds, orders_ds, customer_ds, supplier_ds,
             "t_lo": pa.array(tl),
         })
 
+    if (supp_map is not None and order_map is not None
+            and cust_map is not None):
+        sdf = supp_map.sort_values("s_suppkey")
+        odf = order_map.sort_values("o_orderkey")
+        region_ck = np.sort(cust_map.loc[
+            cust_map["c_nationkey"].astype(np.int64).isin(region_nats),
+            "c_custkey"].to_numpy(np.int64))
+        oy = odf["o_orderdate"].to_numpy(
+            "datetime64[us]").astype("datetime64[Y]").astype(
+            np.int64) + 1970
+        all_ref = ray.put((
+            sdf["s_suppkey"].to_numpy(np.int64),
+            sdf["s_nationkey"].to_numpy(np.int64),
+            odf["o_orderkey"].to_numpy(np.int64),
+            odf["o_custkey"].to_numpy(np.int64),
+            oy,
+            region_ck,
+        ))
+
+        def _li_full(b: pa.Table) -> pa.Table:
+            sks, snat, oks, ocs, oys, rck = cached_broadcast(all_ref)
+            empty = _empty(o_year=pa.int64(), s_hi=pa.int64(),
+                           s_lo=pa.int64(), t_hi=pa.int64(),
+                           t_lo=pa.int64())
+            if len(sks) == 0 or len(oks) == 0 or len(rck) == 0:
+                return empty
+            sk = b.column("l_suppkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            sidx = np.minimum(np.searchsorted(sks, sk), len(sks) - 1)
+            keep = sks[sidx] == sk  # inner: unknown suppkeys drop
+            is_share = snat[sidx] == share_key
+            lk = b.column("l_orderkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            oidx = np.minimum(np.searchsorted(oks, lk), len(oks) - 1)
+            keep &= oks[oidx] == lk  # inner vs orders
+            cust = ocs[oidx]
+            cidx = np.minimum(np.searchsorted(rck, cust), len(rck) - 1)
+            keep &= rck[cidx] == cust  # region-customer semi-join
+            if not keep.any():
+                return empty
+            g = pd.DataFrame({
+                "o_year": oys[oidx][keep],
+                "is_share": is_share[keep].astype(np.int64),
+                "rev": _rev_e4(b)[keep],
+            }).groupby(["o_year", "is_share"], as_index=False)[
+                "rev"].sum()
+            rows = []
+            for year, sub in g.groupby("o_year"):
+                rev = sub["rev"].to_numpy(np.int64)
+                share = int(rev[(sub["is_share"] == 1).to_numpy()].sum())
+                total = int(rev.sum())
+                rows.append((int(year), share >> _SHIFT, share & _MASK,
+                             total >> _SHIFT, total & _MASK))
+            yr, sh, sl, th, tl = (np.array(c, dtype=np.int64)
+                                  for c in zip(*rows))
+            return pa.table({
+                "o_year": pa.array(yr), "s_hi": pa.array(sh),
+                "s_lo": pa.array(sl), "t_hi": pa.array(th),
+                "t_lo": pa.array(tl),
+            })
+
+        keyed_year_full = lineitem_ds.map_batches(
+            _li_full, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536).materialize()
+    else:
+        keyed_year_full = None
+
     if supp_map is not None:
         sdf = supp_map.sort_values("s_suppkey")
         smap_ref = ray.put((
@@ -1354,8 +1426,11 @@ def market_share(lineitem_ds, orders_ds, customer_ds, supplier_ds,
     cust_side = customer_ds.map_batches(
         _cust, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=65536)
-    per_year = _cogroup(keyed_ck, cust_side, _join_ck,
-                        coalesce).materialize()
+    if keyed_year_full is not None:
+        per_year = keyed_year_full
+    else:
+        per_year = _cogroup(keyed_ck, cust_side, _join_ck,
+                            coalesce).materialize()
     if per_year.count() == 0:
         from ..common import typed_empty
 

@@ -1608,6 +1608,10 @@ def q_market_share(sf_dir: str):
         _read(sf_dir, "nation",
               ["n_nationkey", "n_name", "n_regionkey"]),
         supp_map=_supplier_map(sf_dir),
+        order_map=_dim_map(sf_dir, "orders",
+                           ["o_orderkey", "o_custkey", "o_orderdate"]),
+        cust_map=_dim_map(sf_dir, "customer",
+                          ["c_custkey", "c_nationkey"]),
     )
 
 

@@ -305,6 +305,14 @@ def test_supplier_broadcast_paths_bit_identical(ray_session):
     pd.testing.assert_frame_equal(c, d)
     assert len(c) == 2  # 1996 and 1997 market years
 
+    # full three-map zero-cogroup plan must also be bit-identical
+    e = TD.market_share(
+        _rd(li, 2), _rd(orders), _rd(cust), _rd(supp_tbl),
+        _rd(nation), share_nation="NATION_1",
+        supp_map=smap, order_map=orders.to_pandas(),
+        cust_map=cust.to_pandas()).to_pandas()
+    pd.testing.assert_frame_equal(c, e)
+
 
 def test_part_broadcast_paths_bit_identical(ray_session):
     """The part_map (and part+supp for Q9) fast paths must emit EXACTLY
