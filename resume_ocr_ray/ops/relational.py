@@ -4038,7 +4038,8 @@ def unshipped_orders_topk(lineitem_ds, orders_ds, customer_ds,
 
 
 def big_orders_topk(lineitem_ds, orders_ds, customer_ds,
-                    min_qty: int = 200, k: int = 100, parts: int = 64):
+                    min_qty: int = 200, k: int = 100, parts: int = 64,
+                    order_map=None, cust_map=None):
     """TPC-H Q18-style large-volume customers: orders whose total lineitem
     quantity exceeds ``min_qty``, with customer name, ordered by order
     value. (Reference analog: the "which uploads were largest" audit view
@@ -4156,6 +4157,74 @@ def big_orders_topk(lineitem_ds, orders_ds, customer_ds,
             "sum_qty": pa.array(m["sum_qty"].to_numpy(np.int64)),
             "is_o": pa.array(np.ones(len(ck), np.int8), pa.int8()),
         })
+
+    if order_map is not None and cust_map is not None:
+        import ray
+
+        from ..common import cached_broadcast
+
+        # size-gated FAST PATH (q_orders_by_segment selector discipline):
+        # the HAVING stage stays fully distributed (per-order partials +
+        # orderkey cogroup — fact cardinality, never broadcastable), but
+        # the two attach joins fold to broadcast lookups over the
+        # qualifying tail. Integer keys + total-order sort keep the
+        # output bit-identical to the cogroup chain (pytest-pinned).
+        odf = order_map.sort_values("o_orderkey")
+        cdf = cust_map.sort_values("c_custkey")
+        attach_ref = ray.put((
+            odf["o_orderkey"].to_numpy(np.int64),
+            odf["o_custkey"].to_numpy(np.int64),
+            odf["o_orderdate"].to_numpy("datetime64[us]"),
+            np.rint(odf["o_totalprice"].to_numpy(np.float64)
+                    * 100.0).astype(np.int64),
+            cdf["c_custkey"].to_numpy(np.int64),
+            cdf["c_name"].astype(str).to_numpy(object),
+        ))
+
+        def _attach(b: pa.Table) -> pa.Table:
+            oks, ocs, ods, opc, cks, cnm = cached_broadcast(attach_ref)
+            empty = pa.table({
+                "c_name": pa.array([], pa.string()),
+                "c_custkey": pa.array([], pa.int64()),
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "price_cents": pa.array([], pa.int64()),
+                "sum_qty": pa.array([], pa.int64()),
+            })
+            if b.num_rows == 0 or len(oks) == 0 or len(cks) == 0:
+                return empty
+            qk = b.column("o_orderkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            sq = b.column("sum_qty").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            oidx = np.minimum(np.searchsorted(oks, qk), len(oks) - 1)
+            keep = oks[oidx] == qk  # inner vs orders, like _join_orders
+            qk, sq, oidx = qk[keep], sq[keep], oidx[keep]
+            cust = ocs[oidx]
+            cidx = np.minimum(np.searchsorted(cks, cust), len(cks) - 1)
+            keep2 = cks[cidx] == cust  # inner vs customer
+            if not keep2.any():
+                return empty
+            qk, sq = qk[keep2], sq[keep2]
+            oidx, cidx = oidx[keep2], cidx[keep2]
+            return pa.table({
+                "c_name": pa.array(list(cnm[cidx]), pa.string()),
+                "c_custkey": pa.array(cks[cidx]),
+                "o_orderkey": pa.array(qk),
+                "o_orderdate": pa.array(ods[oidx], pa.timestamp("us")),
+                "price_cents": pa.array(opc[oidx]),
+                "sum_qty": pa.array(sq),
+            })
+
+        joined = qualifying.map_batches(
+            _attach, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536)
+        return topk_exact(
+            joined,
+            [("price_cents", "descending"), ("o_orderdate", "ascending"),
+             ("o_orderkey", "ascending")],
+            k,
+        )
 
     with_orders = (
         qualifying.union(

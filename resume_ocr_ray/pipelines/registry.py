@@ -1462,6 +1462,10 @@ def q_big_orders(sf_dir: str):
         _read(sf_dir, "orders",
               ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]),
         _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+        order_map=_dim_map(sf_dir, "orders",
+                           ["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_totalprice"]),
+        cust_map=_dim_map(sf_dir, "customer", ["c_custkey", "c_name"]),
     )
 
 

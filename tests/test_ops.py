@@ -2943,6 +2943,45 @@ def test_unshipped_orders_boundary_semantics(ray_session):
     pd.testing.assert_frame_equal(out, fast)
 
 
+def test_big_orders_broadcast_path_bit_identical(ray_session):
+    """Q18's size-gated attach fast path (order+customer maps) must emit
+    EXACTLY the cogroup chain's rows — HAVING boundary, inner-join drops
+    and the 3-key total order included."""
+    import ray.data as rd
+
+    from resume_ocr_ray.ops import relational as R
+
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 2, 3, 4], pa.int64()),
+        "l_quantity": pa.array([150.0, 100.0, 90.0, 120.0, 300.0, 500.0],
+                               pa.float64()),
+    })  # orders 1 (250), 2 (210), 3 (300) qualify at >200; 4 dangles
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([10, 20, 10], pa.int64()),
+        "o_orderdate": pa.array(
+            pd.Series(["1996-01-01", "1996-02-01", "1996-03-01"]).astype(
+                "datetime64[us]"), pa.timestamp("us")),
+        "o_totalprice": pa.array([100.5, 100.5, 50.0], pa.float64()),
+    })
+    cust = pa.table({
+        "c_custkey": pa.array([10, 20], pa.int64()),
+        "c_name": pa.array(["alice", "bob"], pa.string()),
+    })
+    slow = R.big_orders_topk(
+        rd.from_arrow(li).repartition(2), rd.from_arrow(orders),
+        rd.from_arrow(cust), min_qty=200, k=10, parts=8,
+    ).to_pandas()
+    fast = R.big_orders_topk(
+        rd.from_arrow(li).repartition(2), rd.from_arrow(orders),
+        rd.from_arrow(cust), min_qty=200, k=10, parts=8,
+        order_map=orders.to_pandas(), cust_map=cust.to_pandas(),
+    ).to_pandas()
+    pd.testing.assert_frame_equal(slow, fast)
+    # orders 1 & 2 tie on price_cents=10050 → date tiebreak puts 1 first
+    assert list(slow["o_orderkey"]) == [1, 2, 3]
+
+
 def test_weighted_sample_grouped_all_filtered_batch(ray_session):
     """A batch whose every row has weight <= 0 must emit a TYPED empty
     block (string group col), not a null-typed one that poisons the
