@@ -3108,3 +3108,38 @@ def test_rolling_distinct_users_gaps_and_window(ray_session):
            for d, n in zip(out["day"], out["n_users"])}
     # only observed days 0 and 3 appear; both users in day 3's window
     assert got == {0: 2, 3: 2}
+
+
+def test_cache_if_small_paths_agree(ray_session, monkeypatch):
+    """cache_if_small gates a multi-pass factory on the broadcast budget:
+    below it the source materializes once, above it (budget forced to 0)
+    the original factory re-reads. Both paths must produce identical
+    results for a two-pass op (token_rarity) and the cached path must
+    serve a MaterializedDataset."""
+    import ray.data as rd
+
+    from resume_ocr_ray import config as C
+    from resume_ocr_ray.common import cache_if_small
+    from resume_ocr_ray.ops import text as T
+
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(8)), pa.int64()),
+        "text": pa.array(
+            [f"alpha beta gamma token{i} beta" for i in range(8)],
+            pa.string()),
+    })
+
+    fac = lambda: rd.from_arrow(tbl)  # noqa: E731
+    cached_fac = cache_if_small(fac)
+    from ray.data.dataset import MaterializedDataset
+
+    assert isinstance(cached_fac(), MaterializedDataset)
+    assert cached_fac() is cached_fac()  # one materialization, reused
+    assert cache_if_small(fac, budget_rows=0) is fac  # above-budget: as-is
+
+    a = T.token_rarity(fac).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    monkeypatch.setattr(C, "BROADCAST_BUDGET_ROWS", 0)
+    b = T.token_rarity(fac).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
