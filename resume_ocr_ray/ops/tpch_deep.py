@@ -2301,7 +2301,8 @@ def excess_shipment_suppliers(lineitem_ds, part_ds, supplier_ds,
 
 def sole_late_supplier(lineitem_ds, orders_ds, supplier_ds,
                        late_days: int = 900, k: int = 100,
-                       parts: int = 64, coalesce: int = 8):
+                       parts: int = 64, coalesce: int = 8,
+                       order_map=None):
     """TPC-H Q21-style suppliers who kept orders waiting: for finished
     ('F') multi-supplier orders where EXACTLY ONE supplier's latest
     lineitem shipped more than ``late_days`` after the order date (the
@@ -2398,16 +2399,102 @@ def sole_late_supplier(lineitem_ds, orders_ds, supplier_ds,
             "numwait": pa.array(cnt["size"].to_numpy(np.int64)),
         })
 
-    fact_side = lineitem_ds.map_batches(
-        _fact, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=65536)
-    dim_side = orders_ds.map_batches(
-        _dim, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=65536)
-    per_supp = cogroup_agg(
-        _cogroup(fact_side, dim_side, _grp, coalesce),
-        "s_suppkey", {"numwait": ("numwait", "sum")}, parts=parts,
-    )
+    if order_map is not None:
+        # size-gated FAST PATH (q_orders_by_segment selector discipline):
+        # the orderkey cogroup is irreducible (the exactly-one-late test
+        # needs every supplier of an order together), but the orders dim
+        # folds to a broadcast (orderkey, orderdate) lookup AND the fact
+        # partials semi-join it at the map stage — only 'F'-order
+        # lineitem partials cross the one shuffle. Bit-identical
+        # (pytest-pinned).
+        import ray
+
+        from ..common import cached_broadcast
+
+        f = order_map[order_map["o_orderstatus"].astype(str) == "F"]
+        f = f.sort_values("o_orderkey")
+        dim_ref = ray.put((
+            f["o_orderkey"].to_numpy(np.int64),
+            f["o_orderdate"].to_numpy("datetime64[us]").view(np.int64),
+        ))
+
+        def _fact_bcast(b: pa.Table) -> pa.Table:
+            oks, _ = cached_broadcast(dim_ref)
+            ok = b.column("l_orderkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            sk = b.column("l_suppkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            ship = b.column("l_shipdate").to_numpy(
+                zero_copy_only=False).astype(
+                "datetime64[us]").view(np.int64)
+            if len(oks) == 0:
+                return pa.table({
+                    "part": pa.array([], pa.int32()),
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "s_suppkey": pa.array([], pa.int64()),
+                    "ts_us": pa.array([], pa.int64()),
+                })
+            oidx = np.minimum(np.searchsorted(oks, ok), len(oks) - 1)
+            keep = oks[oidx] == ok  # 'F'-status semi-join
+            g = pd.DataFrame({"k": ok[keep], "s": sk[keep],
+                              "t": ship[keep]}).groupby(
+                ["k", "s"], as_index=False)["t"].max()
+            kk = g["k"].to_numpy(np.int64)
+            return pa.table({
+                "part": _mod_part(kk, parts),
+                "o_orderkey": pa.array(kk),
+                "s_suppkey": pa.array(g["s"].to_numpy(np.int64)),
+                "ts_us": pa.array(g["t"].to_numpy(np.int64)),
+            })
+
+        def _grp_bcast(g: pd.DataFrame) -> pa.Table:
+            oks, ods = cached_broadcast(dim_ref)
+            if g.empty:
+                return _empty(s_suppkey=pa.int64(), numwait=pa.int64())
+            ms = g.groupby(["o_orderkey", "s_suppkey"],
+                           as_index=False)["ts_us"].max()
+            kk = ms["o_orderkey"].to_numpy(np.int64)
+            odate = ods[np.searchsorted(oks, kk)]  # all present (semi)
+            late = ms["ts_us"].to_numpy(np.int64) > odate + late_us
+            per = pd.DataFrame({
+                "k": kk,
+                "s": ms["s_suppkey"].to_numpy(np.int64),
+                "late": late.astype(np.int64),
+                "late_sk": np.where(
+                    late, ms["s_suppkey"].to_numpy(np.int64),
+                    np.int64(-1)),
+            }).groupby("k").agg(
+                nsupp=("s", "size"), nlate=("late", "sum"),
+                sk=("late_sk", "max"))
+            hit = per[(per["nsupp"] >= 2) & (per["nlate"] == 1)]
+            if hit.empty:
+                return _empty(s_suppkey=pa.int64(), numwait=pa.int64())
+            cnt = hit.groupby("sk", as_index=False).size()
+            return pa.table({
+                "s_suppkey": pa.array(cnt["sk"].to_numpy(np.int64)),
+                "numwait": pa.array(cnt["size"].to_numpy(np.int64)),
+            })
+
+        per_supp = cogroup_agg(
+            lineitem_ds.map_batches(
+                _fact_bcast, batch_format="pyarrow",
+                zero_copy_batch=True, batch_size=65536)
+            .repartition(coalesce)
+            .groupby("part")
+            .map_groups(_grp_bcast, batch_format="pandas"),
+            "s_suppkey", {"numwait": ("numwait", "sum")}, parts=parts,
+        )
+    else:
+        fact_side = lineitem_ds.map_batches(
+            _fact, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536)
+        dim_side = orders_ds.map_batches(
+            _dim, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536)
+        per_supp = cogroup_agg(
+            _cogroup(fact_side, dim_side, _grp, coalesce),
+            "s_suppkey", {"numwait": ("numwait", "sum")}, parts=parts,
+        )
     winners = topk_exact(
         per_supp,
         [("numwait", "descending"), ("s_suppkey", "ascending")], k,

@@ -1722,6 +1722,9 @@ def q_sole_late_supplier(sf_dir: str):
         _read(sf_dir, "orders",
               ["o_orderkey", "o_orderdate", "o_orderstatus"]),
         _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+        order_map=_dim_map(sf_dir, "orders",
+                           ["o_orderkey", "o_orderdate",
+                            "o_orderstatus"]),
     )
 
 

@@ -523,6 +523,13 @@ def test_sole_late_supplier_requires_exactly_one_late(ray_session):
     assert out[["s_suppkey", "numwait"]].values.tolist() == [[1, 1]]
     assert out["s_name"].tolist() == ["S1"]
 
+    # the size-gated order_map broadcast plan (status semi-join at the
+    # map stage, fact-only cogroup) must emit EXACTLY the same rows
+    fast = TD.sole_late_supplier(
+        _rd(li, 3), _rd(orders, 2), _rd(supp), late_days=900,
+        order_map=orders.to_pandas()).to_pandas()
+    pd.testing.assert_frame_equal(out, fast)
+
 
 def test_excess_suppliers_having_and_name_filter(ray_session):
     # supplier 1 ships 30 blue units, supplier 2 ships 10 blue + 100
