@@ -21,6 +21,15 @@ import subprocess
 import sys
 import time
 
+# Keep idle task workers alive through actor-pool churn (must be in the
+# env BEFORE any ray.init so the raylet inherits it): every actor-pool
+# query pushes the process count past num_cpus, Ray kills idle task
+# workers back to the soft limit, and the next task-heavy query pays
+# ~1 s of worker restarts (measured: minhash_pairs 2.95 s → 2.0 s
+# in-sweep, sweep sum 53 → 49 s). 96 idle workers ≈ 6-9 GB — fine on
+# this 128 GB node; overridable via the env.
+os.environ.setdefault("RAY_num_workers_soft_limit", "96")
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPEAT = int(os.environ.get("GRAFT_EXTRACT_REPEAT", "2"))
