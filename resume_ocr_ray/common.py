@@ -59,23 +59,49 @@ def cached_broadcast(obj_ref):
     return _CACHE[key]
 
 
+#: Byte cap for cache_if_small: the ROW budget is calibrated for narrow
+#: dimension frames, but wrapped sources may carry a text column — 4M docs
+#: at ~2.5 KB each would pin ~10 GB of plasma per wrapped op. 2 GB keeps a
+#: handful of concurrently-cached sources well inside one node's store.
+CACHE_IF_SMALL_MAX_BYTES = 2 << 30
+
+
+def uncached_get(ref):
+    """``ray.get`` for PER-QUERY-FRESH broadcast refs. cached_broadcast's
+    per-worker cache never evicts — fine for session-stable or
+    dimension-tiny refs (25-row nation names), but a fresh multi-MB key
+    map per query invocation would accumulate in every worker forever.
+    Plasma get of numpy / Arrow payloads is zero-copy, so per-batch gets
+    stay cheap; keep string payloads as pyarrow arrays (not object
+    ndarrays) to preserve that."""
+    import ray
+
+    return ray.get(ref)
+
+
 def cache_if_small(factory, budget_rows: int | None = None):
     """Wrap a multi-pass dataset factory: when the source's row count fits
-    the broadcast budget, materialize ONCE and serve the cached
+    the broadcast budget AND its estimated in-memory size fits
+    ``CACHE_IF_SMALL_MAX_BYTES``, materialize ONCE and serve the cached
     MaterializedDataset on every call — each pass stays a distributed
-    operation, only the repeated source read is elided. Above the budget,
-    delegate to the original factory (the memory-light re-read shape for
-    unbounded inputs, where pinning the whole source in the object store
-    is the wrong trade). ``count()`` on a parquet read is a metadata
-    probe, not a data pass."""
+    operation, only the repeated source read is elided. Above either
+    budget, delegate to the original factory (the memory-light re-read
+    shape for unbounded inputs, where pinning the whole source in the
+    object store is the wrong trade). ``count()`` / ``size_bytes()`` on a
+    parquet read are metadata probes, not data passes."""
     if budget_rows is None:
         from . import config as _cfg
 
         budget_rows = _cfg.BROADCAST_BUDGET_ROWS
     ds = factory()
     if ds.count() <= budget_rows:
-        cached = ds.materialize()
-        return lambda: cached
+        try:
+            nbytes = ds.size_bytes()
+        except Exception:
+            nbytes = None
+        if nbytes is None or nbytes <= CACHE_IF_SMALL_MAX_BYTES:
+            cached = ds.materialize()
+            return lambda: cached
     return factory
 
 

@@ -283,18 +283,22 @@ def _raw_band_pairs(docs_ds, *, num_perm=64, bands=16, shingle=5,
             batch_format="pyarrow", zero_copy_batch=True,
             concurrency=concurrency,
         )
+    # group by salt ALONE: a bucket (band, band_hash) maps wholly to one
+    # salt value (salt = band_hash & mask), and _pairs_from_salt_group
+    # re-groups by (band, band_hash) internally — so salt-only grouping is
+    # output-identical (verified pair-set equality at sf0.1) with a
+    # 1-column sort key. The mask is 16× FINER than PAIR_SALT so the
+    # per-group row bound (~n_band_rows / groups) matches the old
+    # (band, salt) grouping — salt-only at PAIR_SALT alone would make
+    # each group 16× larger and cap stage parallelism at 64.
+    _mask = PAIR_SALT * 16 - 1
     salted = banded.map_batches(
         lambda t: t.append_column(
-            "salt", pc.cast(pc.bit_wise_and(t["band_hash"], PAIR_SALT - 1), pa.int32())
+            "salt", pc.cast(pc.bit_wise_and(t["band_hash"], _mask), pa.int32())
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    # group by salt ALONE: a bucket (band, band_hash) maps wholly to one
-    # salt value (salt = band_hash & mask), and _pairs_from_salt_group
-    # re-groups by (band, band_hash) internally — so salt-only grouping is
-    # output-identical (verified pair-set equality at sf0.1) with 16×
-    # fewer group calls and a 1-column sort key
     return salted.groupby("salt").map_groups(
         lambda g: _pairs_from_salt_group(g, explode_sides),
         batch_format="pandas",
@@ -404,8 +408,6 @@ def minhash_verified(docs_ds, *, threshold: float = 0.5, num_perm=64, bands=16,
         if 0 < n_edge_rows <= _cfg.BROADCAST_BUDGET_ROWS:
             import ray as _ray
 
-            from ..common import cached_broadcast
-
             ed = edges.select_columns(["a", "b"]).to_pandas()
             cand_ids = np.unique(
                 np.concatenate(
@@ -415,7 +417,10 @@ def minhash_verified(docs_ds, *, threshold: float = 0.5, num_perm=64, bands=16,
             ids_ref = _ray.put(cand_ids)
 
             def _cand_filter(b: pa.Table) -> pa.Table:
-                ids = cached_broadcast(ids_ref)
+                # plain ray.get, NOT cached_broadcast: fresh ref per query
+                # (the per-worker cache would pin one id set per
+                # invocation forever); numpy plasma get is zero-copy
+                ids = _ray.get(ids_ref)
                 d = b.column("doc_id").to_numpy(zero_copy_only=False)
                 return b.filter(pa.array(np.isin(d, ids)))
 
@@ -708,6 +713,8 @@ def connected_components_labels(docs_ds, max_iters: int = 10,
         if df.empty:
             from ..common import typed_empty
 
+            if stats is not None:  # parity with the distributed path,
+                stats["iters"] = 0  # which always records a count
             return typed_empty(doc_id=pa.int64(), component=pa.int64())
         prev_sig = None
         n_it = 0
@@ -1903,7 +1910,8 @@ def cross_source_pairs(docs_ds, prefix_n: int = 32, gram: int = 3,
 
 def neardup_families(docs_ds_factory, prefix_n: int = 32, gram: int = 3,
                      threshold: float = 0.8, parts: int = 64,
-                     coalesce: int = 8, max_block: int = 1000):
+                     coalesce: int = 8, max_block: int = 1000,
+                     broadcast_budget_rows: int | None = None):
     """END-TO-END near-dup family selection — the full production dedup
     workflow (SlimPajama / RefinedWeb shape) as ONE composed pipeline:
 
@@ -1974,24 +1982,27 @@ def neardup_families(docs_ds_factory, prefix_n: int = 32, gram: int = 3,
     # and doc metadata without any driver-side or broadcast state.
     from .. import config as _cfg
 
-    if 2 * n_pairs <= _cfg.BROADCAST_BUDGET_ROWS:
+    if broadcast_budget_rows is None:
+        broadcast_budget_rows = _cfg.BROADCAST_BUDGET_ROWS
+    # broadcast_budget_rows=0 forces the distributed cogroup path (tests)
+    if 2 * n_pairs <= broadcast_budget_rows:
         import ray as _ray
 
-        from ..common import cached_broadcast
-
-        lab_df = labels.to_pandas()  # ≤ 2×n_pairs rows
-        comp_ref = _ray.put(
-            pd.Series(
-                lab_df["component"].to_numpy(np.int64),
-                index=lab_df["doc_id"].to_numpy(np.int64),
-            )
-        )
+        lab_df = labels.to_pandas().sort_values("doc_id")  # ≤ 2×n_pairs
+        comp_ref = _ray.put((
+            lab_df["doc_id"].to_numpy(np.int64),
+            lab_df["component"].to_numpy(np.int64),
+        ))
 
         def _attach(b: pa.Table) -> pa.Table:
-            comp = cached_broadcast(comp_ref)
-            d = b.column("doc_id").to_numpy(zero_copy_only=False)
-            hit = comp.reindex(d)
-            m = hit.notna().to_numpy()
+            # plain ray.get, NOT cached_broadcast: the ref is fresh per
+            # query, so the per-worker cache would pin one label map per
+            # invocation forever; plasma get of numpy arrays is zero-copy
+            ids, comp = _ray.get(comp_ref)
+            d = b.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            idx = np.minimum(np.searchsorted(ids, d), len(ids) - 1)
+            m = ids[idx] == d
             if not m.any():
                 return pa.table(
                     {"component": pa.array([], pa.int64()),
@@ -2003,10 +2014,8 @@ def neardup_families(docs_ds_factory, prefix_n: int = 32, gram: int = 3,
             ).cast(pa.int64()).to_numpy(zero_copy_only=False)
             return pa.table(
                 {
-                    "component": pa.array(
-                        hit.to_numpy()[m].astype(np.int64)
-                    ),
-                    "doc_id": pa.array(d[m].astype(np.int64)),
+                    "component": pa.array(comp[idx][m]),
+                    "doc_id": pa.array(d[m]),
                     "n_chars": pa.array(n[m].astype(np.int64)),
                 }
             )

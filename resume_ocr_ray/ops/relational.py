@@ -1148,11 +1148,9 @@ def exact_quantile(ds, col: str, ps=(0.5, 0.95, 0.99), bins: int = 8192):
     # lazy source. Below the broadcast budget, materialize the (already
     # column-pruned) input once and share the plasma blocks across passes —
     # passes stay distributed; only the repeated source read is elided.
-    # count() on a parquet read is a metadata probe, not a data pass.
-    from .. import config as _cfg
+    from ..common import cache_if_small
 
-    if ds.count() <= _cfg.BROADCAST_BUDGET_ROWS:
-        ds = ds.materialize()
+    ds = cache_if_small(lambda: ds)()
 
     mm = ds.aggregate(Min(col), Max(col))
     lo_raw, hi_raw = mm[f"min({col})"], mm[f"max({col})"]
@@ -2974,7 +2972,7 @@ def nation_revenue(lineitem_ds, orders_ds, customer_ds, nation_ds,
     import ray
     from ray.data.aggregate import Sum
 
-    from ..common import cached_broadcast
+    from ..common import cached_broadcast, uncached_get
 
     def _li(b: pa.Table) -> pa.Table:
         cents = np.rint(
@@ -3101,7 +3099,9 @@ def nation_revenue(lineitem_ds, orders_ds, customer_ds, nation_ds,
         ))
 
         def _li_bcast(b: pa.Table) -> pa.Table:
-            ok, oc, ck, cn = cached_broadcast(maps_ref)
+            # fresh-ref uncached_get (zero-copy numpy plasma get);
+            # cached_broadcast would pin one map per query forever
+            ok, oc, ck, cn = uncached_get(maps_ref)
             empty = pa.table(
                 {"c_nationkey": pa.array([], pa.int64()),
                  "rev_hi": pa.array([], pa.int64()),
@@ -3939,7 +3939,7 @@ def unshipped_orders_topk(lineitem_ds, orders_ds, customer_ds,
     if order_map is not None and cust_map is not None:
         import ray
 
-        from ..common import cached_broadcast, cogroup_agg
+        from ..common import cogroup_agg, uncached_get
 
         seg_ck = np.sort(cust_map.loc[
             cust_map["c_mktsegment"].astype(str) == segment, "c_custkey"
@@ -3952,13 +3952,16 @@ def unshipped_orders_topk(lineitem_ds, orders_ds, customer_ds,
         qual = win[seg_ck[cidx] == oc] if len(seg_ck) else win.iloc[:0]
         qual = qual.sort_values("o_orderkey")
         ok_ref = ray.put(qual["o_orderkey"].to_numpy(np.int64))
-        attrs_ref = ray.put({
-            int(r.o_orderkey): (r.o_orderdate, str(r.o_orderpriority))
-            for r in qual.itertuples(index=False)
-        })
+        # vectorized attribute columns: int64 dates + Arrow string
+        # priorities stay zero-copy through plasma (no per-row Python)
+        attrs_ref = ray.put((
+            qual["o_orderkey"].to_numpy(np.int64),
+            qual["o_orderdate"].to_numpy("datetime64[us]"),
+            pa.array(qual["o_orderpriority"].astype(str), pa.string()),
+        ))
 
         def _li_bcast(b: pa.Table) -> pa.Table:
-            qok = cached_broadcast(ok_ref)
+            qok = uncached_get(ok_ref)  # fresh ref: zero-copy get
             empty = pa.table({"o_orderkey": pa.array([], pa.int64()),
                               "rev": pa.array([], pa.int64())})
             if len(qok) == 0:
@@ -3998,18 +4001,18 @@ def unshipped_orders_topk(lineitem_ds, orders_ds, customer_ds,
         def _attach(b: pa.Table) -> pa.Table:
             # runs over qualifying-order-cardinality rows (broadcast-
             # bounded) BEFORE the top-k: the date participates in the
-            # cogroup path's tiebreak, so it must be attached pre-sort
-            am = cached_broadcast(attrs_ref)
-            oks = b.column("o_orderkey").to_pylist()
-            rows = [am[int(o)] for o in oks]
+            # cogroup path's tiebreak, so it must be attached pre-sort.
+            # Vectorized searchsorted + Arrow take — no per-row Python.
+            qks, qdates, qprio = uncached_get(attrs_ref)
+            o = b.column("o_orderkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            idx = np.searchsorted(qks, o)  # every key present (semi)
             return pa.table({
                 "o_orderkey": b.column("o_orderkey"),
                 "rev_e4": b.column("rev_e4"),
-                "o_orderdate": pa.array(
-                    np.array([r[0] for r in rows], "datetime64[us]"),
-                    pa.timestamp("us")),
-                "o_orderpriority": pa.array(
-                    [r[1] for r in rows], pa.string()),
+                "o_orderdate": pa.array(qdates[idx], pa.timestamp("us")),
+                "o_orderpriority": qprio.take(
+                    pa.array(idx, pa.int64())),
             })
 
         return topk_exact(
@@ -4161,7 +4164,7 @@ def big_orders_topk(lineitem_ds, orders_ds, customer_ds,
     if order_map is not None and cust_map is not None:
         import ray
 
-        from ..common import cached_broadcast
+        from ..common import uncached_get
 
         # size-gated FAST PATH (q_orders_by_segment selector discipline):
         # the HAVING stage stays fully distributed (per-order partials +
@@ -4178,11 +4181,13 @@ def big_orders_topk(lineitem_ds, orders_ds, customer_ds,
             np.rint(odf["o_totalprice"].to_numpy(np.float64)
                     * 100.0).astype(np.int64),
             cdf["c_custkey"].to_numpy(np.int64),
-            cdf["c_name"].astype(str).to_numpy(object),
+            pa.array(cdf["c_name"].astype(str), pa.string()),
         ))
 
         def _attach(b: pa.Table) -> pa.Table:
-            oks, ocs, ods, opc, cks, cnm = cached_broadcast(attach_ref)
+            # fresh-ref uncached_get; names ride as an Arrow string
+            # array so the per-batch plasma get stays zero-copy
+            oks, ocs, ods, opc, cks, cnm = uncached_get(attach_ref)
             empty = pa.table({
                 "c_name": pa.array([], pa.string()),
                 "c_custkey": pa.array([], pa.int64()),
@@ -4208,7 +4213,7 @@ def big_orders_topk(lineitem_ds, orders_ds, customer_ds,
             qk, sq = qk[keep2], sq[keep2]
             oidx, cidx = oidx[keep2], cidx[keep2]
             return pa.table({
-                "c_name": pa.array(list(cnm[cidx]), pa.string()),
+                "c_name": cnm.take(pa.array(cidx, pa.int64())),
                 "c_custkey": pa.array(cks[cidx]),
                 "o_orderkey": pa.array(qk),
                 "o_orderdate": pa.array(ods[oidx], pa.timestamp("us")),

@@ -25,7 +25,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..common import topk_exact
+from ..common import topk_exact, uncached_get
 
 _SHIFT = 31
 _MASK = (1 << _SHIFT) - 1
@@ -199,7 +199,7 @@ def returned_item_revenue(lineitem_ds, orders_ds, customer_ds, nation_ds,
         ))
 
         def _li_bcast(b: pa.Table) -> pa.Table:
-            ok, oc, ck = cached_broadcast(maps_ref)
+            ok, oc, ck = uncached_get(maps_ref)
             empty = pa.table({"c_custkey": pa.array([], pa.int64()),
                               "rev": pa.array([], pa.int64())})
             if len(ok) == 0 or len(ck) == 0:
@@ -231,24 +231,26 @@ def returned_item_revenue(lineitem_ds, orders_ds, customer_ds, nation_ds,
                 batch_size=65536),
             "c_custkey", {"revenue_e4": ("rev", "sum")},
         )
-        attrs_ref = ray.put({
-            int(r.c_custkey): (str(r.c_name), float(r.c_acctbal),
-                               int(r.c_nationkey))
-            for r in cd.itertuples(index=False)
-        })
+        # vectorized attribute columns (numpy + Arrow string array —
+        # zero-copy through plasma; no per-row Python, no dict build)
+        attrs_ref = ray.put((
+            cd["c_custkey"].to_numpy(np.int64),
+            pa.array(cd["c_name"].astype(str), pa.string()),
+            cd["c_acctbal"].to_numpy(np.float64),
+            cd["c_nationkey"].to_numpy(np.int64),
+        ))
 
         def _attach(b: pa.Table) -> pa.Table:
-            # runs on <= k rows (after topk_exact)
-            am = cached_broadcast(attrs_ref)
-            cks = b.column("c_custkey").to_pylist()
-            rows = [am[int(c)] for c in cks]
+            # runs on <= k rows (after topk_exact); fresh-ref uncached_get
+            cks, names, bal, nat = uncached_get(attrs_ref)
+            q = b.column("c_custkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            idx = np.searchsorted(cks, q)  # every key present (semi-join)
             return pa.table({
                 "c_custkey": b.column("c_custkey"),
-                "c_name": pa.array([r[0] for r in rows], pa.string()),
-                "c_acctbal": pa.array(
-                    np.array([r[1] for r in rows], np.float64)),
-                "c_nationkey": pa.array(
-                    np.array([r[2] for r in rows], np.int64)),
+                "c_name": names.take(pa.array(idx, pa.int64())),
+                "c_acctbal": pa.array(bal[idx]),
+                "c_nationkey": pa.array(nat[idx]),
                 "revenue_e4": b.column("revenue_e4"),
             })
 
@@ -258,12 +260,8 @@ def returned_item_revenue(lineitem_ds, orders_ds, customer_ds, nation_ds,
             k,
         ).map_batches(_attach, batch_format="pyarrow",
                       zero_copy_batch=True, batch_size=None)
-        # re-order to the cogroup path's column layout for the shared tail
-        per_cust = per_cust.map_batches(
-            lambda t: t.select(["c_custkey", "c_name", "c_acctbal",
-                                "c_nationkey", "revenue_e4"]),
-            batch_format="pyarrow", zero_copy_batch=True,
-        )
+        # _attach already emits the cogroup path's column layout, so the
+        # shared tail (re-topk + nation name) consumes it directly
     else:
         li_side = lineitem_ds.map_batches(
             _li, batch_format="pyarrow", zero_copy_batch=True,
@@ -492,7 +490,7 @@ def volume_shipping(lineitem_ds, orders_ds, customer_ds, supplier_ds,
         ))
 
         def _li_full(b: pa.Table) -> pa.Table:
-            sks, snat, oks, ocs, cks, cnat = cached_broadcast(all_ref)
+            sks, snat, oks, ocs, cks, cnat = uncached_get(all_ref)
             empty = _empty(s_nat=pa.int64(), c_nat=pa.int64(),
                            l_year=pa.int64(), rev_hi=pa.int64(),
                            rev_lo=pa.int64())
@@ -540,68 +538,71 @@ def volume_shipping(lineitem_ds, orders_ds, customer_ds, supplier_ds,
         keyed_full = pairs
     else:
         keyed_full = None
-    if supp_map is not None:
-        sdf = supp_map.sort_values("s_suppkey")
-        smap_ref = ray.put((
-            sdf["s_suppkey"].to_numpy(np.int64),
-            sdf["s_nationkey"].to_numpy(np.int64),
-        ))
-
-        def _li_bcast(b: pa.Table) -> pa.Table:
-            sk_sorted, nat = cached_broadcast(smap_ref)
-            sk = b.column("l_suppkey").to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            if len(sk_sorted) == 0:  # empty dim: inner join drops all
-                return _empty(part=pa.int32(), o_orderkey=pa.int64(),
-                              l_year=pa.int64(), s_nat=pa.int64(),
-                              rev=pa.int64(), o_custkey=pa.int64())
-            idx = np.searchsorted(sk_sorted, sk)
-            idx = np.minimum(idx, len(sk_sorted) - 1)
-            s_nat = np.where(sk_sorted[idx] == sk, nat[idx], -1)
-            keep = np.isin(s_nat, pair_keys)
-            year = b.column("l_shipdate").to_numpy(
-                zero_copy_only=False).astype("datetime64[Y]").astype(
-                np.int64) + 1970
-            g = pd.DataFrame({
-                "o_orderkey": b.column("l_orderkey").to_numpy(
-                    zero_copy_only=False).astype(np.int64)[keep],
-                "l_year": year[keep],
-                "s_nat": s_nat[keep],
-                "rev": _rev_e4(b)[keep],
-            }).groupby(["o_orderkey", "l_year", "s_nat"],
-                       as_index=False)["rev"].sum()
-            ok = g["o_orderkey"].to_numpy(np.int64)
-            return pa.table({
-                "part": _mod_part(ok, parts),
-                "o_orderkey": pa.array(ok),
-                "l_year": pa.array(g["l_year"].to_numpy(np.int64)),
-                "s_nat": pa.array(g["s_nat"].to_numpy(np.int64)),
-                "rev": pa.array(g["rev"].to_numpy(np.int64)),
-                "o_custkey": pa.array(np.full(len(ok), -1, np.int64)),
-            })
-
-        keyed_ok = lineitem_ds.map_batches(
-            _li_bcast, batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=65536)
-    else:
-        li_side = lineitem_ds.map_batches(
-            _li, batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=65536)
-        supp_side = supplier_ds.map_batches(
-            _supp, batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=65536)
-        keyed_ok = _cogroup(li_side, supp_side, _join_sk, coalesce)
-    ord_side = orders_ds.map_batches(
-        _ord, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=65536)
-    keyed_ck = _cogroup(keyed_ok, ord_side, _join_ok, coalesce)
-    cust_side = customer_ds.map_batches(
-        _cust, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=65536)
-    # materialize is directions × years × partitions rows — sketch-sized;
-    # the count guard keeps a no-cross-border corpus TYPED (an engine
-    # aggregate over zero rows loses the schema)
     if keyed_full is None:
+        # the cogroup chains below are only BUILT when the full
+        # three-map plan was not taken (no wasted ray.put / plan
+        # construction on the fast path)
+        if supp_map is not None:
+            sdf = supp_map.sort_values("s_suppkey")
+            smap_ref = ray.put((
+                sdf["s_suppkey"].to_numpy(np.int64),
+                sdf["s_nationkey"].to_numpy(np.int64),
+            ))
+
+            def _li_bcast(b: pa.Table) -> pa.Table:
+                sk_sorted, nat = uncached_get(smap_ref)
+                sk = b.column("l_suppkey").to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                if len(sk_sorted) == 0:  # empty dim: inner join drops all
+                    return _empty(part=pa.int32(), o_orderkey=pa.int64(),
+                                  l_year=pa.int64(), s_nat=pa.int64(),
+                                  rev=pa.int64(), o_custkey=pa.int64())
+                idx = np.searchsorted(sk_sorted, sk)
+                idx = np.minimum(idx, len(sk_sorted) - 1)
+                s_nat = np.where(sk_sorted[idx] == sk, nat[idx], -1)
+                keep = np.isin(s_nat, pair_keys)
+                year = b.column("l_shipdate").to_numpy(
+                    zero_copy_only=False).astype("datetime64[Y]").astype(
+                    np.int64) + 1970
+                g = pd.DataFrame({
+                    "o_orderkey": b.column("l_orderkey").to_numpy(
+                        zero_copy_only=False).astype(np.int64)[keep],
+                    "l_year": year[keep],
+                    "s_nat": s_nat[keep],
+                    "rev": _rev_e4(b)[keep],
+                }).groupby(["o_orderkey", "l_year", "s_nat"],
+                           as_index=False)["rev"].sum()
+                ok = g["o_orderkey"].to_numpy(np.int64)
+                return pa.table({
+                    "part": _mod_part(ok, parts),
+                    "o_orderkey": pa.array(ok),
+                    "l_year": pa.array(g["l_year"].to_numpy(np.int64)),
+                    "s_nat": pa.array(g["s_nat"].to_numpy(np.int64)),
+                    "rev": pa.array(g["rev"].to_numpy(np.int64)),
+                    "o_custkey": pa.array(np.full(len(ok), -1, np.int64)),
+                })
+
+            keyed_ok = lineitem_ds.map_batches(
+                _li_bcast, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=65536)
+        else:
+            li_side = lineitem_ds.map_batches(
+                _li, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=65536)
+            supp_side = supplier_ds.map_batches(
+                _supp, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=65536)
+            keyed_ok = _cogroup(li_side, supp_side, _join_sk, coalesce)
+        ord_side = orders_ds.map_batches(
+            _ord, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536)
+        keyed_ck = _cogroup(keyed_ok, ord_side, _join_ok, coalesce)
+        cust_side = customer_ds.map_batches(
+            _cust, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536)
+        # materialize is directions × years × partitions rows — sketch-sized;
+        # the count guard keeps a no-cross-border corpus TYPED (an engine
+        # aggregate over zero rows loses the schema)
         keyed_full = _cogroup(
             keyed_ck, cust_side, _join_ck, coalesce).materialize()
     pairs = keyed_full
@@ -722,7 +723,7 @@ def promo_revenue(lineitem_ds, part_ds, date_lo: str = "1996-09-01",
         ))
 
         def _li_bcast(b: pa.Table) -> pa.Table:
-            pk_sorted, promo = cached_broadcast(pmap_ref)
+            pk_sorted, promo = uncached_get(pmap_ref)
             if len(pk_sorted) == 0:  # empty dim: zero partial, no probe
                 z = pa.array([0], pa.int64())
                 return pa.table({"p_hi": z, "p_lo": z, "t_hi": z,
@@ -885,7 +886,7 @@ def disjunctive_revenue(lineitem_ds, part_ds,
         pmap_ref = ray.put((pk_arr, qlo, qhi))
 
         def _li_bcast(b: pa.Table) -> pa.Table:
-            pks, lo_a, hi_a = cached_broadcast(pmap_ref)
+            pks, lo_a, hi_a = uncached_get(pmap_ref)
             if len(pks) == 0:  # empty dim: zero partial, no probe
                 z = pa.array([0], pa.int64())
                 return pa.table({"r_hi": z, "r_lo": z, "cnt": z})
@@ -1062,7 +1063,7 @@ def product_line_profit(lineitem_ds, part_ds, supplier_ds, nation_ds,
         ))
 
         def _li_bcast(b: pa.Table) -> pa.Table:
-            pks, sks, nat = cached_broadcast(maps_ref)
+            pks, sks, nat = uncached_get(maps_ref)
             if len(pks) == 0 or len(sks) == 0:  # no matching dim rows
                 return _empty(s_nat=pa.int64(), o_year=pa.int64(),
                               rev_hi=pa.int64(), rev_lo=pa.int64())
@@ -1324,7 +1325,7 @@ def market_share(lineitem_ds, orders_ds, customer_ds, supplier_ds,
         ))
 
         def _li_full(b: pa.Table) -> pa.Table:
-            sks, snat, oks, ocs, oys, rck = cached_broadcast(all_ref)
+            sks, snat, oks, ocs, oys, rck = uncached_get(all_ref)
             empty = _empty(o_year=pa.int64(), s_hi=pa.int64(),
                            s_lo=pa.int64(), t_hi=pa.int64(),
                            t_lo=pa.int64())
@@ -1371,66 +1372,68 @@ def market_share(lineitem_ds, orders_ds, customer_ds, supplier_ds,
     else:
         keyed_year_full = None
 
-    if supp_map is not None:
-        sdf = supp_map.sort_values("s_suppkey")
-        smap_ref = ray.put((
-            sdf["s_suppkey"].to_numpy(np.int64),
-            sdf["s_nationkey"].to_numpy(np.int64),
-        ))
+    if keyed_year_full is None:
+        # the cogroup chains below are only BUILT when the full
+        # three-map plan was not taken (no wasted ray.put / plan
+        # construction on the fast path)
+        if supp_map is not None:
+            sdf = supp_map.sort_values("s_suppkey")
+            smap_ref = ray.put((
+                sdf["s_suppkey"].to_numpy(np.int64),
+                sdf["s_nationkey"].to_numpy(np.int64),
+            ))
 
-        def _li_bcast(b: pa.Table) -> pa.Table:
-            sk_sorted, nat = cached_broadcast(smap_ref)
-            sk = b.column("l_suppkey").to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            if len(sk_sorted) == 0:  # empty dim: inner join drops all
-                return _empty(part=pa.int32(), o_orderkey=pa.int64(),
-                              is_share=pa.int64(), rev=pa.int64(),
-                              o_custkey=pa.int64(), o_year=pa.int64())
-            idx = np.searchsorted(sk_sorted, sk)
-            idx = np.minimum(idx, len(sk_sorted) - 1)
-            found = sk_sorted[idx] == sk  # inner-join: unknown keys drop
-            s_nat = nat[idx]
-            g = pd.DataFrame({
-                "o_orderkey": b.column("l_orderkey").to_numpy(
-                    zero_copy_only=False).astype(np.int64)[found],
-                "is_share": (s_nat[found] == share_key).astype(np.int64),
-                "rev": _rev_e4(b)[found],
-            }).groupby(["o_orderkey", "is_share"], as_index=False)[
-                "rev"].sum()
-            ok = g["o_orderkey"].to_numpy(np.int64)
-            n = len(ok)
-            return pa.table({
-                "part": _mod_part(ok, parts),
-                "o_orderkey": pa.array(ok),
-                "is_share": pa.array(g["is_share"].to_numpy(np.int64)),
-                "rev": pa.array(g["rev"].to_numpy(np.int64)),
-                "o_custkey": pa.array(np.full(n, -1, np.int64)),
-                "o_year": pa.array(np.zeros(n, np.int64)),
-            })
+            def _li_bcast(b: pa.Table) -> pa.Table:
+                sk_sorted, nat = uncached_get(smap_ref)
+                sk = b.column("l_suppkey").to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                if len(sk_sorted) == 0:  # empty dim: inner join drops all
+                    return _empty(part=pa.int32(), o_orderkey=pa.int64(),
+                                  is_share=pa.int64(), rev=pa.int64(),
+                                  o_custkey=pa.int64(), o_year=pa.int64())
+                idx = np.searchsorted(sk_sorted, sk)
+                idx = np.minimum(idx, len(sk_sorted) - 1)
+                found = sk_sorted[idx] == sk  # inner-join: unknown keys drop
+                s_nat = nat[idx]
+                g = pd.DataFrame({
+                    "o_orderkey": b.column("l_orderkey").to_numpy(
+                        zero_copy_only=False).astype(np.int64)[found],
+                    "is_share": (s_nat[found] == share_key).astype(np.int64),
+                    "rev": _rev_e4(b)[found],
+                }).groupby(["o_orderkey", "is_share"], as_index=False)[
+                    "rev"].sum()
+                ok = g["o_orderkey"].to_numpy(np.int64)
+                n = len(ok)
+                return pa.table({
+                    "part": _mod_part(ok, parts),
+                    "o_orderkey": pa.array(ok),
+                    "is_share": pa.array(g["is_share"].to_numpy(np.int64)),
+                    "rev": pa.array(g["rev"].to_numpy(np.int64)),
+                    "o_custkey": pa.array(np.full(n, -1, np.int64)),
+                    "o_year": pa.array(np.zeros(n, np.int64)),
+                })
 
-        keyed_ok = lineitem_ds.map_batches(
-            _li_bcast, batch_format="pyarrow", zero_copy_batch=True,
+            keyed_ok = lineitem_ds.map_batches(
+                _li_bcast, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=65536)
+        else:
+            li_side = lineitem_ds.map_batches(
+                _li, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=65536)
+            supp_side = supplier_ds.map_batches(
+                _supp, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=65536)
+            keyed_ok = _cogroup(li_side, supp_side, _join_sk, coalesce)
+        ord_side = orders_ds.map_batches(
+            _ord, batch_format="pyarrow", zero_copy_batch=True,
             batch_size=65536)
-    else:
-        li_side = lineitem_ds.map_batches(
-            _li, batch_format="pyarrow", zero_copy_batch=True,
+        keyed_ck = _cogroup(keyed_ok, ord_side, _join_ok, coalesce)
+        cust_side = customer_ds.map_batches(
+            _cust, batch_format="pyarrow", zero_copy_batch=True,
             batch_size=65536)
-        supp_side = supplier_ds.map_batches(
-            _supp, batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=65536)
-        keyed_ok = _cogroup(li_side, supp_side, _join_sk, coalesce)
-    ord_side = orders_ds.map_batches(
-        _ord, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=65536)
-    keyed_ck = _cogroup(keyed_ok, ord_side, _join_ok, coalesce)
-    cust_side = customer_ds.map_batches(
-        _cust, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=65536)
-    if keyed_year_full is not None:
-        per_year = keyed_year_full
-    else:
-        per_year = _cogroup(keyed_ck, cust_side, _join_ck,
-                            coalesce).materialize()
+        keyed_year_full = _cogroup(keyed_ck, cust_side, _join_ck,
+                                   coalesce).materialize()
+    per_year = keyed_year_full
     if per_year.count() == 0:
         from ..common import typed_empty
 
@@ -1566,11 +1569,13 @@ def top_supplier(lineitem_ds, supplier_ds,
         sdf = supp_map.sort_values("s_suppkey")
         smap_ref = ray.put((
             sdf["s_suppkey"].to_numpy(np.int64),
-            sdf["s_name"].to_numpy(object),
+            pa.array(sdf["s_name"].astype(str), pa.string()),
         ))
 
         def _li_bcast(b: pa.Table) -> pa.Table:
-            sk_sorted, names = cached_broadcast(smap_ref)
+            # fresh-ref uncached_get; the name column rides as an Arrow
+            # string array so the plasma get stays zero-copy per batch
+            sk_sorted, names = uncached_get(smap_ref)
             g = _rev_partial(b)
             sk = g["s_suppkey"].to_numpy(np.int64)
             if len(sk_sorted) == 0:
@@ -1581,8 +1586,7 @@ def top_supplier(lineitem_ds, supplier_ds,
             found = sk_sorted[idx] == sk
             return pa.table({
                 "s_suppkey": pa.array(sk[found]),
-                "s_name": pa.array(
-                    [str(x) for x in names[idx][found]], pa.string()),
+                "s_name": names.take(pa.array(idx[found], pa.int64())),
                 "total_rev_e4": pa.array(
                     g["rev"].to_numpy(np.int64)[found]),
             })
@@ -2067,7 +2071,7 @@ def min_cost_supplier(lineitem_ds, part_ds, supplier_ds,
     sorted price ASC, partkey ASC, ≤k rows."""
     import ray.data as rd
 
-    from ..common import topk_exact, typed_empty
+    from ..common import topk_exact, uncached_get, typed_empty
 
     def _argmin(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(["k", "c", "s"]).drop_duplicates("k")
@@ -2419,7 +2423,7 @@ def sole_late_supplier(lineitem_ds, orders_ds, supplier_ds,
         ))
 
         def _fact_bcast(b: pa.Table) -> pa.Table:
-            oks, _ = cached_broadcast(dim_ref)
+            oks, _ = uncached_get(dim_ref)
             ok = b.column("l_orderkey").to_numpy(
                 zero_copy_only=False).astype(np.int64)
             sk = b.column("l_suppkey").to_numpy(
@@ -2448,7 +2452,7 @@ def sole_late_supplier(lineitem_ds, orders_ds, supplier_ds,
             })
 
         def _grp_bcast(g: pd.DataFrame) -> pa.Table:
-            oks, ods = cached_broadcast(dim_ref)
+            oks, ods = uncached_get(dim_ref)
             if g.empty:
                 return _empty(s_suppkey=pa.int64(), numwait=pa.int64())
             ms = g.groupby(["o_orderkey", "s_suppkey"],

@@ -2253,6 +2253,16 @@ def test_neardup_families_transitive_chain_keep_longest(ray_session):
     r = out.iloc[0]
     assert (r["family"], r["keep_doc_id"], r["n_docs"]) == (2, 5, 3)
 
+    # broadcast_budget_rows=0 forces the distributed tagged-union cogroup
+    # path; it must emit EXACTLY the broadcast fast path's rows
+    slow = D.neardup_families(
+        lambda: rd.from_arrow(tbl), broadcast_budget_rows=0
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("family").reset_index(drop=True),
+        slow.sort_values("family").reset_index(drop=True),
+    )
+
 
 def test_pagerank_star_deterministic_and_mass_bounded(ray_session):
     """Star graph (hub 10 pairwise with 8 leaves): the hub must outrank
@@ -2694,6 +2704,18 @@ def test_pagerank_join_path_bit_identical(ray_session):
     b2 = G.pagerank(li, lo, hi, iters=5, parts=8,
                     node_budget=0).to_pandas()
     pd.testing.assert_frame_equal(a2, b2)
+
+    # middle path (per-iteration broadcast map): node_budget between the
+    # node count and the edge count skips BOTH the driver edge loop
+    # (edges > budget) and the join successor (nodes <= budget)
+    from resume_ocr_ray.ops.graph import cosupply_edges
+
+    n_nodes = len(a2)
+    n_edges = cosupply_edges(li, lo, hi, parts=8).count()
+    assert n_nodes < n_edges  # construction sanity for the gate below
+    c2 = G.pagerank(li, lo, hi, iters=5, parts=8,
+                    node_budget=n_nodes).to_pandas()
+    pd.testing.assert_frame_equal(a2, c2)
 
 
 def test_fingerprint_rolling_hash_exact(ray_session):
